@@ -1,0 +1,124 @@
+"""Reference-compatible public API.
+
+The reference exposes exactly one Python function (gpu_library.cu:236-239):
+
+    gpu_library.linsys_solve(G_row, G_col, G_val, C_row, C_col, C_val,
+                             g, c, input_lambda, testiters, exit_tol,
+                             max_iters, warm_start, rho) -> (lambda, dz)
+
+``gato_tpu.linsys_solve`` reproduces that signature and its observable behavior:
+
+* returns ``(lambda, dz)`` as plain Python lists of floats
+  (gpu_library.cu:221-231);
+* runs the solve ``testiters`` times in a timing loop, printing the first run's
+  PCG iteration count + time and the average time (gpu_library.cu:166-198);
+* ``rho`` regularizes the Hessian diagonal, ``exit_tol``/``max_iters`` bound the
+  PCG loop, ``warm_start`` seeds lambda from ``input_lambda``.
+
+One difference by design: the problem shape.  The reference bakes
+(STATE_SIZE, CONTROL_SIZE, KNOT_POINTS) into the binary at build time
+(install.bash:6,16) so the API never sees them; here the shape is inferred from
+the input structure (or passed explicitly via ``spec=``) and becomes a static
+jit shape — a new shape is a retrace, not a rebuild.
+
+Timing-harness fidelity note: the first reported time includes jit compilation
+(the analog of the reference's first-call CUDA context/module costs); later
+iterations hit the compile cache.  Times are printed in milliseconds like
+cudaEventElapsedTime.
+"""
+
+from __future__ import annotations
+
+import time
+from typing import List, Optional, Tuple
+
+import jax
+import numpy as np
+
+from .formats import pack_kkt
+from .problem import ProblemSpec, SolverOptions
+from .solver import SolveResult, solve
+
+
+def infer_spec(C_indptr, g, c_vec) -> ProblemSpec:
+    """Infer (state_size, control_size, knot_points) from the KKT structure.
+
+    The constraint Jacobian's first block is the initial-condition identity
+    (the reference hard-assumes this and skips those rows,
+    gato_schur.cuh:723-725): rows 0..s-1 contain exactly one entry each.  The
+    first row with more than one entry is therefore the first dynamics row,
+    giving s; then K = len(c)/s and  c = (len(g) - s*K) / (K - 1).
+    """
+    indptr = np.asarray(C_indptr, dtype=np.int64)
+    counts = np.diff(indptr)
+    multi = np.nonzero(counts != 1)[0]
+    if multi.size == 0 or multi[0] == 0:
+        raise ValueError(
+            "cannot infer STATE_SIZE from C's structure (no identity block of "
+            "single-entry rows at the top); pass spec=ProblemSpec(...) explicitly"
+        )
+    s = int(multi[0])
+    nl, ng = len(c_vec), len(g)
+    if nl % s:
+        raise ValueError(f"len(c)={nl} is not a multiple of inferred state_size={s}; "
+                         "pass spec= explicitly")
+    K = nl // s
+    if K < 2 or (ng - s * K) % (K - 1):
+        raise ValueError(f"cannot infer control_size from len(g)={ng}, s={s}, K={K}; "
+                         "pass spec= explicitly")
+    c = (ng - s * K) // (K - 1)
+    return ProblemSpec(state_size=s, control_size=c, knot_points=K)
+
+
+def linsys_solve(
+    G_row, G_col, G_val,
+    C_row, C_col, C_val,
+    g, c,
+    input_lambda,
+    testiters: int,
+    exit_tol: float,
+    max_iters: int,
+    warm_start: bool,
+    rho: float,
+    *,
+    spec: Optional[ProblemSpec] = None,
+    pcg_backend: Optional[str] = None,
+    verbose: bool = True,
+) -> Tuple[List[float], List[float]]:
+    """Drop-in replacement for ``gpu_library.linsys_solve``.
+
+    Reference behavior notes reproduced/corrected (see module docstrings of
+    assemble.py / recover.py / pcg.py for details): warm_start actually warm
+    starts here (the reference ignores it in-kernel, gato_pcg.cuh:296-304;
+    with the default warm_start=False behavior is identical).
+    """
+    if spec is None:
+        spec = infer_spec(C_row, g, c)
+
+    blocks = pack_kkt(spec, G_row, G_col, G_val, C_row, C_col, C_val, g, c)
+    options = SolverOptions(
+        exit_tol=exit_tol, max_iters=max_iters, warm_start=warm_start, rho=rho
+    )
+    lam = np.asarray(input_lambda, dtype=np.float32).reshape(spec.knot_points,
+                                                             spec.state_size)
+
+    result: Optional[SolveResult] = None
+    times_ms = []
+    for i in range(max(int(testiters), 1)):
+        t0 = time.perf_counter()
+        result = solve(spec, blocks, options, lam0=lam, pcg_backend=pcg_backend)
+        jax.block_until_ready(result.lam)
+        times_ms.append((time.perf_counter() - t0) * 1e3)
+        if warm_start:
+            # MPC-style reuse: feed the solution back as the next start, which
+            # is what the reference's host loop sets up (gpu_library.cu:161-179).
+            lam = np.asarray(result.lam)
+        if i == 0 and verbose:
+            print(
+                f"first run PCG terminated in {int(result.iters)} iterations, "
+                f"time:  {times_ms[0]:f}"
+            )
+    if verbose:
+        print(f"avg time: {float(np.mean(times_ms)):f}")
+
+    return list(map(float, result.lam_flat())), list(map(float, result.dz_flat()))

@@ -1,0 +1,96 @@
+"""Block-tridiagonal linear algebra primitives (pure JAX).
+
+Storage format: a block-tridiagonal matrix over K knot rows with (s x s) blocks
+is a ``(K, 3, s, s)`` array; per row the slots are
+
+  * ``[:, 0]`` — left  off-diagonal block  (row k, col k-1); row 0 slot unused (zero)
+  * ``[:, 1]`` — main  diagonal block
+  * ``[:, 2]`` — right off-diagonal block  (row k, col k+1); last row slot unused (zero)
+
+This mirrors the reference's device layout written by ``store_block_bd``
+(gato_utils.cuh:44-73) so every kernel has a 1:1 TPU analog, but the semantics
+here are functional: the "halo exchange" the reference does through global
+memory and grid-wide barriers (``loadBlockTriDiagonal_offDiagonal`` +
+``grid.sync()``, gato_utils.cuh:121-251) becomes a pair of static shifts, and
+XLA's dataflow provides every barrier for free.
+
+Edge handling is exact: row 0 has no left neighbor and row K-1 no right
+neighbor (zero-padded shifts).  The reference's strided PCG variant has an
+off-by-one here (its last-row test compares against KNOT_POINTS instead of
+KNOT_POINTS-1, gato_utils.cuh:202,232) that this implementation does not
+reproduce.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+# Small-matrix math must not be downcast on the MXU: these ops are latency-bound,
+# not FLOP-bound, so always request full f32 precision.
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def halo_stack(x: jnp.ndarray) -> jnp.ndarray:
+    """(K, s) vector segments -> (K, 3, s) halo stack [x_{k-1}, x_k, x_{k+1}].
+
+    Out-of-range neighbors are zero — the functional equivalent of the
+    reference's neighbor loads with edge special-casing (gato_utils.cuh:121-151).
+    """
+    zero = jnp.zeros_like(x[:1])
+    xm = jnp.concatenate([zero, x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], zero], axis=0)
+    return jnp.stack([xm, x, xp], axis=1)
+
+
+def btd_matvec(S: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+    """y_k = L_k x_{k-1} + D_k x_k + U_k x_{k+1} for an (K,3,s,s) operator.
+
+    One einsum over the halo stack; on TPU this is a batched small matvec that
+    XLA fuses with neighbors (reference: matVecMultBlockTriDiagonal,
+    gato_utils.cuh:153-185).
+    """
+    xh = halo_stack(x)
+    return jnp.einsum("kjab,kjb->ka", S, xh, precision=_PRECISION)
+
+
+def btd_transpose(S: jnp.ndarray) -> jnp.ndarray:
+    """Transpose of a block-tridiagonal operator in (K,3,s,s) form.
+
+    (S^T)_k,left = (S_{k-1},right)^T etc.  Used by tests and the symmetric-stair
+    preconditioner checks.
+    """
+    Lt = jnp.swapaxes(S[:, 0], -1, -2)
+    Dt = jnp.swapaxes(S[:, 1], -1, -2)
+    Ut = jnp.swapaxes(S[:, 2], -1, -2)
+    zero = jnp.zeros_like(Lt[:1])
+    new_left = jnp.concatenate([zero, Ut[:-1]], axis=0)
+    new_right = jnp.concatenate([Lt[1:], zero], axis=0)
+    return jnp.stack([new_left, Dt, new_right], axis=1)
+
+
+def btd_to_dense(S) -> jnp.ndarray:
+    """(K,3,s,s) -> dense (K*s, K*s).  Test oracle helper."""
+    import numpy as np
+
+    S = np.asarray(S)
+    K, _, s, _ = S.shape
+    out = np.zeros((K * s, K * s), dtype=S.dtype)
+    for k in range(K):
+        out[k * s : (k + 1) * s, k * s : (k + 1) * s] = S[k, 1]
+        if k > 0:
+            out[k * s : (k + 1) * s, (k - 1) * s : k * s] = S[k, 0]
+        if k < K - 1:
+            out[k * s : (k + 1) * s, (k + 1) * s : (k + 2) * s] = S[k, 2]
+    return out
+
+
+def block_inv(M: jnp.ndarray) -> jnp.ndarray:
+    """Batched small-matrix inverse, (K, n, n) -> (K, n, n).
+
+    The reference does an in-shared-memory Gauss-Jordan without pivoting
+    (invertMatrix, gato_utils.cuh:468-586).  Here we use XLA's batched LU-based
+    inverse, which is pivoted (strictly more stable) and fuses into the
+    assembly graph.  The Pallas assembly kernel has a lane-parallel GJ variant.
+    """
+    return jnp.linalg.inv(M)

@@ -1,0 +1,197 @@
+"""High-level solver: condense -> PCG -> recover, as one jitted function.
+
+This is the idiomatic TPU API (the reference-signature shim lives in api.py).
+The whole solve — CSR blocks already packed — is a single ``jax.jit`` program:
+one dispatch, zero host<->device round-trips, workspaces managed by XLA.  The
+reference re-allocates every workspace and re-launches 5 kernels per solve
+(gpu_library.cu:25-83), paying allocator and launch latency each time.
+
+Static under jit: array shapes (ProblemSpec) and the preconditioner kind.
+Runtime: rho, exit_tol, max_iters, warm-start lambda — so an MPC loop that
+adapts rho/tol retraces nothing (the reference needs a full CSR->dense
+re-conversion per rho and a *recompile* per shape).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import assemble, pcg as pcg_mod, recover
+from .formats import KKTBlocks
+from .problem import Preconditioner, ProblemSpec, SolverOptions
+
+
+class SolveResult(NamedTuple):
+    lam: jnp.ndarray        # (K, s)   multipliers
+    dz_x: jnp.ndarray       # (K, s)   state steps
+    dz_u: jnp.ndarray       # (K-1, c) control steps
+    iters: jnp.ndarray      # ()       PCG iterations (reference counting)
+    converged: jnp.ndarray  # ()       bool
+    eta: jnp.ndarray        # ()       final |r . Pinv r|
+
+    def dz_flat(self) -> np.ndarray:
+        """Interleaved [dz_x0, dz_u0, ..., dz_x_{K-1}] as the reference returns."""
+        dz_x = np.asarray(self.dz_x)
+        dz_u = np.asarray(self.dz_u)
+        K, s = dz_x.shape
+        c = dz_u.shape[-1]
+        out = np.zeros(K * (s + c) - c, dtype=dz_x.dtype)
+        sc = s + c
+        for k in range(K - 1):
+            out[k * sc : k * sc + s] = dz_x[k]
+            out[k * sc + s : (k + 1) * sc] = dz_u[k]
+        out[(K - 1) * sc :] = dz_x[K - 1]
+        return out
+
+    def lam_flat(self) -> np.ndarray:
+        return np.asarray(self.lam).reshape(-1)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("preconditioner", "pcg_backend")
+)
+def _solve_core(
+    Q, R, A, B, q, r, c,
+    lam0, rho, exit_tol, max_iters,
+    preconditioner: Preconditioner,
+    pcg_backend: str,
+):
+    sys = assemble.condense(Q, R, A, B, q, r, c, rho, preconditioner)
+    if pcg_backend == "pallas":
+        from .kernels import pcg_pallas
+
+        res = pcg_pallas.pcg_fused(
+            sys.S, sys.Pinv, sys.gamma, lam0,
+            exit_tol=exit_tol, max_iters=max_iters,
+        )
+    else:
+        res = pcg_mod.pcg(
+            sys.S, sys.Pinv, sys.gamma, lam0,
+            exit_tol=exit_tol, max_iters=max_iters,
+        )
+    dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, res.lam)
+    return SolveResult(
+        lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+        iters=res.iters, converged=res.converged, eta=res.eta,
+    )
+
+
+def _as_jnp(blocks: KKTBlocks, dtype) -> KKTBlocks:
+    return KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
+
+
+def default_pcg_backend() -> str:
+    """'pallas' on TPU (when the fused kernel is importable), 'jax' elsewhere
+    (the pure path is the CPU/GPU fallback and the numerics oracle)."""
+    try:
+        platform = jax.devices()[0].platform
+    except Exception:
+        platform = "cpu"
+    if platform != "tpu":
+        return "jax"
+    try:
+        from .kernels import pcg_pallas  # noqa: F401
+    except ImportError:
+        return "jax"
+    return "pallas"
+
+
+def solve(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+    pcg_backend: Optional[str] = None,
+) -> SolveResult:
+    """Solve one KKT system.
+
+    Args:
+      spec: static problem shape (consistency-checked against ``blocks``).
+      blocks: packed KKT data (see formats.pack_kkt).
+      options: runtime solver options.
+      lam0: optional (K, s) warm-start multipliers; used only when
+        ``options.warm_start`` — matching the reference API surface
+        (gpu_library.cu:46-47), except that here warm starting actually works.
+      pcg_backend: 'jax' | 'pallas' | None (auto).
+    """
+    dtype = jnp.dtype(options.dtype)
+    b = _as_jnp(blocks, dtype)
+    K, s = b.Q.shape[0], b.Q.shape[1]
+    if (K, s, b.R.shape[-1]) != (spec.knot_points, spec.state_size, spec.control_size):
+        raise ValueError(f"blocks shapes {b.Q.shape}/{b.R.shape} do not match {spec}")
+
+    if options.warm_start and lam0 is not None:
+        lam0 = jnp.asarray(lam0, dtype=dtype).reshape(K, s)
+    else:
+        lam0 = jnp.zeros((K, s), dtype=dtype)
+
+    backend = pcg_backend or default_pcg_backend()
+    return _solve_core(
+        b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
+        lam0,
+        jnp.asarray(options.rho, dtype),
+        jnp.asarray(options.exit_tol, dtype),
+        jnp.asarray(options.max_iters, jnp.int32),
+        options.preconditioner,
+        backend,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("preconditioner", "pcg_backend")
+)
+def _solve_batched_core(
+    Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
+    preconditioner: Preconditioner,
+    pcg_backend: str,
+):
+    fn = functools.partial(
+        _solve_core.__wrapped__,
+        preconditioner=preconditioner,
+        pcg_backend=pcg_backend,
+    )
+    return jax.vmap(
+        lambda *xs: fn(*xs, rho, exit_tol, max_iters)
+    )(Q, R, A, B, q, r, c, lam0)
+
+
+def solve_batched(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+    pcg_backend: Optional[str] = None,
+) -> SolveResult:
+    """Solve a batch of independent KKT systems (leading batch axis on every
+    array in ``blocks``).  No reference equivalent — the CUDA solver handles one
+    problem per call; batching is the headline TPU win (MXU/VPU saturation).
+
+    Per-problem convergence is exact: problems that converge early stop
+    updating while the rest of the batch iterates (masked updates in pcg.py).
+    """
+    dtype = jnp.dtype(options.dtype)
+    b = _as_jnp(blocks, dtype)
+    Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
+    if (K, s) != (spec.knot_points, spec.state_size):
+        raise ValueError(f"batched blocks Q shape {b.Q.shape} does not match {spec}")
+
+    if options.warm_start and lam0 is not None:
+        lam0 = jnp.asarray(lam0, dtype=dtype).reshape(Bn, K, s)
+    else:
+        lam0 = jnp.zeros((Bn, K, s), dtype=dtype)
+
+    backend = pcg_backend or default_pcg_backend()
+    return _solve_batched_core(
+        b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
+        lam0,
+        jnp.asarray(options.rho, dtype),
+        jnp.asarray(options.exit_tol, dtype),
+        jnp.asarray(options.max_iters, jnp.int32),
+        options.preconditioner,
+        backend,
+    )

@@ -1,0 +1,72 @@
+"""CSR packing oracles: pack CSR -> blocks -> dense must reproduce the CSR
+matrices (on the supported sparsity pattern), mirroring the semantics of
+csr_to_custom_G / csr_to_custom_C (gato_schur.cuh:675-756)."""
+
+import numpy as np
+import pytest
+from scipy import sparse
+
+from gato_tpu import ProblemSpec
+from gato_tpu.formats import blocks_to_dense_kkt, pack_kkt, interleave_dz
+from gato_tpu.testing import blocks_to_csr, pendulum_problem, random_blocks
+
+
+@pytest.mark.parametrize("spec,seed", [
+    (ProblemSpec(2, 1, 5), 0),
+    (ProblemSpec(3, 2, 7), 1),
+    (ProblemSpec(14, 7, 50), 2),
+])
+def test_pack_roundtrip(spec, seed):
+    blocks = random_blocks(spec, seed=seed)
+    prob = blocks_to_csr(spec, blocks)
+    packed = pack_kkt(spec, prob.G_row, prob.G_col, prob.G_val,
+                      prob.C_row, prob.C_col, prob.C_val, prob.g, prob.c)
+    for a, b, name in zip(packed, blocks, packed._fields):
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-6, err_msg=name)
+
+
+def test_pendulum_pack_matches_scipy_dense():
+    prob = pendulum_problem()
+    spec = prob.spec
+    blocks = pack_kkt(spec, prob.G_row, prob.G_col, prob.G_val,
+                      prob.C_row, prob.C_col, prob.C_val, prob.g, prob.c)
+    KKT, rhs = blocks_to_dense_kkt(spec, blocks, rho=0.0)
+
+    G = sparse.csr_matrix((prob.G_val, prob.G_col, prob.G_row)).todense()
+    C = sparse.csr_matrix((prob.C_val, prob.C_col, prob.C_row)).todense()
+    A = np.block([[G, C.T], [C, np.zeros((C.shape[0], C.shape[0]))]])
+    np.testing.assert_allclose(KKT, A, atol=1e-6)
+    np.testing.assert_allclose(rhs, np.concatenate([prob.g, prob.c]), atol=1e-6)
+
+
+def test_pack_rejects_cross_terms():
+    spec = ProblemSpec(2, 1, 3)
+    # G entry coupling state row 0 with control col 2 (same knot): unsupported.
+    G_row = [0, 1] + [1] * (spec.nz - 1)
+    G_col = [2]
+    G_val = [1.0]
+    from gato_tpu.formats import pack_G
+
+    with pytest.raises(ValueError):
+        pack_G(spec, G_row, G_col, G_val)
+
+
+def test_pack_rejects_cross_knot():
+    spec = ProblemSpec(2, 1, 3)
+    G_row = [0, 1] + [1] * (spec.nz - 1)
+    G_col = [4]  # knot-1 column on a knot-0 row
+    G_val = [1.0]
+    from gato_tpu.formats import pack_G
+
+    with pytest.raises(ValueError):
+        pack_G(spec, G_row, G_col, G_val)
+
+
+def test_interleave_dz_layout():
+    spec = ProblemSpec(2, 1, 3)
+    dz_x = np.array([[1, 2], [4, 5], [7, 8]], dtype=np.float32)
+    dz_u = np.array([[3], [6]], dtype=np.float32)
+    np.testing.assert_array_equal(
+        interleave_dz(spec, dz_x, dz_u),
+        np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.float32),
+    )
