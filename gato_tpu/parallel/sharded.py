@@ -1,0 +1,194 @@
+"""Knot-axis sharding: the solver distributed over a TPU mesh via shard_map.
+
+The reference's only parallel axis is knot points <-> CUDA blocks inside one
+GPU, synchronized with cooperative grid barriers; its neighbor communication is
+the block-tridiagonal halo read through global memory (loadBlockTriDiagonal,
+gato_utils.cuh:121-251) and its all-reduce is atomicAdd on global scalars
+(gato_pcg.cuh:331,357,387).  The TPU-native scaling of the same axis across
+chips over ICI:
+
+  * halo exchange  -> ``lax.ppermute`` of the single boundary row per step
+    (bandwidth-1 comm: O(s) floats per device per matvec, independent of K)
+  * dot products   -> ``lax.psum``
+  * barriers       -> implicit in XLA dataflow
+
+The PCG loop itself is the *same code* as the single-chip path (pcg.pcg) with a
+sharded matvec/dot injected — one algorithm, two placements.
+
+Condensation and dz recovery are left to XLA's sharding propagation: theta_k
+couples only knots k-1 and k, so with inputs sharded on the knot axis XLA
+inserts the one-row collective-permutes itself.  Only the iterative loop, where
+naive propagation would re-gather per iteration, uses explicit shard_map.
+
+This module targets horizons too long for one chip's VMEM/HBM appetite (K in
+the many thousands) and, more importantly, demonstrates the mesh story; for the
+BASELINE.json shapes a single chip is faster (K=500 => S is ~1.2 MB).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import assemble, recover
+from ..pcg import PCGResult, pcg
+from ..problem import Preconditioner
+
+_PRECISION = jax.lax.Precision.HIGHEST
+
+
+def _sharded_halo_stack(x: jnp.ndarray, axis_name: str) -> jnp.ndarray:
+    """(Kl, s) local rows -> (Kl, 3, s) halo stack with cross-device neighbors.
+
+    Devices at the mesh edge receive zeros from ppermute for missing partners,
+    which is exactly the global boundary condition (rows 0 and K-1 have no
+    neighbor) — correct edge handling for free, where the reference's strided
+    variant has an off-by-one (gato_utils.cuh:202,232).
+    """
+    n = lax.axis_size(axis_name)
+    # Last local row -> right neighbor; first local row -> left neighbor.
+    from_left = lax.ppermute(
+        x[-1:], axis_name, [(i, i + 1) for i in range(n - 1)]
+    )
+    from_right = lax.ppermute(
+        x[:1], axis_name, [(i, i - 1) for i in range(1, n)]
+    )
+    xm = jnp.concatenate([from_left, x[:-1]], axis=0)
+    xp = jnp.concatenate([x[1:], from_right], axis=0)
+    return jnp.stack([xm, x, xp], axis=1)
+
+
+def _sharded_matvec(axis_name: str):
+    def matvec(S_local: jnp.ndarray, x_local: jnp.ndarray) -> jnp.ndarray:
+        xh = _sharded_halo_stack(x_local, axis_name)
+        return jnp.einsum("kjab,kjb->ka", S_local, xh, precision=_PRECISION)
+
+    return matvec
+
+
+def _sharded_dot(axis_name: str):
+    def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+        return lax.psum(
+            jnp.vdot(a, b, precision=_PRECISION), axis_name
+        )
+
+    return dot
+
+
+def pcg_sharded(
+    mesh: Mesh,
+    S: jnp.ndarray,
+    Pinv: jnp.ndarray,
+    gamma: jnp.ndarray,
+    lam0: Optional[jnp.ndarray] = None,
+    *,
+    exit_tol=1e-6,
+    max_iters=100,
+    axis_name: str = "knot",
+) -> PCGResult:
+    """PCG with the knot axis sharded over ``mesh[axis_name]``.
+
+    K must be divisible by the axis size.  Scalar outputs (iters, converged,
+    eta) are replicated — every device computes identical values because all
+    decisions flow from psum'd scalars, the exact analog of every CUDA block
+    reading the same atomicAdd'd eta after a grid barrier.
+    """
+    K = gamma.shape[0]
+    n = mesh.shape[axis_name]
+    if K % n:
+        raise ValueError(f"knot_points={K} not divisible by mesh axis {axis_name}={n}")
+
+    matvec = _sharded_matvec(axis_name)
+    dot = _sharded_dot(axis_name)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
+        out_specs=PCGResult(
+            lam=P(axis_name), iters=P(), converged=P(), eta=P()
+        ),
+    )
+    def run(S_l, Pinv_l, gamma_l, lam0_l):
+        return pcg(
+            S_l, Pinv_l, gamma_l, lam0_l,
+            exit_tol=exit_tol, max_iters=max_iters,
+            matvec=matvec, dot=dot,
+        )
+
+    if lam0 is None:
+        lam0 = jnp.zeros_like(gamma)
+    return run(S, Pinv, gamma, lam0)
+
+
+def solve_sharded(
+    mesh: Mesh,
+    Q, R, A, B, q, r, c,
+    lam0=None,
+    *,
+    rho=0.0,
+    exit_tol=1e-6,
+    max_iters=100,
+    preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR,
+    axis_name: str = "knot",
+):
+    """Full solve with the knot axis sharded across the mesh.
+
+    Condensation/recovery run under jit with knot-sharded inputs (XLA inserts
+    the neighbor collectives); the PCG loop runs under shard_map.  Interval
+    arrays (R, A, B, r: K-1 entries) are padded by one zero row to K so every
+    array shards evenly; the pad never contributes (zero blocks).
+    """
+    K, s = q.shape
+    n = mesh.shape[axis_name]
+    if K % n:
+        raise ValueError(f"knot_points={K} not divisible by mesh axis {axis_name}={n}")
+
+    knot_sharded = NamedSharding(mesh, P(axis_name))
+
+    def pad1(x):
+        return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
+
+    @functools.partial(jax.jit, static_argnames=("precond",))
+    def _condense(Qp, Rp, Ap, Bp, qp, rp, cp, rho_, precond):
+        # Unpad the interval arrays for the (K-1)-shaped math; XLA keeps the
+        # sharded layouts and inserts halo permutes where theta_k touches k-1.
+        return assemble.condense(
+            Qp, Rp[:-1], Ap[:-1], Bp[:-1], qp, rp[:-1], cp, rho_, precond
+        )
+
+    Qd = jax.device_put(Q, knot_sharded)
+    Rd = jax.device_put(pad1(jnp.asarray(R)), knot_sharded)
+    Ad = jax.device_put(pad1(jnp.asarray(A)), knot_sharded)
+    Bd = jax.device_put(pad1(jnp.asarray(B)), knot_sharded)
+    qd = jax.device_put(q, knot_sharded)
+    rd = jax.device_put(pad1(jnp.asarray(r)), knot_sharded)
+    cd = jax.device_put(c, knot_sharded)
+
+    sys = _condense(Qd, Rd, Ad, Bd, qd, rd, cd,
+                    jnp.asarray(rho, Qd.dtype), preconditioner)
+
+    S = jax.device_put(sys.S, knot_sharded)
+    Pinv = jax.device_put(sys.Pinv, knot_sharded)
+    gamma = jax.device_put(sys.gamma, knot_sharded)
+    if lam0 is None:
+        lam0 = jnp.zeros_like(gamma)
+    lam0 = jax.device_put(jnp.asarray(lam0), knot_sharded)
+
+    res = pcg_sharded(
+        mesh, S, Pinv, gamma, lam0,
+        exit_tol=exit_tol, max_iters=max_iters, axis_name=axis_name,
+    )
+
+    @jax.jit
+    def _recover(Qinv, Rinv, Ap, Bp, qp, rp, lam):
+        return recover.recover_dz(Qinv, Rinv[:-1], Ap[:-1], Bp[:-1], qp,
+                                  rp[:-1], lam)
+
+    dz_x, dz_u = _recover(sys.Qinv, pad1(sys.Rinv), Ad, Bd, qd, rd, res.lam)
+    return res, dz_x, dz_u

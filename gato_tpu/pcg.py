@@ -69,9 +69,17 @@ def pcg(
     exit_tol: jnp.ndarray | float = 1e-6,
     max_iters: jnp.ndarray | int = 100,
     matvec: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = btd_matvec,
+    dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = _dot,
 ) -> PCGResult:
     """Solve S lam = gamma.  ``exit_tol`` and ``max_iters`` are runtime values
-    (no retrace when they change)."""
+    (no retrace when they change).
+
+    ``matvec``/``dot`` are injection points for distributed execution: the
+    knot-sharded path (parallel/sharded.py) passes a ppermute-halo matvec and a
+    psum-reducing dot, turning this same loop into a multi-chip solver — the
+    TPU-native analog of the reference's cooperative-kernel barriers and
+    atomicAdd all-reduces.
+    """
     dt = gamma.dtype
     max_iters = jnp.asarray(max_iters, jnp.int32)
     exit_tol = jnp.asarray(exit_tol, dt)
@@ -85,7 +93,7 @@ def pcg(
 
     r_tilde = matvec(Pinv, rvec)
     p = r_tilde
-    eta = _dot(rvec, r_tilde)
+    eta = dot(rvec, r_tilde)
 
     class _State(NamedTuple):
         lam: jnp.ndarray
@@ -101,12 +109,12 @@ def pcg(
 
     def body(st: _State) -> _State:
         upsilon = matvec(S, st.p)
-        nu = _dot(st.p, upsilon)
+        nu = dot(st.p, upsilon)
         alpha = jnp.where(nu != 0, st.eta / nu, jnp.zeros_like(nu))
         lam = st.lam + alpha * st.p
         rvec = st.r - alpha * upsilon
         r_tilde = matvec(Pinv, rvec)
-        eta_new = _dot(rvec, r_tilde)
+        eta_new = dot(rvec, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol
 
         beta = jnp.where(st.eta != 0, eta_new / st.eta, jnp.zeros_like(eta_new))

@@ -1,0 +1,101 @@
+"""Multi-chip paths on the 8-virtual-device CPU mesh (conftest forces
+xla_force_host_platform_device_count=8)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gato_tpu import ProblemSpec, SolverOptions
+from gato_tpu.assemble import condense
+from gato_tpu.parallel.sharded import pcg_sharded, solve_sharded
+from gato_tpu.pcg import pcg
+from gato_tpu.solver import solve
+from gato_tpu.testing import dense_oracle, random_blocks
+
+
+def _mesh(n, name="knot"):
+    devs = jax.devices()[:n]
+    return Mesh(np.array(devs), (name,))
+
+
+def test_8_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_pcg_sharded_matches_single(n_dev):
+    spec = ProblemSpec(4, 2, 32)
+    blocks = random_blocks(spec, seed=8)
+    sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
+
+    single = pcg(sys.S, sys.Pinv, sys.gamma, exit_tol=1e-10, max_iters=300)
+    sharded = pcg_sharded(
+        _mesh(n_dev), sys.S, sys.Pinv, sys.gamma,
+        exit_tol=1e-10, max_iters=300,
+    )
+    assert bool(sharded.converged)
+    # Same algorithm, different reduction order: expect near-identical iterates.
+    assert abs(int(sharded.iters) - int(single.iters)) <= 2
+    np.testing.assert_allclose(
+        np.asarray(sharded.lam), np.asarray(single.lam), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_solve_sharded_matches_oracle():
+    spec = ProblemSpec(4, 2, 64)
+    blocks = random_blocks(spec, seed=17)
+    rho = 0.01
+    res, dz_x, dz_u = solve_sharded(
+        _mesh(8),
+        *(jnp.asarray(a) for a in blocks),
+        rho=rho, exit_tol=1e-12, max_iters=500,
+    )
+    lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.lam).reshape(-1), lam_ref, rtol=2e-3, atol=2e-3
+    )
+    single = solve(spec, blocks, SolverOptions(exit_tol=1e-12, max_iters=500,
+                                               rho=rho), pcg_backend="jax")
+    np.testing.assert_allclose(
+        np.asarray(dz_x), np.asarray(single.dz_x), rtol=1e-3, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(dz_u), np.asarray(single.dz_u), rtol=1e-3, atol=1e-4
+    )
+
+
+def test_sharded_rejects_indivisible():
+    spec = ProblemSpec(3, 1, 30)
+    blocks = random_blocks(spec, seed=2)
+    sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
+    with pytest.raises(ValueError):
+        pcg_sharded(_mesh(8), sys.S, sys.Pinv, sys.gamma)
+
+
+def test_batch_sharding_dp():
+    """Plain data parallelism: a batch of problems sharded over devices via
+    sharding annotations only (no shard_map needed)."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.solver import solve_batched
+
+    spec = ProblemSpec(3, 2, 10)
+    problems = [random_blocks(spec, seed=200 + i) for i in range(8)]
+    batched = KKTBlocks(*(np.stack([np.asarray(p[f]) for p in problems])
+                          for f in range(7)))
+    mesh = Mesh(np.array(jax.devices()[:8]), ("dp",))
+    sharding = jax.sharding.NamedSharding(mesh, P("dp"))
+    batched = KKTBlocks(*(jax.device_put(jnp.asarray(a), sharding)
+                          for a in batched))
+    res = solve_batched(spec, batched,
+                        SolverOptions(exit_tol=1e-10, max_iters=300, rho=0.01),
+                        pcg_backend="jax")
+    for i, p in enumerate(problems):
+        single = solve(spec, p,
+                       SolverOptions(exit_tol=1e-10, max_iters=300, rho=0.01),
+                       pcg_backend="jax")
+        np.testing.assert_allclose(np.asarray(res.lam[i]),
+                                   np.asarray(single.lam),
+                                   rtol=1e-3, atol=1e-4)
