@@ -62,6 +62,11 @@ def _csr_to_coo(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray):
     return rows, np.asarray(indices, dtype=np.int64), np.asarray(data)
 
 
+# Use the C++ packer (gato_tpu.native / csrc) when built; the NumPy path below
+# is the always-available fallback and the semantics oracle.
+USE_NATIVE = True
+
+
 def pack_G(
     spec: ProblemSpec,
     G_indptr,
@@ -74,6 +79,12 @@ def pack_G(
     Reference semantics: ``csr_to_custom_G`` (gato_schur.cuh:675-704), minus the
     in-pack rho add (see module docstring).
     """
+    if USE_NATIVE and dtype == np.float32:
+        from . import native
+
+        out = native.pack_G_native(spec, G_indptr, G_indices, G_data)
+        if out is not None:
+            return out
     s, c, K = spec.state_size, spec.control_size, spec.knot_points
     sc = s + c
     rows, cols, vals = _csr_to_coo(G_indptr, G_indices, G_data)
@@ -119,6 +130,12 @@ def pack_C(
     first ``s`` rows (initial-condition identity) and any entry whose column
     block lies right of the row's interval (the implicit +I on x_{k+1}).
     """
+    if USE_NATIVE and dtype == np.float32:
+        from . import native
+
+        out = native.pack_C_native(spec, C_indptr, C_indices, C_data)
+        if out is not None:
+            return out
     s, c, K = spec.state_size, spec.control_size, spec.knot_points
     sc = s + c
     rows, cols, vals = _csr_to_coo(C_indptr, C_indices, C_data)

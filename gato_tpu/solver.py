@@ -150,14 +150,29 @@ def _solve_batched_core(
     preconditioner: Preconditioner,
     pcg_backend: str,
 ):
-    fn = functools.partial(
-        _solve_core.__wrapped__,
-        preconditioner=preconditioner,
-        pcg_backend=pcg_backend,
+    sys = jax.vmap(
+        lambda *xs: assemble.condense(*xs, rho, preconditioner)
+    )(Q, R, A, B, q, r, c)
+    if pcg_backend == "pallas":
+        from .kernels import pcg_pallas
+
+        res = pcg_pallas.pcg_fused_batched(
+            sys.S, sys.Pinv, sys.gamma, lam0,
+            exit_tol=exit_tol, max_iters=max_iters,
+        )
+    else:
+        res = jax.vmap(
+            lambda S, P, g, l: pcg_mod.pcg(
+                S, P, g, l, exit_tol=exit_tol, max_iters=max_iters
+            )
+        )(sys.S, sys.Pinv, sys.gamma, lam0)
+    dz_x, dz_u = jax.vmap(recover.recover_dz)(
+        sys.Qinv, sys.Rinv, A, B, q, r, res.lam
     )
-    return jax.vmap(
-        lambda *xs: fn(*xs, rho, exit_tol, max_iters)
-    )(Q, R, A, B, q, r, c, lam0)
+    return SolveResult(
+        lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+        iters=res.iters, converged=res.converged, eta=res.eta,
+    )
 
 
 def solve_batched(

@@ -1,0 +1,123 @@
+"""Fused Pallas kernel tests in interpreter mode (CPU) vs the pure-JAX oracle.
+
+The numerics contract: identical update order and exit semantics to pcg.pcg,
+so iteration counts must match EXACTLY; solutions agree to f32 round-off
+(reduction order differs).  On-TPU compiled parity is exercised by bench.py
+and the verify flow (can't compile Mosaic on CPU CI).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gato_tpu import ProblemSpec
+from gato_tpu.assemble import condense
+from gato_tpu.kernels import pcg_pallas as kp
+from gato_tpu.pcg import pcg
+from gato_tpu.testing import random_blocks
+
+
+def _sys(spec, seed=3, rho=0.01):
+    b = random_blocks(spec, seed=seed)
+    return condense(*(jnp.asarray(a) for a in b), rho=jnp.float32(rho))
+
+
+@pytest.mark.parametrize("spec", [
+    ProblemSpec(2, 1, 5),      # pendulum shape
+    ProblemSpec(14, 7, 50),    # IIWA shape
+    ProblemSpec(4, 2, 128),    # K == lane tile exactly (wraparound case)
+    ProblemSpec(8, 3, 130),    # K just over one lane tile
+])
+def test_fused_matches_pure(spec):
+    sys = _sys(spec)
+    ref = pcg(sys.S, sys.Pinv, sys.gamma, exit_tol=1e-10, max_iters=300)
+    fused = kp.pcg_fused(sys.S, sys.Pinv, sys.gamma,
+                         exit_tol=1e-10, max_iters=300, interpret=True)
+    assert int(fused.iters) == int(ref.iters)
+    assert bool(fused.converged) == bool(ref.converged)
+    np.testing.assert_allclose(np.asarray(fused.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_warm_start():
+    sys = _sys(ProblemSpec(4, 2, 30))
+    cold = kp.pcg_fused(sys.S, sys.Pinv, sys.gamma,
+                        exit_tol=1e-8, max_iters=300, interpret=True)
+    warm = kp.pcg_fused(sys.S, sys.Pinv, sys.gamma, lam0=cold.lam,
+                        exit_tol=1e-8, max_iters=300, interpret=True)
+    assert int(warm.iters) <= 1
+
+
+def test_fused_max_iters_exhaustion():
+    sys = _sys(ProblemSpec(4, 2, 30))
+    res = kp.pcg_fused(sys.S, sys.Pinv, sys.gamma,
+                       exit_tol=1e-30, max_iters=3, interpret=True)
+    assert int(res.iters) == 3 and not bool(res.converged)
+
+
+def test_fused_batched_multi_chunk(monkeypatch):
+    """Force a multi-chunk grid and check per-problem parity with the pure path."""
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 300_000)
+    spec = ProblemSpec(4, 2, 20)
+    Ss, Ps, gs = [], [], []
+    for i in range(6):
+        sys = _sys(spec, seed=10 + i)
+        Ss.append(sys.S)
+        Ps.append(sys.Pinv)
+        gs.append(sys.gamma)
+    Sb, Pb, gb = map(jnp.stack, (Ss, Ps, gs))
+    assert kp._chunk_size(6, 4, 8, 128) < 6  # really multi-chunk
+
+    res = kp.pcg_fused_batched(Sb, Pb, gb, exit_tol=1e-10, max_iters=300,
+                               interpret=True)
+    for i in range(6):
+        ref = pcg(Ss[i], Ps[i], gs[i], exit_tol=1e-10, max_iters=300)
+        assert int(res.iters[i]) == int(ref.iters)
+        np.testing.assert_allclose(np.asarray(res.lam[i]), np.asarray(ref.lam),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_fused_batched_mixed_convergence(monkeypatch):
+    """Problems with very different conditioning: early-converging problems
+    must freeze (per-problem masking), matching the pure path exactly."""
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 300_000)
+    spec = ProblemSpec(3, 1, 16)
+    Ss, Ps, gs = [], [], []
+    for i in range(4):
+        sys = _sys(spec, seed=50 + i)
+        Ss.append(sys.S)
+        Ps.append(sys.Pinv)
+        gs.append(sys.gamma * (10.0 ** i))  # scales -> different iter counts
+    Sb, Pb, gb = map(jnp.stack, (Ss, Ps, gs))
+    res = kp.pcg_fused_batched(Sb, Pb, gb, exit_tol=1e-8, max_iters=300,
+                               interpret=True)
+    iters = [int(x) for x in res.iters]
+    assert len(set(iters)) > 1  # genuinely different convergence points
+    for i in range(4):
+        ref = pcg(Ss[i], Ps[i], gs[i], exit_tol=1e-8, max_iters=300)
+        assert iters[i] == int(ref.iters)
+        np.testing.assert_allclose(
+            np.asarray(res.lam[i]), np.asarray(ref.lam),
+            rtol=1e-4, atol=1e-4 * max(1.0, 10.0 ** i),
+        )
+
+
+def test_solver_pallas_backend_interpret(monkeypatch):
+    """End-to-end solve() with the pallas backend (interpret under CPU)."""
+    import gato_tpu.kernels.pcg_pallas as pp
+    orig = pp.pcg_fused_batched
+    monkeypatch.setattr(
+        pp, "pcg_fused_batched",
+        lambda *a, **k: orig(*a, **{**k, "interpret": True}),
+    )
+    from gato_tpu.problem import SolverOptions
+    from gato_tpu.solver import solve
+    from gato_tpu.testing import dense_oracle
+
+    spec = ProblemSpec(4, 2, 12)
+    blocks = random_blocks(spec, seed=9)
+    res = solve(spec, blocks,
+                SolverOptions(exit_tol=1e-12, max_iters=300, rho=0.01),
+                pcg_backend="pallas")
+    lam_ref, _ = dense_oracle(spec, blocks, rho=0.01)
+    np.testing.assert_allclose(res.lam_flat(), lam_ref, rtol=2e-3, atol=2e-3)
