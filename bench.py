@@ -5,8 +5,8 @@ Prints exactly ONE JSON line to stdout:
 
 Headline metric: average per-solve latency of the IIWA-default problem
 (STATE_SIZE=14, CONTROL_SIZE=7, KNOT_POINTS=50 — reference install.bash:6) at
-exit_tol=1e-6, measured device-saturated (dispatches pipelined, one final
-sync), which is the TPU analog of the reference's cudaEvent device-time loop
+exit_tol=1e-6, measured by data-dependency chaining (see _time_chained),
+which is the TPU analog of the reference's per-solve cudaEvent loop
 (gpu_library.cu:166-198).
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
@@ -34,7 +34,8 @@ def _log(msg):
 
 
 def _time_sync(fn, iters):
-    """Per-call latency: block after every call (reference-harness style)."""
+    """Per-call latency: block after every call (reference-harness style).
+    On a remote-attached TPU this includes the transport round trip."""
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
@@ -42,17 +43,25 @@ def _time_sync(fn, iters):
         ts.append((time.perf_counter() - t0) * 1e3)
     return float(np.mean(ts)), float(np.min(ts))
 
-def _time_pipelined(fn, iters):
-    """Device-saturated per-call time: dispatch all, sync once."""
-    out = None
+
+def _time_chained(fn_chained, zero_lam, iters):
+    """True sequential device time: each call consumes the previous result
+    (a value-neutral 1e-30*lam perturbation of the rhs), so the device must
+    execute every solve and nothing can be served from an execution cache.
+    Timing N *identical* async calls instead was observed to under-report by
+    >100x on the axon-attached TPU (repeat executions of bit-identical
+    programs+inputs come back almost instantly); data-dependency chaining is
+    the methodology that matches the reference's per-solve cudaEvent numbers
+    (gpu_library.cu:166-198)."""
+    lam = jax.block_until_ready(fn_chained(zero_lam))
     t0 = time.perf_counter()
     for _ in range(iters):
-        out = fn()
-    jax.block_until_ready(out)
+        lam = fn_chained(lam)
+    jax.block_until_ready(lam)
     return (time.perf_counter() - t0) * 1e3 / iters
 
 
-def bench_config(spec, options, backend, *, sync_iters=10, pipe_iters=50):
+def bench_config(spec, options, backend, *, sync_iters=10, chain_iters=50):
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.solver import solve
     from gato_tpu.testing import random_blocks
@@ -70,19 +79,23 @@ def bench_config(spec, options, backend, *, sync_iters=10, pipe_iters=50):
     jax.block_until_ready(res.lam)
     first_ms = (time.perf_counter() - t0) * 1e3
 
+    def chained(lam_prev):
+        b2 = blocks._replace(q=blocks.q + 1e-30 * lam_prev)
+        return solve(spec, b2, options, pcg_backend=backend).lam
+
     avg_sync, best_sync = _time_sync(run, sync_iters)
-    avg_pipe = _time_pipelined(run, pipe_iters)
+    avg_chain = _time_chained(chained, jnp.zeros_like(blocks.q), chain_iters)
     return {
         "first_run_ms": first_ms,
         "avg_ms_sync": avg_sync,
         "best_ms_sync": best_sync,
-        "avg_ms_pipelined": avg_pipe,
+        "avg_ms_chained": avg_chain,
         "pcg_iters": int(res.iters),
         "converged": bool(res.converged),
     }
 
 
-def bench_batch(spec, options, backend, batch=256, iters=10):
+def bench_batch(spec, options, backend, batch=256, iters=20):
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.solver import solve_batched
     from gato_tpu.testing import random_blocks
@@ -92,11 +105,54 @@ def bench_batch(spec, options, backend, batch=256, iters=10):
         jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
         for f in range(7)))
     jax.block_until_ready(blocks.Q)
-    run = lambda: solve_batched(spec, blocks, options, pcg_backend=backend)
-    jax.block_until_ready(run().lam)  # compile
-    ms = _time_pipelined(run, iters)
+    jax.block_until_ready(
+        solve_batched(spec, blocks, options, pcg_backend=backend).lam
+    )  # compile
+
+    def chained(lam_prev):
+        b2 = blocks._replace(q=blocks.q + 1e-30 * lam_prev)
+        return solve_batched(spec, b2, options, pcg_backend=backend).lam
+
+    ms = _time_chained(chained, jnp.zeros_like(blocks.q), iters)
     return {"batch": batch, "ms_per_batch": ms,
             "solves_per_sec": batch / (ms / 1e3)}
+
+
+def bench_mpc_sequence(spec, options, T=64, iters=10):
+    """BASELINE config 3: warm-start MPC-style repeated solves, run as ONE
+    on-device lax.scan chain (gato_tpu.mpc.solve_sequence)."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.mpc import solve_sequence
+    from gato_tpu.testing import random_blocks
+
+    base = random_blocks(spec, seed=7)
+    rng = np.random.default_rng(0)
+    # Slowly-varying problem sequence: base gradient + small per-step drift.
+    qs = np.asarray(base.q)[None] + 0.01 * rng.normal(
+        size=(T,) + base.q.shape
+    ).astype(np.float32).cumsum(axis=0)
+    seq = KKTBlocks(
+        *(jnp.broadcast_to(jnp.asarray(a), (T,) + a.shape) for a in base)
+    )._replace(q=jnp.asarray(qs))
+    seq = KKTBlocks(*(jax.device_put(a) for a in seq))
+    jax.block_until_ready(seq.Q)
+
+    res = solve_sequence(spec, seq, options)
+    jax.block_until_ready(res.lam)  # compile
+    iters_per_step = [int(x) for x in res.iters]
+
+    def chained(lam_prev):
+        s2 = seq._replace(q=seq.q + 1e-30 * lam_prev[None])
+        return solve_sequence(spec, s2, options).lam[-1]
+
+    ms = _time_chained(chained, jnp.zeros_like(seq.q[0]), iters)
+    return {
+        "T": T,
+        "ms_per_sequence": ms,
+        "ms_per_solve": ms / T,
+        "iters_first": iters_per_step[0],
+        "iters_rest_mean": float(np.mean(iters_per_step[1:])),
+    }
 
 
 def main():
@@ -125,16 +181,19 @@ def main():
         for K in (100, 250, 500):
             key = f"iiwa_horizon_{K}"
             d[key] = bench_config(ProblemSpec(14, 7, K), opts, be,
-                                  sync_iters=5, pipe_iters=20)
+                                  sync_iters=5, chain_iters=20)
             _log(f"{key}: {d[key]}")
         d["iiwa_batch_256"] = bench_batch(iiwa, opts, be)
         _log(f"batch: {d['iiwa_batch_256']}")
         detail["backends"][be] = d
 
-    jax_ms = detail["backends"]["jax"]["iiwa_14_7_50"]["avg_ms_pipelined"]
+    detail["mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)
+    _log(f"mpc sequence: {detail['mpc_sequence_64']}")
+
+    jax_ms = detail["backends"]["jax"]["iiwa_14_7_50"]["avg_ms_chained"]
     best_be = min(detail["backends"],
-                  key=lambda b: detail["backends"][b]["iiwa_14_7_50"]["avg_ms_pipelined"])
-    best_ms = detail["backends"][best_be]["iiwa_14_7_50"]["avg_ms_pipelined"]
+                  key=lambda b: detail["backends"][b]["iiwa_14_7_50"]["avg_ms_chained"])
+    best_ms = detail["backends"][best_be]["iiwa_14_7_50"]["avg_ms_chained"]
     detail["headline_backend"] = best_be
 
     with open("BENCH_DETAIL.json", "w") as f:

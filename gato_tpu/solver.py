@@ -85,14 +85,46 @@ def _as_jnp(blocks: KKTBlocks, dtype) -> KKTBlocks:
     return KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
 
 
-def default_pcg_backend() -> str:
-    """'pallas' on TPU (when the fused kernel is importable), 'jax' elsewhere
-    (the pure path is the CPU/GPU fallback and the numerics oracle)."""
+# Device-constant cache for per-call scalars (rho, exit_tol, max_iters) and
+# cold-start lambda zeros.  Without it every solve() issues fresh host->device
+# transfers, which dominates latency on remote-attached TPUs (measured ~30 ms
+# per transfer over an axon tunnel vs ~0.5 ms of actual solve compute).  The
+# reference has the same pattern on its own scale: it keeps CSR inputs
+# device-resident across the testiters loop (gpu_library.cu:140-157).
+_CONST_CACHE: dict = {}
+
+
+def _cached_const(value, dtype, shape=None):
+    key = (repr(value), str(dtype), shape)
+    out = _CONST_CACHE.get(key)
+    if out is None:
+        if len(_CONST_CACHE) > 512:
+            _CONST_CACHE.clear()
+        if shape is None:
+            out = jnp.asarray(value, dtype)
+        else:
+            out = jnp.full(shape, value, dtype)
+        out.block_until_ready()
+        _CONST_CACHE[key] = out
+    return out
+
+
+def default_pcg_backend(batched: bool = False) -> str:
+    """Backend auto-selection.
+
+    * CPU/GPU: always 'jax' (the pure path is the portable fallback and the
+      numerics oracle).
+    * TPU batched: 'pallas' — the lane-packed fused kernel is ~10x the vmapped
+      while_loop path (measured 13 ms vs 128 ms per 256-problem IIWA batch).
+    * TPU single-problem: 'jax' — the fused kernel alone is slightly faster,
+      but the pack/unpack relayouts around it currently cost more than they
+      save at batch size 1 (measured 2.4 ms vs 1.7 ms end-to-end chained).
+    """
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    if platform != "tpu":
+    if platform != "tpu" or not batched:
         return "jax"
     try:
         from .kernels import pcg_pallas  # noqa: F401
@@ -128,15 +160,15 @@ def solve(
     if options.warm_start and lam0 is not None:
         lam0 = jnp.asarray(lam0, dtype=dtype).reshape(K, s)
     else:
-        lam0 = jnp.zeros((K, s), dtype=dtype)
+        lam0 = _cached_const(0, dtype, (K, s))
 
     backend = pcg_backend or default_pcg_backend()
     return _solve_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,
-        jnp.asarray(options.rho, dtype),
-        jnp.asarray(options.exit_tol, dtype),
-        jnp.asarray(options.max_iters, jnp.int32),
+        _cached_const(options.rho, dtype),
+        _cached_const(options.exit_tol, dtype),
+        _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
     )
@@ -198,15 +230,15 @@ def solve_batched(
     if options.warm_start and lam0 is not None:
         lam0 = jnp.asarray(lam0, dtype=dtype).reshape(Bn, K, s)
     else:
-        lam0 = jnp.zeros((Bn, K, s), dtype=dtype)
+        lam0 = _cached_const(0, dtype, (Bn, K, s))
 
-    backend = pcg_backend or default_pcg_backend()
+    backend = pcg_backend or default_pcg_backend(batched=True)
     return _solve_batched_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,
-        jnp.asarray(options.rho, dtype),
-        jnp.asarray(options.exit_tol, dtype),
-        jnp.asarray(options.max_iters, jnp.int32),
+        _cached_const(options.rho, dtype),
+        _cached_const(options.exit_tol, dtype),
+        _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
     )

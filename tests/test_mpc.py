@@ -1,0 +1,69 @@
+"""solve_sequence: on-device warm-started solve chains (MPC pattern)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from gato_tpu import ProblemSpec, SolverOptions
+from gato_tpu.formats import KKTBlocks
+from gato_tpu.mpc import solve_sequence
+from gato_tpu.solver import solve
+from gato_tpu.testing import dense_oracle, random_blocks
+
+
+def _tile(blocks, T):
+    return KKTBlocks(*(np.broadcast_to(np.asarray(a), (T,) + np.asarray(a).shape).copy()
+                       for a in blocks))
+
+
+def test_sequence_matches_per_step_solves():
+    spec = ProblemSpec(4, 2, 16)
+    T = 5
+    steps = [random_blocks(spec, seed=300 + t) for t in range(T)]
+    seq = KKTBlocks(*(np.stack([np.asarray(s[f]) for s in steps])
+                      for f in range(7)))
+    opts = SolverOptions(exit_tol=1e-10, max_iters=400, rho=0.01)
+
+    res = solve_sequence(spec, seq, opts)
+    assert res.lam.shape == (T, 16, 4)
+
+    lam_prev = jnp.zeros((16, 4))
+    for t in range(T):
+        single = solve(spec, steps[t],
+                       SolverOptions(exit_tol=1e-10, max_iters=400, rho=0.01,
+                                     warm_start=True),
+                       lam0=lam_prev, pcg_backend="jax")
+        assert int(res.iters[t]) == int(single.iters), t
+        np.testing.assert_allclose(np.asarray(res.lam[t]),
+                                   np.asarray(single.lam),
+                                   rtol=1e-4, atol=1e-4)
+        lam_prev = single.lam
+
+
+def test_sequence_warm_start_reduces_iters():
+    """Identical problems repeated: step 0 pays full iterations, later steps
+    converge immediately from the carried multipliers."""
+    spec = ProblemSpec(4, 2, 20)
+    blocks = random_blocks(spec, seed=44)
+    seq = _tile(blocks, 4)
+    res = solve_sequence(spec, seq,
+                         SolverOptions(exit_tol=1e-8, max_iters=300, rho=0.01))
+    iters = [int(x) for x in res.iters]
+    assert iters[0] > 5
+    assert all(i <= 1 for i in iters[1:])
+    lam_ref, _ = dense_oracle(spec, blocks, rho=0.01)
+    np.testing.assert_allclose(np.asarray(res.lam[-1]).reshape(-1), lam_ref,
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_sequence_per_step_rho():
+    spec = ProblemSpec(3, 1, 10)
+    blocks = random_blocks(spec, seed=55)
+    seq = _tile(blocks, 3)
+    rhos = jnp.asarray([1e-3, 1e-2, 1e-1])
+    res = solve_sequence(spec, seq,
+                         SolverOptions(exit_tol=1e-10, max_iters=400),
+                         rhos=rhos)
+    for t, rho in enumerate([1e-3, 1e-2, 1e-1]):
+        lam_ref, _ = dense_oracle(spec, blocks, rho=rho)
+        np.testing.assert_allclose(np.asarray(res.lam[t]).reshape(-1), lam_ref,
+                                   rtol=2e-3, atol=2e-3, err_msg=f"step {t}")
