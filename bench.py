@@ -166,7 +166,7 @@ def main():
     iiwa = ProblemSpec(14, 7, 50)
 
     backends = ["jax"]
-    if default_pcg_backend() == "pallas":
+    if default_pcg_backend(batched=True) == "pallas":
         backends.append("pallas")
 
     detail = {"platform": platform, "backends": {}}
@@ -183,8 +183,12 @@ def main():
             d[key] = bench_config(ProblemSpec(14, 7, K), opts, be,
                                   sync_iters=5, chain_iters=20)
             _log(f"{key}: {d[key]}")
-        d["iiwa_batch_256"] = bench_batch(iiwa, opts, be)
-        _log(f"batch: {d['iiwa_batch_256']}")
+        if be == "pallas":
+            # The 256-problem batch runs only on the fused lane-packed kernel;
+            # the vmapped while_loop fallback takes minutes just to compile at
+            # this batch size and is not the production batch path.
+            d["iiwa_batch_256"] = bench_batch(iiwa, opts, be)
+            _log(f"batch: {d['iiwa_batch_256']}")
         detail["backends"][be] = d
 
     detail["mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)

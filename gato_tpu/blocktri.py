@@ -105,14 +105,16 @@ def block_inv(M: jnp.ndarray) -> jnp.ndarray:
     n = M.shape[-1]
     if n > 32:
         return jnp.linalg.inv(M)
-    X = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    eye = jnp.broadcast_to(jnp.eye(n, dtype=M.dtype), M.shape)
+    A = jnp.concatenate([M, eye], axis=-1)  # augmented [M | I], (..., n, 2n)
+    rows = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
     for i in range(n):
-        piv = M[..., i : i + 1, i : i + 1]
-        row_m = M[..., i : i + 1, :] / piv
-        row_x = X[..., i : i + 1, :] / piv
-        f = M[..., :, i : i + 1]
-        M = M - f * row_m
-        X = X - f * row_x
-        M = M.at[..., i : i + 1, :].set(row_m)
-        X = X.at[..., i : i + 1, :].set(row_x)
-    return X
+        piv = A[..., i : i + 1, i : i + 1]
+        row = A[..., i : i + 1, :] / piv
+        # Eliminate column i from every other row, then write the normalized
+        # pivot row — with iota masks rather than scatter updates (.at lowers
+        # to dynamic-update-slice, measured ~20% slower on v5e).
+        f = jnp.where(rows == i, 0.0, A[..., :, i : i + 1])
+        A = A - f * row
+        A = jnp.where(rows == i, row, A)
+    return A[..., :, n:]
