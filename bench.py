@@ -3,23 +3,34 @@
 Prints exactly ONE JSON line to stdout:
   {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 
-Headline metric: average per-solve latency of the IIWA-default problem
+Headline metric: average per-solve device latency of the IIWA-default problem
 (STATE_SIZE=14, CONTROL_SIZE=7, KNOT_POINTS=50 — reference install.bash:6) at
-exit_tol=1e-6, measured by data-dependency chaining (see _time_chained),
-which is the TPU analog of the reference's per-solve cudaEvent loop
+exit_tol=1e-6 — the TPU analog of the reference's per-solve cudaEvent loop
 (gpu_library.cu:166-198).
 
-``vs_baseline``: the reference publishes no numbers (BASELINE.json
-"published": {}), so this reports the speedup of the best backend over this
-framework's own pure-JAX lax.while_loop path ("jax" backend) — i.e. what the
-fused Pallas tier buys.  >= 1.0; equals 1.0 when only the pure path exists.
+Measurement methodology (hard-won on a remote-attached TPU):
+  * The runtime serves repeat executions of bit-identical program+inputs from
+    a cache, under-reporting by >100x.  Host-side chaining is not enough: a
+    perturbation that saturates (e.g. tanh of large multipliers) converges to
+    a bit-identical fixed point after one link and re-enables the cache.
+  * Therefore every timed chain runs INSIDE one jitted lax.scan with a
+    per-step, non-converging input perturbation (cos(step) mixed with the
+    carried solution).  One dispatch, one block, every step a genuinely
+    distinct full solve.
+  * Larger units of work (the 256-problem batch, the 64-step MPC sequence)
+    are timed as single synchronized calls minus the measured transport
+    round-trip (each call gets unique inputs so the cache cannot serve it).
 
-Full details (all BASELINE.json configs, both backends, scaling curve, batch
-throughput) are written to BENCH_DETAIL.json and stderr.
+``vs_baseline``: the reference publishes no numbers (BASELINE.json
+"published": {}), so this reports the speedup of the framework's best method
+over its own PCG/'jax' path on the headline config.
+
+Full details go to BENCH_DETAIL.json and stderr.
 """
 
 from __future__ import annotations
 
+import functools
 import json
 import sys
 import time
@@ -33,69 +44,103 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def _time_sync(fn, iters):
-    """Per-call latency: block after every call (reference-harness style).
-    On a remote-attached TPU this includes the transport round trip."""
+def measure_rtt_ms(reps: int = 10) -> float:
+    """Transport round trip: sync time of a trivial op on unique tiny inputs."""
+    f = jax.jit(lambda x: x * 2.0)
+    jax.block_until_ready(f(jnp.ones((8, 128))))
     ts = []
-    for _ in range(iters):
+    for i in range(reps):
+        x = jnp.full((8, 128), float(i + 1))
+        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(fn())
-        ts.append((time.perf_counter() - t0) * 1e3)
-    return float(np.mean(ts)), float(np.min(ts))
+        jax.block_until_ready(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
 
 
-def _time_chained(fn_chained, zero_lam, iters):
-    """True sequential device time: each call consumes the previous result
-    (a value-neutral 1e-30*lam perturbation of the rhs), so the device must
-    execute every solve and nothing can be served from an execution cache.
-    Timing N *identical* async calls instead was observed to under-report by
-    >100x on the axon-attached TPU (repeat executions of bit-identical
-    programs+inputs come back almost instantly); data-dependency chaining is
-    the methodology that matches the reference's per-solve cudaEvent numbers
-    (gpu_library.cu:166-198)."""
-    lam = jax.block_until_ready(fn_chained(zero_lam))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        lam = fn_chained(lam)
-    jax.block_until_ready(lam)
-    return (time.perf_counter() - t0) * 1e3 / iters
+def _scan_chain_time(step_fn, q0, T: int, reps: int = 5):
+    """Per-solve device time from chained solves inside jitted lax.scans.
+
+    step_fn(q, lam_carry, t) -> (lam, aux).  The perturbation inside step_fn
+    must depend on both lam_carry and t so no two steps see identical inputs.
+
+    Times scans of length T and 2T and differences them, so the per-dispatch
+    transport cost — which jitters between ~0 and ~30 ms here — cancels
+    exactly instead of polluting the per-step quotient.
+    """
+
+    def make_chain(length):
+        @jax.jit
+        def chain(q0):
+            def body(carry, t):
+                lam, _ = step_fn(q0, carry, t)
+                return lam, None
+            lam, _ = jax.lax.scan(
+                body, jnp.zeros_like(q0),
+                jnp.arange(length, dtype=jnp.float32),
+            )
+            return lam
+        return chain
+
+    c1, c2 = make_chain(T), make_chain(2 * T)
+    jax.block_until_ready(c1(q0))  # compile
+    jax.block_until_ready(c2(q0))
+
+    def timed(chain, rep):
+        q = q0 * (1.0 + 1e-6 * (rep + 1))
+        jax.block_until_ready(q)
+        t0 = time.perf_counter()
+        jax.block_until_ready(chain(q))
+        return (time.perf_counter() - t0) * 1e3
+
+    t1 = float(np.median([timed(c1, r) for r in range(reps)]))
+    t2 = float(np.median([timed(c2, r) for r in range(reps)]))
+    return max((t2 - t1) / T, 1e-4)
 
 
-def bench_config(spec, options, backend, *, sync_iters=10, chain_iters=50):
+def bench_single(spec, options, backend, *, T=20):
+    """Per-solve device latency via an in-scan cold-solve chain."""
     from gato_tpu.formats import KKTBlocks
-    from gato_tpu.solver import solve
+    from gato_tpu.problem import Preconditioner
+    from gato_tpu.solver import _solve_core
     from gato_tpu.testing import random_blocks
 
-    # Stage inputs on device once, as the reference keeps the CSR arrays
-    # device-resident across its testiters loop (gpu_library.cu:140-157);
-    # the timed region is the solve, not PCIe/tunnel upload.
     blocks = KKTBlocks(*(jax.device_put(jnp.asarray(a))
                          for a in random_blocks(spec, seed=7)))
     jax.block_until_ready(blocks.Q)
-    run = lambda: solve(spec, blocks, options, pcg_backend=backend)
+    core = functools.partial(
+        _solve_core.__wrapped__,
+        preconditioner=options.preconditioner,
+        pcg_backend=backend or "jax",
+        method=options.method,
+    )
+    dt = blocks.q.dtype
+    rho = jnp.asarray(options.rho, dt)
+    tol = jnp.asarray(options.exit_tol, dt)
+    mi = jnp.asarray(options.max_iters, jnp.int32)
+    zero_lam = jnp.zeros_like(blocks.q)
 
-    t0 = time.perf_counter()
-    res = run()
+    def step(q0, lam_carry, t):
+        q = q0 * (1.0 + 1e-6 * jnp.cos(t)) + 1e-7 * lam_carry
+        res = core(blocks.Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
+                   blocks.c, zero_lam, rho, tol, mi)
+        return res.lam, None
+
+    ms = _scan_chain_time(step, blocks.q, T)
+
+    # One plain solve for iteration count / convergence reporting.
+    res = core(blocks.Q, blocks.R, blocks.A, blocks.B, blocks.q, blocks.r,
+               blocks.c, zero_lam, rho, tol, mi)
     jax.block_until_ready(res.lam)
-    first_ms = (time.perf_counter() - t0) * 1e3
-
-    def chained(lam_prev):
-        b2 = blocks._replace(q=blocks.q + 1e-30 * lam_prev)
-        return solve(spec, b2, options, pcg_backend=backend).lam
-
-    avg_sync, best_sync = _time_sync(run, sync_iters)
-    avg_chain = _time_chained(chained, jnp.zeros_like(blocks.q), chain_iters)
     return {
-        "first_run_ms": first_ms,
-        "avg_ms_sync": avg_sync,
-        "best_ms_sync": best_sync,
-        "avg_ms_chained": avg_chain,
+        "avg_ms_device": ms,
         "pcg_iters": int(res.iters),
         "converged": bool(res.converged),
     }
 
 
-def bench_batch(spec, options, backend, batch=256, iters=20):
+def bench_batch(spec, options, backend, batch=256, reps=8):
+    """Batch throughput: sync-timed unique calls minus transport RTT."""
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.solver import solve_batched
     from gato_tpu.testing import random_blocks
@@ -105,51 +150,73 @@ def bench_batch(spec, options, backend, batch=256, iters=20):
         jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
         for f in range(7)))
     jax.block_until_ready(blocks.Q)
-    jax.block_until_ready(
-        solve_batched(spec, blocks, options, pcg_backend=backend).lam
-    )  # compile
+    variants = [
+        jax.block_until_ready(blocks.q * (1.0 + 1e-6 * (i + 1)))
+        for i in range(reps)
+    ]
+    run = lambda q: solve_batched(spec, blocks._replace(q=q), options,
+                                  pcg_backend=backend)
+    jax.block_until_ready(run(blocks.q).lam)  # compile
 
-    def chained(lam_prev):
-        b2 = blocks._replace(q=blocks.q + 1e-30 * lam_prev)
-        return solve_batched(spec, b2, options, pcg_backend=backend).lam
+    rtt = measure_rtt_ms()
+    ts = []
+    for q in variants:
+        t0 = time.perf_counter()
+        jax.block_until_ready(run(q).lam)
+        ts.append((time.perf_counter() - t0) * 1e3)
+    ms = max(float(np.median(ts)) - rtt, 1e-3)
+    return {"batch": batch, "ms_per_batch": ms, "rtt_ms_subtracted": rtt,
+            "solves_per_sec": batch / (ms / 1e3),
+            "us_per_solve": 1e3 * ms / batch}
 
-    ms = _time_chained(chained, jnp.zeros_like(blocks.q), iters)
-    return {"batch": batch, "ms_per_batch": ms,
-            "solves_per_sec": batch / (ms / 1e3)}
 
+def bench_mpc_sequence(spec, options, T=64, reps=6):
+    """BASELINE config 3: warm-start MPC-style repeated solves as ONE
+    on-device lax.scan (gato_tpu.mpc.solve_sequence).
 
-def bench_mpc_sequence(spec, options, T=64, iters=10):
-    """BASELINE config 3: warm-start MPC-style repeated solves, run as ONE
-    on-device lax.scan chain (gato_tpu.mpc.solve_sequence)."""
+    Timed by differencing two sequence lengths (T and 2T) so the transport
+    round trip — which jitters between ~0 and ~30 ms here, swamping any
+    subtraction against a separately-measured RTT — cancels exactly.
+    """
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.mpc import solve_sequence
     from gato_tpu.testing import random_blocks
 
     base = random_blocks(spec, seed=7)
     rng = np.random.default_rng(0)
-    # Slowly-varying problem sequence: base gradient + small per-step drift.
-    qs = np.asarray(base.q)[None] + 0.01 * rng.normal(
-        size=(T,) + base.q.shape
-    ).astype(np.float32).cumsum(axis=0)
-    seq = KKTBlocks(
-        *(jnp.broadcast_to(jnp.asarray(a), (T,) + a.shape) for a in base)
-    )._replace(q=jnp.asarray(qs))
-    seq = KKTBlocks(*(jax.device_put(a) for a in seq))
-    jax.block_until_ready(seq.Q)
 
-    res = solve_sequence(spec, seq, options)
-    jax.block_until_ready(res.lam)  # compile
+    def make_seq(length):
+        qs = np.asarray(base.q)[None] + 0.01 * rng.normal(
+            size=(length,) + base.q.shape
+        ).astype(np.float32).cumsum(axis=0)
+        seq = KKTBlocks(
+            *(jnp.broadcast_to(jnp.asarray(a), (length,) + a.shape)
+              for a in base)
+        )._replace(q=jnp.asarray(qs))
+        seq = KKTBlocks(*(jax.device_put(a) for a in seq))
+        jax.block_until_ready(seq.Q)
+        return seq
+
+    seq1, seq2 = make_seq(T), make_seq(2 * T)
+    res = solve_sequence(spec, seq1, options)
+    jax.block_until_ready(res.lam)  # compile T
+    jax.block_until_ready(solve_sequence(spec, seq2, options).lam)  # compile 2T
     iters_per_step = [int(x) for x in res.iters]
 
-    def chained(lam_prev):
-        s2 = seq._replace(q=seq.q + 1e-30 * lam_prev[None])
-        return solve_sequence(spec, s2, options).lam[-1]
+    def timed(seq, i):
+        s2 = seq._replace(q=seq.q * (1.0 + 1e-6 * (i + 1)))
+        jax.block_until_ready(s2.q)
+        t0 = time.perf_counter()
+        jax.block_until_ready(solve_sequence(spec, s2, options).lam)
+        return (time.perf_counter() - t0) * 1e3
 
-    ms = _time_chained(chained, jnp.zeros_like(seq.q[0]), iters)
+    t1 = float(np.median([timed(seq1, i) for i in range(reps)]))
+    t2 = float(np.median([timed(seq2, i) for i in range(reps)]))
+    ms_per_solve = max((t2 - t1) / T, 1e-4)
     return {
         "T": T,
-        "ms_per_sequence": ms,
-        "ms_per_solve": ms / T,
+        "ms_per_solve": ms_per_solve,
+        "ms_per_sequence": ms_per_solve * T,
         "iters_first": iters_per_step[0],
         "iters_rest_mean": float(np.mean(iters_per_step[1:])),
     }
@@ -160,45 +227,43 @@ def main():
     from gato_tpu.solver import default_pcg_backend
 
     platform = jax.devices()[0].platform
-    _log(f"device: {jax.devices()[0]} ({platform})")
+    rtt = measure_rtt_ms()
+    _log(f"device: {jax.devices()[0]} ({platform}), transport rtt ~{rtt:.1f} ms")
 
     opts = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3)
+    direct_opts = SolverOptions(rho=1e-3, method="direct")
     iiwa = ProblemSpec(14, 7, 50)
+    have_pallas = default_pcg_backend(batched=True) == "pallas"
 
-    backends = ["jax"]
-    if default_pcg_backend(batched=True) == "pallas":
-        backends.append("pallas")
+    detail = {"platform": platform, "rtt_ms": rtt, "configs": {}}
+    C = detail["configs"]
 
-    detail = {"platform": platform, "backends": {}}
+    C["pendulum_2_1_5_pcg"] = bench_single(ProblemSpec(2, 1, 5), opts, "jax",
+                                           T=100)
+    _log(f"pendulum pcg: {C['pendulum_2_1_5_pcg']}")
+    C["iiwa_pcg"] = bench_single(iiwa, opts, "jax")
+    _log(f"iiwa pcg: {C['iiwa_pcg']}")
+    C["iiwa_direct"] = bench_single(iiwa, direct_opts, None)
+    _log(f"iiwa direct: {C['iiwa_direct']}")
+    for K in (100, 250, 500):
+        C[f"iiwa_horizon_{K}_pcg"] = bench_single(
+            ProblemSpec(14, 7, K), opts, "jax", T=20)
+        _log(f"horizon {K}: {C[f'iiwa_horizon_{K}_pcg']}")
 
-    for be in backends:
-        d = {}
-        _log(f"--- backend={be} ---")
-        d["pendulum_2_1_5"] = bench_config(ProblemSpec(2, 1, 5), opts, be)
-        _log(f"pendulum: {d['pendulum_2_1_5']}")
-        d["iiwa_14_7_50"] = bench_config(iiwa, opts, be)
-        _log(f"iiwa: {d['iiwa_14_7_50']}")
-        for K in (100, 250, 500):
-            key = f"iiwa_horizon_{K}"
-            d[key] = bench_config(ProblemSpec(14, 7, K), opts, be,
-                                  sync_iters=5, chain_iters=20)
-            _log(f"{key}: {d[key]}")
-        if be == "pallas":
-            # The 256-problem batch runs only on the fused lane-packed kernel;
-            # the vmapped while_loop fallback takes minutes just to compile at
-            # this batch size and is not the production batch path.
-            d["iiwa_batch_256"] = bench_batch(iiwa, opts, be)
-            _log(f"batch: {d['iiwa_batch_256']}")
-        detail["backends"][be] = d
+    if have_pallas:
+        C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas")
+        _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
+    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None)
+    _log(f"batch direct: {C['iiwa_batch_256_direct']}")
+    C["iiwa_mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)
+    _log(f"mpc sequence: {C['iiwa_mpc_sequence_64']}")
 
-    detail["mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)
-    _log(f"mpc sequence: {detail['mpc_sequence_64']}")
-
-    jax_ms = detail["backends"]["jax"]["iiwa_14_7_50"]["avg_ms_chained"]
-    best_be = min(detail["backends"],
-                  key=lambda b: detail["backends"][b]["iiwa_14_7_50"]["avg_ms_chained"])
-    best_ms = detail["backends"][best_be]["iiwa_14_7_50"]["avg_ms_chained"]
-    detail["headline_backend"] = best_be
+    pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
+    best_name, best_ms = min(
+        [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])],
+        key=lambda kv: kv[1],
+    )
+    detail["headline_method"] = best_name
 
     with open("BENCH_DETAIL.json", "w") as f:
         json.dump(detail, f, indent=2)
@@ -207,7 +272,7 @@ def main():
         "metric": "iiwa_14_7_50_avg_solve_ms",
         "value": round(best_ms, 4),
         "unit": "ms",
-        "vs_baseline": round(jax_ms / best_ms, 3),
+        "vs_baseline": round(pcg_ms / best_ms, 3),
     }))
 
 

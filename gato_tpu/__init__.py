@@ -14,6 +14,7 @@ Public surface:
 """
 
 from .api import infer_spec, linsys_solve
+from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt
 from .mpc import solve_sequence
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
@@ -27,6 +28,7 @@ __all__ = [
     "solve",
     "solve_batched",
     "solve_sequence",
+    "btd_solve",
     "SolveResult",
     "KKTBlocks",
     "pack_kkt",

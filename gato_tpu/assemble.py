@@ -85,11 +85,15 @@ def condense(
     r: jnp.ndarray,
     c: jnp.ndarray,
     rho: jnp.ndarray,
-    preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR,
+    preconditioner: "Preconditioner | None" = Preconditioner.SYMMETRIC_STAIR,
 ) -> SchurSystem:
     """Assemble (S, Pinv, gamma) from block KKT data.  Fully traced/jittable;
     ``rho`` is a runtime scalar (the reference bakes it into the CSR->dense
-    conversion, gato_schur.cuh:697, forcing re-conversion per rho)."""
+    conversion, gato_schur.cuh:697, forcing re-conversion per rho).
+
+    ``preconditioner=None`` skips the preconditioner entirely (Pinv is None) —
+    used by the direct solver, saving the theta inversion and stair products
+    (roughly half the condensation FLOPs)."""
     K, s, _ = Q.shape
     cdim = R.shape[-1]
     dt = Q.dtype
@@ -118,7 +122,10 @@ def condense(
     gamma0 = _bmv(Qinv[:1], q[:1]) - c[:1]     # includes -c_0 (reference omits it)
     gamma = jnp.concatenate([gamma0, gamma_rest], axis=0)  # (K, s)
 
-    Pinv = _preconditioner(S, theta, phi, preconditioner)
+    if preconditioner is None:
+        Pinv = None
+    else:
+        Pinv = _preconditioner(S, theta, phi, preconditioner)
     return SchurSystem(S=S, Pinv=Pinv, gamma=gamma, Qinv=Qinv, Rinv=Rinv)
 
 

@@ -108,6 +108,9 @@ class SolverOptions:
       rho: Tikhonov regularizer added to the diagonal of the cost Hessian blocks
         before condensation (reference: gato_schur.cuh:697,700).
       preconditioner: see :class:`Preconditioner`.
+      method: 'pcg' (the reference's algorithm) or 'direct' (exact block
+        Thomas elimination, see direct.py — no reference equivalent; ignores
+        exit_tol/max_iters/warm_start/preconditioner and reports iters=0).
       dtype: compute dtype; the reference is float32 throughout.
     """
 
@@ -116,6 +119,7 @@ class SolverOptions:
     warm_start: bool = False
     rho: float = 0.0
     preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR
+    method: str = "pcg"
     dtype: str = "float32"
 
 

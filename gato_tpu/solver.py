@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import assemble, pcg as pcg_mod, recover
+from . import assemble, blocktri, pcg as pcg_mod, recover
 from .formats import KKTBlocks
 from .problem import Preconditioner, ProblemSpec, SolverOptions
 
@@ -52,17 +52,40 @@ class SolveResult(NamedTuple):
         return np.asarray(self.lam).reshape(-1)
 
 
+def _direct_result(sys, batched: bool):
+    """Exact solve of S lam = gamma (direct.py).  iters=0 by definition; eta
+    reports the squared true residual norm of the returned solution."""
+    from . import direct
+
+    lam = direct.btd_solve(sys.S, sys.gamma)
+    mv = jax.vmap(blocktri.btd_matvec) if batched else blocktri.btd_matvec
+    resid = sys.gamma - mv(sys.S, lam)
+    axes = tuple(range(resid.ndim - 2, resid.ndim))
+    eta = jnp.sum(resid * resid, axis=axes)
+    shape = resid.shape[:-2]
+    return pcg_mod.PCGResult(
+        lam=lam,
+        iters=jnp.zeros(shape, jnp.int32),
+        converged=jnp.ones(shape, bool),
+        eta=eta,
+    )
+
+
 @functools.partial(
-    jax.jit, static_argnames=("preconditioner", "pcg_backend")
+    jax.jit, static_argnames=("preconditioner", "pcg_backend", "method")
 )
 def _solve_core(
     Q, R, A, B, q, r, c,
     lam0, rho, exit_tol, max_iters,
     preconditioner: Preconditioner,
     pcg_backend: str,
+    method: str = "pcg",
 ):
-    sys = assemble.condense(Q, R, A, B, q, r, c, rho, preconditioner)
-    if pcg_backend == "pallas":
+    precond = None if method == "direct" else preconditioner
+    sys = assemble.condense(Q, R, A, B, q, r, c, rho, precond)
+    if method == "direct":
+        res = _direct_result(sys, batched=False)
+    elif pcg_backend == "pallas":
         from .kernels import pcg_pallas
 
         res = pcg_pallas.pcg_fused(
@@ -171,21 +194,26 @@ def solve(
         _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
+        options.method,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("preconditioner", "pcg_backend")
+    jax.jit, static_argnames=("preconditioner", "pcg_backend", "method")
 )
 def _solve_batched_core(
     Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
     preconditioner: Preconditioner,
     pcg_backend: str,
+    method: str = "pcg",
 ):
+    precond = None if method == "direct" else preconditioner
     sys = jax.vmap(
-        lambda *xs: assemble.condense(*xs, rho, preconditioner)
+        lambda *xs: assemble.condense(*xs, rho, precond)
     )(Q, R, A, B, q, r, c)
-    if pcg_backend == "pallas":
+    if method == "direct":
+        res = _direct_result(sys, batched=True)
+    elif pcg_backend == "pallas":
         from .kernels import pcg_pallas
 
         res = pcg_pallas.pcg_fused_batched(
@@ -241,4 +269,5 @@ def solve_batched(
         _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
+        options.method,
     )
