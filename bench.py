@@ -101,7 +101,6 @@ def _scan_chain_time(step_fn, q0, T: int, reps: int = 5):
 def bench_single(spec, options, backend, *, T=20):
     """Per-solve device latency via an in-scan cold-solve chain."""
     from gato_tpu.formats import KKTBlocks
-    from gato_tpu.problem import Preconditioner
     from gato_tpu.solver import _solve_core
     from gato_tpu.testing import random_blocks
 

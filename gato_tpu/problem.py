@@ -17,7 +17,6 @@ from __future__ import annotations
 
 import dataclasses
 import enum
-from typing import Optional
 
 
 class Preconditioner(enum.Enum):

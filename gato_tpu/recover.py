@@ -20,7 +20,7 @@ which is also what the dense NumPy oracle produces — has no such term.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

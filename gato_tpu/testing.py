@@ -9,7 +9,6 @@ STATE_SIZE=14, CONTROL_SIZE=7, KNOT_POINTS=50) and the BASELINE.json configs.
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
 
 import numpy as np
 
