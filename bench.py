@@ -13,13 +13,15 @@ Measurement methodology (hard-won on a remote-attached TPU):
     a cache, under-reporting by >100x.  Host-side chaining is not enough: a
     perturbation that saturates (e.g. tanh of large multipliers) converges to
     a bit-identical fixed point after one link and re-enables the cache.
-  * Therefore every timed chain runs INSIDE one jitted lax.scan with a
-    per-step, non-converging input perturbation (cos(step) mixed with the
-    carried solution).  One dispatch, one block, every step a genuinely
-    distinct full solve.
-  * Larger units of work (the 256-problem batch, the 64-step MPC sequence)
-    are timed as single synchronized calls minus the measured transport
-    round-trip (each call gets unique inputs so the cache cannot serve it).
+  * jax.block_until_ready can return BEFORE device execution completes on
+    this transport; the only reliable fence is fetching a scalar reduction
+    of the result to the host (4 bytes that data-depend on everything).
+  * Per-solve times far below the ~27 ms fetch round-trip are resolved by
+    running chains INSIDE one jitted lax.scan with per-step non-converging
+    perturbations and differencing two chain lengths (T vs 2T), which
+    cancels the transport exactly.
+  * Larger units of work (the 256-problem batch) are timed as scalar-fetch
+    synchronized calls minus the measured fetch round-trip.
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
 "published": {}), so this reports the speedup of the framework's best method
@@ -45,15 +47,19 @@ def _log(msg):
 
 
 def measure_rtt_ms(reps: int = 10) -> float:
-    """Transport round trip: sync time of a trivial op on unique tiny inputs."""
-    f = jax.jit(lambda x: x * 2.0)
-    jax.block_until_ready(f(jnp.ones((8, 128))))
+    """Transport round trip: time to fetch a 4-byte result to the host.
+
+    NOTE: jax.block_until_ready is NOT a reliable fence on this transport (it
+    can return before device execution completes), so every timing in this
+    harness synchronizes by fetching a scalar reduction of the result —
+    4 bytes of D2H that data-depend on the full computation."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    float(f(jnp.ones((8, 128))))
     ts = []
     for i in range(reps):
         x = jnp.full((8, 128), float(i + 1))
-        jax.block_until_ready(x)
         t0 = time.perf_counter()
-        jax.block_until_ready(f(x))
+        float(f(x))
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 
@@ -79,18 +85,17 @@ def _scan_chain_time(step_fn, q0, T: int, reps: int = 5):
                 body, jnp.zeros_like(q0),
                 jnp.arange(length, dtype=jnp.float32),
             )
-            return lam
+            return jnp.sum(lam)
         return chain
 
     c1, c2 = make_chain(T), make_chain(2 * T)
-    jax.block_until_ready(c1(q0))  # compile
-    jax.block_until_ready(c2(q0))
+    float(c1(q0))  # compile
+    float(c2(q0))
 
     def timed(chain, rep):
         q = q0 * (1.0 + 1e-6 * (rep + 1))
-        jax.block_until_ready(q)
         t0 = time.perf_counter()
-        jax.block_until_ready(chain(q))
+        float(chain(q))  # scalar fetch = the only reliable fence here
         return (time.perf_counter() - t0) * 1e3
 
     t1 = float(np.median([timed(c1, r) for r in range(reps)]))
@@ -139,32 +144,39 @@ def bench_single(spec, options, backend, *, T=20):
 
 
 def bench_batch(spec, options, backend, batch=256, reps=8):
-    """Batch throughput: sync-timed unique calls minus transport RTT."""
+    """Batch throughput by batch-size differencing: time batches of B and 2B
+    and difference, so the (jittery) transport round trip cancels exactly."""
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.solver import solve_batched
     from gato_tpu.testing import random_blocks
 
-    problems = [random_blocks(spec, seed=1000 + i) for i in range(batch)]
-    blocks = KKTBlocks(*(jax.device_put(
-        jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
-        for f in range(7)))
-    jax.block_until_ready(blocks.Q)
-    variants = [
-        jax.block_until_ready(blocks.q * (1.0 + 1e-6 * (i + 1)))
-        for i in range(reps)
-    ]
-    run = lambda q: solve_batched(spec, blocks._replace(q=q), options,
-                                  pcg_backend=backend)
-    jax.block_until_ready(run(blocks.q).lam)  # compile
+    def staged(n):
+        problems = [random_blocks(spec, seed=1000 + i) for i in range(n)]
+        blocks = KKTBlocks(*(jax.device_put(
+            jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
+            for f in range(7)))
+        run = jax.jit(lambda q: jnp.sum(
+            solve_batched(spec, blocks._replace(q=q), options,
+                          pcg_backend=backend).lam))
+        float(run(blocks.q))  # compile + first execution
+        return blocks, run
 
-    rtt = measure_rtt_ms()
-    ts = []
-    for q in variants:
-        t0 = time.perf_counter()
-        jax.block_until_ready(run(q).lam)
-        ts.append((time.perf_counter() - t0) * 1e3)
-    ms = max(float(np.median(ts)) - rtt, 1e-3)
-    return {"batch": batch, "ms_per_batch": ms, "rtt_ms_subtracted": rtt,
+    b1, run1 = staged(batch)
+    b2, run2 = staged(2 * batch)
+
+    def times(run, blocks):
+        ts = []
+        for i in range(reps):
+            q = blocks.q * (1.0 + 1e-6 * (i + 1))
+            t0 = time.perf_counter()
+            float(run(q))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(ts))
+
+    t1, t2 = times(run1, b1), times(run2, b2)
+    ms = max(t2 - t1, 1e-3)  # device time for `batch` extra problems
+    return {"batch": batch, "ms_per_batch": ms,
+            "sync_ms_B": t1, "sync_ms_2B": t2,
             "solves_per_sec": batch / (ms / 1e3),
             "us_per_solve": 1e3 * ms / batch}
 
@@ -198,15 +210,14 @@ def bench_mpc_sequence(spec, options, T=64, reps=6):
 
     seq1, seq2 = make_seq(T), make_seq(2 * T)
     res = solve_sequence(spec, seq1, options)
-    jax.block_until_ready(res.lam)  # compile T
-    jax.block_until_ready(solve_sequence(spec, seq2, options).lam)  # compile 2T
+    float(jnp.sum(res.lam))  # compile T + execute
+    float(jnp.sum(solve_sequence(spec, seq2, options).lam))  # compile 2T
     iters_per_step = [int(x) for x in res.iters]
 
     def timed(seq, i):
         s2 = seq._replace(q=seq.q * (1.0 + 1e-6 * (i + 1)))
-        jax.block_until_ready(s2.q)
         t0 = time.perf_counter()
-        jax.block_until_ready(solve_sequence(spec, s2, options).lam)
+        float(jnp.sum(solve_sequence(spec, s2, options).lam))
         return (time.perf_counter() - t0) * 1e3
 
     t1 = float(np.median([timed(seq1, i) for i in range(reps)]))
@@ -238,7 +249,7 @@ def main():
     C = detail["configs"]
 
     C["pendulum_2_1_5_pcg"] = bench_single(ProblemSpec(2, 1, 5), opts, "jax",
-                                           T=100)
+                                           T=500)
     _log(f"pendulum pcg: {C['pendulum_2_1_5_pcg']}")
     C["iiwa_pcg"] = bench_single(iiwa, opts, "jax")
     _log(f"iiwa pcg: {C['iiwa_pcg']}")

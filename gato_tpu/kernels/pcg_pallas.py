@@ -2,47 +2,56 @@
 CUDA kernel (``parallelPCG``, gato_pcg.cuh:270-470).
 
 The entire PCG loop runs inside ONE ``pallas_call``: S, Pinv, gamma and every
-work vector stay VMEM-resident across all iterations, eliminating the
-per-iteration dispatch overhead of the ``lax.while_loop`` path just as the
-reference's cooperative launch eliminates per-iteration kernel launches.
-Where the reference needs grid-wide barriers between phases and atomicAdd
-scalar reductions, the kernel body here is a single program: dependencies are
-plain dataflow and the dot products are VPU reductions.
+work vector stay VMEM-resident across all iterations, eliminating per-
+iteration dispatch just as the reference's cooperative launch eliminates
+per-iteration kernel launches.  Where the reference needs grid-wide barriers
+between phases and atomicAdd scalar reductions, the kernel body here is a
+single program: dependencies are plain dataflow, elementwise work rides the
+VPU, and the per-problem dot-product reductions ride the MXU (see below).
 
-Layout — knots (x problems) in lanes
-------------------------------------
+Layout — dense knots-in-lanes packing
+-------------------------------------
 The trajectory (knot) axis K is the long axis (50-500) while the block size s
-is tiny (2-14), so arrays are stored transposed with K on the 128-wide lane
-dimension and the block-row index on sublanes:
+is tiny (2-14), so arrays are stored transposed with knots on the 128-wide
+lane dimension and the block-row index on sublanes.  Because a single
+trajectory rarely fills a lane tile (K=50 uses 39% of 128 lanes), *multiple
+problems are packed side by side on the lane axis*: each problem occupies a
+segment of K_sub = round_up(K, 8) lanes, g = L // K_sub problems per program:
 
-    S, Pinv : (3, s, sp, C, Kp)   [slot j, block col b, block row a, problem, knot]
-    vectors : (sp, C, Kp)
+    S, Pinv : (3, s, sp, L)   [slot j, block col b, block row a, g x K_sub lanes]
+    vectors : (sp, L)
 
-with sp = s rounded up to the f32 sublane tile (8) and Kp = K rounded up to
-the lane tile (128).  The block-tridiagonal matvec is then 3*s lane-parallel
-fused multiply-adds over (sp, C, Kp) tiles — every lane is a different
-(problem, knot) pair: the same work assignment as the reference's
-one-CUDA-block-per-knot, but expressed as vector width instead of grid width,
-and extended over a problem batch the reference doesn't have.
+with sp = round_up(s, 8) and L a lane-tile multiple sized to VMEM.  For the
+IIWA shape this packs 16 problems per program at 89% lane occupancy — every
+VPU op advances 16 trajectories at once, the same work assignment as the
+reference's one-CUDA-block-per-knot but two axes wider (knots x problems).
 
-Batching is the throughput lever: a single (14, 7, 50) problem fills 50 of 128
-lanes; a 16-problem chunk fills 2048 lanes and makes every VPU op do 16x the
-work at the same op count.  Chunks of C problems are sized to VMEM
-(~10 MB for S+Pinv+vectors) and mapped onto the Pallas grid; chunk DMA
-overlaps compute via the standard pipeline.
+The block-tridiagonal matvec is 3*s lane-parallel FMAs; the halo shift is a
+``pltpu.roll`` along the lane axis.  Rolls wrap across problem segments and
+the array edge, but every wrapped lane lands either in a zero-padded lane or
+against the structural zero block that encodes the trajectory boundary (row
+0's left slot / row K-1's right slot — the same zeros as in blocktri.py), so
+edge handling is exact with no branches; the reference needed per-edge special
+cases (gato_utils.cuh:131-149) and its strided variant got them wrong
+(off-by-one, gato_utils.cuh:202,232).
 
-Padding is structural, not masked: padded S/Pinv blocks are zero, so padded
-lanes never contribute to matvecs or dot products, and the ``pltpu.roll``
-halo shift along the knot axis wraps either into a padded lane or against the
-zero left-slot of row 0 / right-slot of row K-1 (the same zero blocks that
-encode the boundary in blocktri.py) — exact edge handling with no branches,
-where the reference needed per-edge special cases (gato_utils.cuh:131-149)
-and its strided variant got them wrong (off-by-one, gato_utils.cuh:202,232).
+Per-problem reductions on the MXU
+---------------------------------
+PCG needs per-problem dot products (eta, nu) and per-problem scalars (alpha,
+beta) broadcast back over each problem's lanes.  With problems packed along
+lanes these are segment reductions; both directions are expressed as tiny
+matmuls against a constant 0/1 segment matrix Seg (L, g):
+
+    per-problem sums:  (1, L) @ Seg   -> (1, g)
+    lane broadcast  :  (1, g) @ Seg^T -> (1, L)
+
+which the MXU executes in one pass each — the TPU-native analog of the
+reference's atomicAdd-into-global-scalar reduction (gato_pcg.cuh:331,357,387).
 
 Numerics are identical to pcg.pcg (same update order, same exit test on the
 preconditioned residual dot, same iteration-count semantics, per-problem
-masked updates after convergence); reductions are reordered, so agreement is
-to f32 round-off, verified by tests.
+masked freezing after convergence); reductions are reordered, so agreement is
+to f32 round-off — tests enforce EXACT iteration-count parity.
 """
 
 from __future__ import annotations
@@ -59,9 +68,9 @@ from ..pcg import PCGResult
 
 _LANE = 128
 _SUBLANE = 8
-# VMEM budget for the two operators + work vectors per chunk.  v5e has ~16 MB;
-# Pallas double-buffers every gridded block (next chunk's DMA overlaps this
-# chunk's compute), so the effective footprint is ~2x this plus loop carries.
+# Per-program VMEM budget for the two operators + vectors.  v5e has ~16 MB;
+# Pallas double-buffers gridded blocks (next program's DMA overlaps this one's
+# compute), so the effective footprint is ~2x this plus loop carries.
 _VMEM_BUDGET_BYTES = 4 * 1024 * 1024
 
 
@@ -69,69 +78,77 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
-def _chunk_size(B: int, s: int, sp: int, Kp: int) -> int:
-    """Largest divisor of B whose working set fits the VMEM budget."""
-    per_problem = (2 * 3 * s * sp * Kp + 8 * sp * Kp) * 4
-    cap = max(1, _VMEM_BUDGET_BYTES // per_problem)
-    c = min(B, cap)
-    while B % c:
-        c -= 1
-    return c
+def plan_packing(B: int, K: int, s: int):
+    """Choose (K_sub, g, L, n_groups): problems-per-program and lane width.
+
+    K_sub is the per-problem lane segment; g problems share a program; the
+    lane axis L = round_up(g*K_sub, 128) is sized so the operators fit the
+    VMEM budget."""
+    sp = _round_up(s, _SUBLANE)
+    K_sub = _round_up(K, _SUBLANE)
+    bytes_per_lane = (2 * 3 * s * sp + 8 * sp) * 4  # S+P columns + vectors
+    max_lanes = max(_LANE, _VMEM_BUDGET_BYTES // bytes_per_lane)
+    g = max(1, min(B, int(max_lanes) // K_sub))
+    L = _round_up(g * K_sub, _LANE)
+    n_groups = -(-B // g)
+    return K_sub, g, L, n_groups, sp
 
 
-def _pack_operator(S: jnp.ndarray, sp: int, Kp: int) -> jnp.ndarray:
-    """(B, K, 3, s, s) -> (3, s_col, B, sp_row, Kp), zero padded.
+def _pack_operator(S: jnp.ndarray, K_sub: int, g: int, L: int,
+                   n_groups: int, sp: int) -> jnp.ndarray:
+    """(B, K, 3, s, s) -> (n_groups, 3, s_col, sp_row, L), zero padded.
 
-    The contracted block-column index b and the problem index land in *outer*
-    (untiled) dims — Pallas requires the last two block dims to be
-    tile-aligned, and this keeps the matvec's per-b slice M[j, b] a stack of
-    contiguous (sp, Kp) tiles with only (row, knot) on (sublane, lane)."""
+    Lane l of group gr holds knot (l % K_sub) of problem gr*g + l//K_sub.
+    Zero padding everywhere else (pad problems, pad knots, pad lanes) is what
+    makes the roll wraparound exact — see module docstring."""
     B, K, _, s, _ = S.shape
-    St = jnp.transpose(S, (2, 4, 0, 3, 1))  # (3, b, B, a, K)
-    return jnp.pad(St, ((0, 0), (0, 0), (0, 0), (0, sp - s), (0, Kp - K)))
+    St = jnp.transpose(S, (2, 4, 3, 0, 1))  # (3, b, a, B, K)
+    St = jnp.pad(St, ((0, 0), (0, 0), (0, sp - s),
+                      (0, n_groups * g - B), (0, K_sub - K)))
+    St = St.reshape(3, s, sp, n_groups, g * K_sub)
+    St = jnp.pad(St, ((0, 0), (0, 0), (0, 0), (0, 0), (0, L - g * K_sub)))
+    return jnp.transpose(St, (3, 0, 1, 2, 4))  # (n_groups, 3, b, a, L)
 
 
-def _pack_vec(x: jnp.ndarray, sp: int, Kp: int) -> jnp.ndarray:
-    """(B, K, s) -> (B, sp, Kp)."""
+def _pack_vec(x: jnp.ndarray, K_sub: int, g: int, L: int,
+              n_groups: int, sp: int) -> jnp.ndarray:
+    """(B, K, s) -> (n_groups, sp, L)."""
     B, K, s = x.shape
-    xt = jnp.transpose(x, (0, 2, 1))  # (B, s, K)
-    return jnp.pad(xt, ((0, 0), (0, sp - s), (0, Kp - K)))
+    xt = jnp.transpose(x, (2, 0, 1))  # (s, B, K)
+    xt = jnp.pad(xt, ((0, sp - s), (0, n_groups * g - B), (0, K_sub - K)))
+    xt = xt.reshape(sp, n_groups, g * K_sub)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, L - g * K_sub)))
+    return jnp.transpose(xt, (1, 0, 2))  # (n_groups, sp, L)
+
+
+def _unpack_vec(x: jnp.ndarray, B: int, K: int, s: int, K_sub: int,
+                g: int) -> jnp.ndarray:
+    """(n_groups, sp, L) -> (B, K, s)."""
+    n_groups = x.shape[0]
+    xt = x[:, :s, : g * K_sub].reshape(n_groups, s, g, K_sub)
+    xt = jnp.transpose(xt, (0, 2, 3, 1)).reshape(n_groups * g, K_sub, s)
+    return xt[:B, :K, :]
 
 
 def _matvec_lanes(M: jnp.ndarray, x: jnp.ndarray, s: int) -> jnp.ndarray:
-    """y[c,a,k] = sum_{j,b} M[j,b,c,a,k] * halo_j(x)[c,b,k].
-
-    Unrolled over j (3 slots) and b (s block columns): 3*s lane-parallel FMAs
-    over (C, sp, Kp) tiles.  The roll is along the knot axis only, so halos
-    never cross problem boundaries."""
-    Kp = x.shape[-1]
-    xm = pltpu.roll(x, shift=1, axis=2)       # x_{k-1} in lane k
-    xp = pltpu.roll(x, shift=Kp - 1, axis=2)  # x_{k+1} in lane k (shift >= 0)
+    """y[a,l] = sum_{j,b} M[j,b,a,l] * halo_j(x)[b,l] — 3*s lane-parallel FMAs."""
+    L = x.shape[-1]
+    xm = pltpu.roll(x, shift=1, axis=1)      # knot k-1 in lane l
+    xp = pltpu.roll(x, shift=L - 1, axis=1)  # knot k+1 in lane l
     halos = (xm, x, xp)
     y = jnp.zeros_like(x)
     for j in range(3):
         h = halos[j]
         for b in range(s):
-            y = y + M[j, b] * h[:, b : b + 1, :]
+            y = y + M[j, b] * h[b : b + 1, :]
     return y
-
-
-def _dot_lanes(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Per-problem dot: (C, sp, Kp) x (C, sp, Kp) -> (C, 1, 1).
-
-    Reduced one axis at a time: Mosaic's vector-layout inference crashes on a
-    multi-axis keepdims reduction straight to (C, 1, 1) (layout.h check
-    failure, observed on libtpu v5e); sequential single-axis reductions
-    compile cleanly."""
-    partial = jnp.sum(a * b, axis=2, keepdims=True)  # (C, sp, 1)
-    return jnp.sum(partial, axis=1, keepdims=True)   # (C, 1, 1)
 
 
 def _pcg_kernel(
     tol_ref, maxit_ref,                     # SMEM scalars
     S_ref, P_ref, gam_ref, lam0_ref,        # VMEM tensors
     lam_out, iters_out, conv_out, eta_out,  # outputs
-    *, s: int,
+    *, s: int, K_sub: int, g: int,
 ):
     S = S_ref[:]
     P = P_ref[:]
@@ -139,44 +156,69 @@ def _pcg_kernel(
     lam0 = lam0_ref[:]
     exit_tol = tol_ref[0]
     max_iters = maxit_ref[0]
+    L = gam.shape[-1]
+    i32 = jnp.int32
 
     mv = functools.partial(_matvec_lanes, s=s)
+
+    # Constant 0/1 segment matrix: Seg[l, j] = 1 iff lane l belongs to
+    # problem j of this group.  Built from iota; hoisted by the compiler.
+    lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
+    prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
+    seg = (lane_seg == prob_ids).astype(gam.dtype)  # (L, g)
+
+    def seg_sum(z):
+        """(sp, L) -> per-problem sums broadcast back to (1, L)."""
+        row = jnp.sum(z, axis=0, keepdims=True)                  # (1, L)
+        per = jax.lax.dot_general(                               # (1, g)
+            row, seg, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        return per
+
+    def lanes(per):
+        """(1, g) per-problem values -> (1, L) lane broadcast."""
+        return jax.lax.dot_general(
+            per, seg, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def dot(a, b):
+        return seg_sum(a * b)  # (1, g)
 
     # r0 = gamma - S lam0 (cold start: lam0 = 0 -> r0 = gamma, like the
     # reference's unconditional reset, gato_pcg.cuh:296-304; warm start real).
     r = gam - mv(S, lam0)
     r_tilde = mv(P, r)
     p = r_tilde
-    eta = _dot_lanes(r, r_tilde)
+    eta = dot(r, r_tilde)  # (1, g)
 
-    C = gam.shape[0]
-    i32 = jnp.int32
-
-    # NOTE: `conv` is carried as int32, not bool — Mosaic cannot legalize
-    # vector<i1> loop carries (scf.yield legalization failure, observed on
-    # libtpu v5e); int32 0/1 with arithmetic masking compiles cleanly.
+    # NOTE: int32 flags, not bool — Mosaic cannot legalize vector<i1> loop
+    # carries (scf.yield legalization failure on libtpu v5e).
     def cond(st):
         it, conv = st[4], st[6]
-        return jnp.logical_and(it < max_iters, jnp.sum(conv) < C)
+        return jnp.logical_and(it < max_iters, jnp.sum(conv) < g)
 
     def body(st):
         lam, r, p, eta, it, n_iters, conv = st
-        live = (conv == 0)                               # (C, 1, 1) bool, local
+        live = (conv == 0)                     # (1, g)
+        live_l = lanes(live.astype(gam.dtype)) # (1, L) 1.0/0.0
         upsilon = mv(S, p)
-        nu = _dot_lanes(p, upsilon)
-        alpha = jnp.where(nu != 0, eta / nu, 0.0)
-        lam_n = lam + alpha * p
-        r_n = r - alpha * upsilon
+        nu = dot(p, upsilon)
+        alpha = jnp.where(nu != 0, eta / nu, 0.0)          # (1, g)
+        alpha_l = lanes(alpha)
+        lam_n = lam + alpha_l * p
+        r_n = r - alpha_l * upsilon
         r_tilde = mv(P, r_n)
-        eta_new = _dot_lanes(r_n, r_tilde)
-        conv_now = jnp.abs(eta_new) < exit_tol
+        eta_new = dot(r_n, r_tilde)
+        conv_now = jnp.abs(eta_new) < exit_tol             # (1, g)
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
-        p_n = r_tilde + beta * p
+        p_n = r_tilde + lanes(beta) * p
 
         # Per-problem freeze after convergence (matches pcg.pcg / vmap).
-        lam = jnp.where(live, lam_n, lam)
-        r = jnp.where(live, r_n, r)
-        p = jnp.where(live, p_n, p)
+        lam = live_l * lam_n + (1.0 - live_l) * lam
+        r = live_l * r_n + (1.0 - live_l) * r
+        p = live_l * p_n + (1.0 - live_l) * p
         eta = jnp.where(live, eta_new, eta)
         n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
         conv = jnp.maximum(conv, conv_now.astype(i32))
@@ -185,16 +227,18 @@ def _pcg_kernel(
     init = (
         lam0, r, p, eta,
         jnp.zeros((), i32),
-        jnp.full((C, 1, 1), max_iters, i32),  # reference: count = maxIters
-        jnp.zeros((C, 1, 1), i32),
+        jnp.full((1, g), max_iters, i32),  # reference: count = maxIters
+        jnp.zeros((1, g), i32),
     )
     lam, r, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
 
-    out_shape = iters_out.shape  # (C, 8, Kp)
     lam_out[:] = lam
-    iters_out[:] = jnp.broadcast_to(n_iters, out_shape)
-    conv_out[:] = jnp.broadcast_to(conv, out_shape)
-    eta_out[:] = jnp.broadcast_to(jnp.abs(eta), out_shape)
+    out_shape = iters_out.shape  # (8, L)
+    iters_out[:] = jnp.broadcast_to(lanes(n_iters.astype(gam.dtype)),
+                                    out_shape).astype(i32)
+    conv_out[:] = jnp.broadcast_to(lanes(conv.astype(gam.dtype)),
+                                   out_shape).astype(i32)
+    eta_out[:] = jnp.broadcast_to(lanes(jnp.abs(eta)), out_shape)
 
 
 def pcg_fused_batched(
@@ -209,51 +253,57 @@ def pcg_fused_batched(
 ) -> PCGResult:
     """Solve a batch of block-tridiagonal systems in fused TPU kernels.
 
-    Problems are packed C-per-chunk onto the lane axis (C sized to VMEM) and
-    chunks are pipelined over the Pallas grid.  Returns PCGResult with leading
-    batch axis on every field.
+    Problems are lane-packed g-per-program (g sized to VMEM and lane width)
+    and programs are pipelined over the Pallas grid; a short batch (even B=1)
+    is simply one program with g=1.  Returns PCGResult with a leading batch
+    axis on every field.
     """
     B, K, _, s, _ = S.shape
-    sp = _round_up(s, _SUBLANE)
-    Kp = _round_up(K, _LANE)
     dt = gamma.dtype
-    C = _chunk_size(B, s, sp, Kp)
-    grid = B // C
+    K_sub, g, L, n_groups, sp = plan_packing(B, K, s)
 
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
 
-    Sb = _pack_operator(S.astype(dt), sp, Kp)
-    Pb = _pack_operator(Pinv.astype(dt), sp, Kp)
-    gb = _pack_vec(gamma, sp, Kp)
-    lb = _pack_vec(lam0.astype(dt), sp, Kp)
+    pk = functools.partial(_pack_operator, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    Sb, Pb = pk(S.astype(dt)), pk(Pinv.astype(dt))
+    gb, lb = pv(gamma), pv(lam0.astype(dt))
 
-    iters_per_chunk = max(int(max_iters) if not hasattr(max_iters, "shape")
-                          else 100, 1)
     cost = pl.CostEstimate(
-        flops=int(2 * 2 * 3 * s * s * K * B * min(iters_per_chunk, 100)),
-        bytes_accessed=int(Sb.size + Pb.size + 6 * gb.size) * 4,
+        flops=int(2 * 2 * 3 * s * s * K * B * 100),
+        bytes_accessed=int((Sb.size + Pb.size + 6 * gb.size) * 4),
         transcendentals=0,
     )
-
     op_spec = pl.BlockSpec(
-        (3, s, C, sp, Kp), lambda i: (0, 0, i, 0, 0), memory_space=pltpu.VMEM
+        (1, 3, s, sp, L), lambda i: (i, 0, 0, 0, 0), memory_space=pltpu.VMEM
     )
     vec_spec = pl.BlockSpec(
-        (C, sp, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, sp, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
     aux_spec = pl.BlockSpec(
-        (C, _SUBLANE, Kp), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        (1, _SUBLANE, L), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
     )
 
+    def kernel(tol_ref, maxit_ref, S_ref, P_ref, gam_ref, lam0_ref,
+               lam_out, iters_out, conv_out, eta_out):
+        _pcg_kernel(
+            tol_ref, maxit_ref,
+            S_ref.at[0], P_ref.at[0], gam_ref.at[0], lam0_ref.at[0],
+            lam_out.at[0], iters_out.at[0], conv_out.at[0], eta_out.at[0],
+            s=s, K_sub=K_sub, g=g,
+        )
+
     lam_p, iters, conv, eta = pl.pallas_call(
-        functools.partial(_pcg_kernel, s=s),
-        grid=(grid,),
+        kernel,
+        grid=(n_groups,),
         out_shape=(
-            jax.ShapeDtypeStruct((B, sp, Kp), dt),
-            jax.ShapeDtypeStruct((B, _SUBLANE, Kp), jnp.int32),
-            jax.ShapeDtypeStruct((B, _SUBLANE, Kp), jnp.int32),
-            jax.ShapeDtypeStruct((B, _SUBLANE, Kp), dt),
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
         ),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -269,11 +319,18 @@ def pcg_fused_batched(
         Sb, Pb, gb, lb,
     )
 
+    lam = _unpack_vec(lam_p, B, K, s, K_sub, g)
+
+    def per_problem(x):
+        """(n_groups, 8, L) -> (B,) picking lane 0 of each problem segment."""
+        v = x[:, 0, : g * K_sub].reshape(n_groups * g, K_sub)[:B, 0]
+        return v
+
     return PCGResult(
-        lam=jnp.transpose(lam_p[:, :s, :K], (0, 2, 1)),  # (B, K, s)
-        iters=iters[:, 0, 0],
-        converged=conv[:, 0, 0] != 0,
-        eta=eta[:, 0, 0],
+        lam=lam,
+        iters=per_problem(iters),
+        converged=per_problem(conv) != 0,
+        eta=per_problem(eta),
     )
 
 

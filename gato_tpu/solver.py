@@ -127,6 +127,11 @@ def _cached_const(value, dtype, shape=None):
             out = jnp.asarray(value, dtype)
         else:
             out = jnp.full(shape, value, dtype)
+        if isinstance(out, jax.core.Tracer):
+            # solve()/solve_batched() is itself being traced (e.g. wrapped in
+            # an outer jit); constants are then just graph nodes — no transfer
+            # to amortize and nothing concrete to cache.
+            return out
         out.block_until_ready()
         _CONST_CACHE[key] = out
     return out

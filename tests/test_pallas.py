@@ -56,8 +56,9 @@ def test_fused_max_iters_exhaustion():
 
 
 def test_fused_batched_multi_chunk(monkeypatch):
-    """Force a multi-chunk grid and check per-problem parity with the pure path."""
-    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 300_000)
+    """Force a multi-group grid (with a ragged final group padded by dummy
+    problems) and check per-problem parity with the pure path."""
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 100_000)
     spec = ProblemSpec(4, 2, 20)
     Ss, Ps, gs = [], [], []
     for i in range(6):
@@ -66,7 +67,8 @@ def test_fused_batched_multi_chunk(monkeypatch):
         Ps.append(sys.Pinv)
         gs.append(sys.gamma)
     Sb, Pb, gb = map(jnp.stack, (Ss, Ps, gs))
-    assert kp._chunk_size(6, 4, 8, 128) < 6  # really multi-chunk
+    _, g, _, n_groups, _ = kp.plan_packing(6, 20, 4)
+    assert n_groups > 1 and n_groups * g > 6  # multi-group + dummy padding
 
     res = kp.pcg_fused_batched(Sb, Pb, gb, exit_tol=1e-10, max_iters=300,
                                interpret=True)
@@ -80,7 +82,7 @@ def test_fused_batched_multi_chunk(monkeypatch):
 def test_fused_batched_mixed_convergence(monkeypatch):
     """Problems with very different conditioning: early-converging problems
     must freeze (per-problem masking), matching the pure path exactly."""
-    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 300_000)
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 100_000)
     spec = ProblemSpec(3, 1, 16)
     Ss, Ps, gs = [], [], []
     for i in range(4):
