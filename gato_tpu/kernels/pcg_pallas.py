@@ -168,16 +168,19 @@ def _pcg_kernel(
     seg = (lane_seg == prob_ids).astype(gam.dtype)  # (L, g)
 
     def seg_sum(z):
-        """(sp, L) -> per-problem sums broadcast back to (1, L)."""
+        """(sp, L) -> per-problem sums (1, g), via one MXU pass."""
         row = jnp.sum(z, axis=0, keepdims=True)                  # (1, L)
-        per = jax.lax.dot_general(                               # (1, g)
+        return jax.lax.dot_general(                              # (1, g)
             row, seg, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        return per
 
     def lanes(per):
-        """(1, g) per-problem values -> (1, L) lane broadcast."""
+        """(1, g) per-problem values -> (1, L) lane broadcast, one MXU pass.
+
+        (pltpu.repeat is NOT usable here: it tiles [a,b,a,b,...] rather than
+        element-repeating [a,a,...,b,b,...], which would scatter problems'
+        scalars across the wrong lane segments.)"""
         return jax.lax.dot_general(
             per, seg, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
