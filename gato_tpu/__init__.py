@@ -14,6 +14,7 @@ Public surface:
 """
 
 from .api import infer_spec, linsys_solve
+from .diff import kkt_solve
 from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt
 from .mpc import solve_sequence
@@ -29,6 +30,7 @@ __all__ = [
     "solve_batched",
     "solve_sequence",
     "btd_solve",
+    "kkt_solve",
     "SolveResult",
     "KKTBlocks",
     "pack_kkt",
