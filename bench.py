@@ -261,6 +261,8 @@ def main():
         _log(f"horizon {K}: {C[f'iiwa_horizon_{K}_pcg']}")
 
     if have_pallas:
+        C["iiwa_batch_256_fused"] = bench_batch(iiwa, opts, "fused")
+        _log(f"batch fused: {C['iiwa_batch_256_fused']}")
         C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas")
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
     C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None)

@@ -1,0 +1,408 @@
+"""Whole-solve fused kernel: condense + PCG + recovery in ONE Pallas program.
+
+Motivation (measured on v5e, 256x IIWA batch): with the PCG loop already
+fused (pcg_pallas.py), the remaining cost is dominated by the XLA-side
+condensation — ~15 ms of a ~20 ms batch — because batched (.., 14, 14)
+Gauss-Jordan steps run at ~11% lane occupancy under XLA's layout.  Fusing the
+entire solve into the lane-packed kernel layout removes that mis-layout, the
+S/Pinv HBM round trip (78 MB per 256-batch), and the pack transposes.
+
+Layout (shared with pcg_pallas.py): problems lane-packed g-per-program,
+K_sub = round_up(K, 8) lanes per problem, and every per-knot matrix stored as
+a stack of its columns:
+
+    matrices : (n_cols, sp, L)   [column b -> (sp, L) tile: rows x lanes]
+    vectors  : (sp, L)
+
+In this layout every dense operation is lane-parallel across all g*K knots:
+
+  * matrix-vector   (M x)[a]   : sum_b M[b] * x[b]        -> n FMAs
+  * matrix-product  (M N)[:,b] : sum_e M[e] * N[e][b]     -> n^2 FMAs
+  * transpose       M^T[:,b]   : stack_a M[a][b]          -> n^2 row-slices
+  * Gauss-Jordan    step i     : M[b] -= (M[i]-e_i)(M[i,b]/piv)  -> see below
+  * neighbor access (k +- 1)   : lane roll
+
+The Gauss-Jordan single-update trick: subtracting (column_i - e_i) times the
+normalized pivot row performs elimination AND pivot-row normalization in one
+FMA per column — s(2s+2) vector ops per inverse instead of XLA's relayouted
+scatter updates.  Pivots on zero-padded lanes are clamped to 1 so pads stay
+finite; every padded quantity then flows to zero through products with the
+structural zero blocks (same invariant as pcg_pallas.py).
+
+Alignment convention: interval quantities (A_k, B_k, R_k, r_k, and derived
+phi_k+1 terms) live on lane k of their segment; a roll by +1 moves them to
+knot lane k+1 where the Schur row needs them, and the segment-final pad lane
+rolls a zero across the problem boundary — exact edges for free.
+
+Numerics: identical formulas to assemble.condense + pcg.pcg + recover_dz
+(positive-convention Schur system, same PCG update order/exit semantics), so
+iteration counts must match the pure path exactly; reductions are reordered,
+so values agree to f32 round-off.  Tests enforce both (interpret mode on CPU,
+compiled parity on TPU via the verify flow).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pcg import PCGResult
+from .pcg_pallas import _LANE, _SUBLANE, _round_up
+
+# The fused kernel holds the full condensation working set per program, so
+# its lane budget is tighter than the PCG-only kernel's.
+_VMEM_BUDGET_BYTES = 3 * 1024 * 1024
+
+
+def plan_packing(B: int, K: int, s: int, c: int):
+    sp = _round_up(s, _SUBLANE)
+    K_sub = _round_up(K, _SUBLANE)
+    # Working set per lane (f32 words): inputs Q,A (s cols) R,B (c cols),
+    # vectors; intermediates Qinv, theta, thetainv, phi, phiT, BR (s/c cols),
+    # S+Pinv (6*s cols), GJ scratch, PCG vectors.
+    words_per_lane = sp * (4 * s + 4 * c + 6 * s + 4 * s + 10)
+    max_lanes = max(_LANE, _VMEM_BUDGET_BYTES // (4 * words_per_lane))
+    g = max(1, min(B, int(max_lanes) // K_sub))
+    L = _round_up(g * K_sub, _LANE)
+    n_groups = -(-B // g)
+    return K_sub, g, L, n_groups, sp
+
+
+def _pack_mat(M: jnp.ndarray, K_sub: int, g: int, L: int, n_groups: int,
+              sp: int) -> jnp.ndarray:
+    """(B, Kdim, n, m) -> (n_groups, m_cols, sp_rows, L)."""
+    B, Kdim, n, m = M.shape
+    Mt = jnp.transpose(M, (3, 2, 0, 1))  # (m, n, B, Kdim)
+    Mt = jnp.pad(Mt, ((0, 0), (0, sp - n), (0, n_groups * g - B),
+                      (0, K_sub - Kdim)))
+    Mt = Mt.reshape(m, sp, n_groups, g * K_sub)
+    Mt = jnp.pad(Mt, ((0, 0), (0, 0), (0, 0), (0, L - g * K_sub)))
+    return jnp.transpose(Mt, (2, 0, 1, 3))  # (n_groups, m, sp, L)
+
+
+def _pack_vec(x: jnp.ndarray, K_sub: int, g: int, L: int, n_groups: int,
+              sp: int) -> jnp.ndarray:
+    """(B, Kdim, n) -> (n_groups, sp, L)."""
+    B, Kdim, n = x.shape
+    xt = jnp.transpose(x, (2, 0, 1))  # (n, B, Kdim)
+    xt = jnp.pad(xt, ((0, sp - n), (0, n_groups * g - B), (0, K_sub - Kdim)))
+    xt = xt.reshape(sp, n_groups, g * K_sub)
+    xt = jnp.pad(xt, ((0, 0), (0, 0), (0, L - g * K_sub)))
+    return jnp.transpose(xt, (1, 0, 2))
+
+
+def _unpack_vec(x, B, K, n, K_sub, g):
+    n_groups = x.shape[0]
+    xt = x[:, :n, : g * K_sub].reshape(n_groups, n, g, K_sub)
+    xt = jnp.transpose(xt, (0, 2, 3, 1)).reshape(n_groups * g, K_sub, n)
+    return xt[:B, :K, :]
+
+
+# --------------------------------------------------------------------------
+# In-kernel dense primitives on column-stacked matrices.
+# A "matrix" is a list of n_cols arrays of shape (sp, L).
+
+
+def _row_onehot(i: int, sp: int, dt) -> jnp.ndarray:
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
+    return (rows == i).astype(dt)
+
+
+def _gj_inv(M, n: int, sp: int):
+    """Invert the upper-left (n x n) block, lane-parallel; returns columns.
+
+    Zero pivots (padded lanes) are clamped to 1; padded lanes then produce the
+    identity, which downstream products with zero blocks turn back into zeros.
+    No pivoting otherwise — inputs are SPD (see blocktri.block_inv).
+    """
+    dt = M[0].dtype
+    Mc = list(M)
+    Xc = [jnp.broadcast_to(_row_onehot(b, sp, dt), Mc[0].shape)
+          for b in range(n)]
+    for i in range(n):
+        piv = Mc[i][i : i + 1, :]
+        finv = 1.0 / jnp.where(piv != 0, piv, 1.0)
+        fm = Mc[i] - _row_onehot(i, sp, dt)
+        Mc = [Mc[b] - fm * (Mc[b][i : i + 1, :] * finv) for b in range(n)]
+        Xc = [Xc[b] - fm * (Xc[b][i : i + 1, :] * finv) for b in range(n)]
+    return Xc
+
+
+def _mat_mat(Ac, Bc, n: int):
+    """C = A @ B on column stacks: C[:,b] = sum_e A[:,e] * B[e,b]."""
+    return [
+        sum(Ac[e] * Bc[b][e : e + 1, :] for e in range(n))
+        for b in range(len(Bc))
+    ]
+
+
+def _mat_matT(Ac, Bc, n_out: int, n_con: int):
+    """C = A @ B^T: C[:,b] = sum_e A[:,e] * B[b? ] — B^T[e,b] = B[e-th col][b row].
+
+    C[a,b] = sum_e A[a,e] B[b,e]  =>  C[:,b] = sum_e A[:,e] * (row b of B[:,e]).
+    """
+    return [
+        sum(Ac[e] * Bc[e][b : b + 1, :] for e in range(n_con))
+        for b in range(n_out)
+    ]
+
+
+def _transpose(Ac, n: int, sp: int):
+    """A^T columns: (A^T)[:,b] = row b of A = stack_a A[a-th col][b]."""
+    dt = Ac[0].dtype
+    out = []
+    for b in range(n):
+        col = sum(_row_onehot(a, sp, dt) * Ac[a][b : b + 1, :]
+                  for a in range(n))
+        out.append(col)
+    return out
+
+
+def _mat_vec(Mc, x, n: int):
+    """(M x) = sum_b M[:,b] * x[b]."""
+    return sum(Mc[b] * x[b : b + 1, :] for b in range(n))
+
+
+def _matT_vec(Mc, x, n: int, sp: int):
+    """(M^T x)[b] = M[:,b] . x, stacked into (sp, L)."""
+    dt = Mc[0].dtype
+    return sum(
+        _row_onehot(b, sp, dt) * jnp.sum(Mc[b] * x, axis=0, keepdims=True)
+        for b in range(n)
+    )
+
+
+def _roll_p1(x):
+    return pltpu.roll(x, shift=1, axis=x.ndim - 1)
+
+
+def _roll_m1(x):
+    return pltpu.roll(x, shift=x.shape[-1] - 1, axis=x.ndim - 1)
+
+
+# --------------------------------------------------------------------------
+
+
+def _fused_kernel(
+    rho_ref, tol_ref, maxit_ref,                      # SMEM scalars
+    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
+    lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
+    *, s: int, c: int, K_sub: int, g: int, sp: int,
+):
+    dt = q_ref.dtype
+    rho = rho_ref[0]
+    exit_tol = tol_ref[0]
+    max_iters = maxit_ref[0]
+    L = q_ref.shape[-1]
+    i32 = jnp.int32
+
+    qv = q_ref[0]
+    rv = r_ref[0]
+    cv = c_ref[0]
+    lam0 = lam0_ref[0]
+
+    # ---- condensation (assemble.condense, lane-parallel) ------------------
+    Qc = [Q_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
+    Rc = [R_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
+    Ac = [A_ref[0, b] for b in range(s)]
+    Bc = [B_ref[0, b] for b in range(c)]
+
+    Qinv = _gj_inv(Qc, s, sp)          # knot lanes
+    Rinv = _gj_inv(Rc, c, sp)          # interval lanes
+
+    phi = _mat_mat(Ac, Qinv, s)        # interval lane k: phi_{k+1} = A_k Qinv_k
+    BR = _mat_mat(Bc, Rinv, c)         # interval lanes: B_k Rinv_k
+    # theta contribution at interval lanes: phi A^T + BR B^T
+    th_int = [
+        a + b
+        for a, b in zip(_mat_matT(phi, Ac, s, s), _mat_matT(BR, Bc, s, c))
+    ]
+    theta = [_roll_p1(th_int[b]) + Qinv[b] for b in range(s)]  # knot lanes
+
+    # gamma at knot lanes: roll(phi q + BR r) + Qinv q - c
+    g_int = _mat_vec(phi, qv, s) + _mat_vec(BR, rv, c)
+    gamma = _roll_p1(g_int) + _mat_vec(Qinv, qv, s) - cv
+
+    phiT = _transpose(phi, s, sp)      # interval lanes: phi_{k+1}^T
+    S_left = [_roll_p1(phi[b]) for b in range(s)]
+    S_main = theta
+    S_right = phiT                     # at knot lane k: phi_{k+1}^T
+
+    # Symmetric-stair preconditioner (assemble._preconditioner):
+    thinv = _gj_inv(theta, s, sp)
+    thinv_prev = [_roll_p1(x) for x in thinv]
+    thinv_next = [_roll_m1(x) for x in thinv]
+    P_left = [
+        -x for x in _mat_mat(_mat_mat(thinv, S_left, s), thinv_prev, s)
+    ]
+    P_right = [
+        -x for x in _mat_mat(_mat_mat(thinv, S_right, s), thinv_next, s)
+    ]
+    # Edge guard: padded/boundary lanes already carry zero off-diagonal phi,
+    # so P_left/P_right vanish there structurally.
+
+    # ---- PCG (pcg_pallas semantics) ---------------------------------------
+    lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
+    prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
+    seg = (lane_seg == prob_ids).astype(dt)
+
+    def seg_sum(z):
+        row = jnp.sum(z, axis=0, keepdims=True)
+        return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def lanes(per):
+        return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
+                                   preferred_element_type=jnp.float32)
+
+    def dot(a, b):
+        return seg_sum(a * b)
+
+    def btd_mv(left, main, right, x):
+        xm = _roll_p1(x)
+        xp = _roll_m1(x)
+        return (_mat_vec(left, xm, s) + _mat_vec(main, x, s)
+                + _mat_vec(right, xp, s))
+
+    mvS = functools.partial(btd_mv, S_left, S_main, S_right)
+    mvP = functools.partial(btd_mv, P_left, thinv, P_right)
+
+    r0 = gamma - mvS(lam0)
+    rt0 = mvP(r0)
+    eta0 = dot(r0, rt0)
+
+    def cond(st):
+        it, conv = st[4], st[6]
+        return jnp.logical_and(it < max_iters, jnp.sum(conv) < g)
+
+    def body(st):
+        lam, rr, p, eta, it, n_iters, conv = st
+        live = (conv == 0)
+        live_l = lanes(live.astype(dt))
+        upsilon = mvS(p)
+        nu = dot(p, upsilon)
+        alpha = jnp.where(nu != 0, eta / nu, 0.0)
+        alpha_l = lanes(alpha)
+        lam_n = lam + alpha_l * p
+        r_n = rr - alpha_l * upsilon
+        r_tilde = mvP(r_n)
+        eta_new = dot(r_n, r_tilde)
+        conv_now = jnp.abs(eta_new) < exit_tol
+        beta = jnp.where(eta != 0, eta_new / eta, 0.0)
+        p_n = r_tilde + lanes(beta) * p
+
+        lam = live_l * lam_n + (1.0 - live_l) * lam
+        rr = live_l * r_n + (1.0 - live_l) * rr
+        p = live_l * p_n + (1.0 - live_l) * p
+        eta = jnp.where(live, eta_new, eta)
+        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
+        conv = jnp.maximum(conv, conv_now.astype(i32))
+        return (lam, rr, p, eta, it + 1, n_iters, conv)
+
+    init = (lam0, r0, rt0, eta0, jnp.zeros((), i32),
+            jnp.full((1, g), max_iters, i32), jnp.zeros((1, g), i32))
+    lam, rr, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
+
+    # ---- dz recovery (recover.recover_dz) ---------------------------------
+    lam_next = _roll_m1(lam)  # lam_{k+1} at lane k; cross-boundary wrap is
+    # annihilated by the zero pad columns of A/B at the segment-final lane.
+    at_l = _matT_vec(Ac, lam_next, s, sp)   # interval lanes
+    bt_l = _matT_vec(Bc, lam_next, c, sp)
+    dzx = _mat_vec(Qinv, qv - lam - at_l, s)
+    dzu = _mat_vec(Rinv, rv - bt_l, c)
+
+    lam_out[0] = lam
+    dzx_out[0] = dzx
+    dzu_out[0] = dzu
+    out_shape = iters_out.shape[1:]
+    iters_out[0] = jnp.broadcast_to(lanes(n_iters.astype(dt)),
+                                    out_shape).astype(i32)
+    conv_out[0] = jnp.broadcast_to(lanes(conv.astype(dt)),
+                                   out_shape).astype(i32)
+    eta_out[0] = jnp.broadcast_to(lanes(jnp.abs(eta)), out_shape)
+
+
+def solve_fused_batched(
+    Q, R, A, B, q, r, c, lam0=None, *,
+    rho=0.0, exit_tol=1e-6, max_iters=100, interpret: bool = False,
+):
+    """Whole batched solve (condense+PCG+recover) in fused TPU kernels.
+
+    Args follow formats.KKTBlocks with a leading batch axis.  Returns
+    (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)).
+    Symmetric-stair preconditioner only (the reference's default build)."""
+    Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    dt = q.dtype
+    K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
+
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q)
+
+    pm = functools.partial(_pack_mat, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
+    qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
+
+    def mat_spec(ncols):
+        return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aux_spec = pl.BlockSpec((1, _SUBLANE, L), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * K * s * s * (6 * s + 100 * 6)),
+        bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4),
+        transcendentals=0,
+    )
+
+    lam_p, dzx_p, dzu_p, iters, conv, eta = pl.pallas_call(
+        functools.partial(_fused_kernel, s=s, c=cdim, K_sub=K_sub, g=g, sp=sp),
+        grid=(n_groups,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
+        ),
+        in_specs=[smem, smem, smem,
+                  mat_spec(s), mat_spec(cdim), mat_spec(s), mat_spec(cdim),
+                  vec_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec, aux_spec),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, dt).reshape(1),
+        jnp.asarray(exit_tol, dt).reshape(1),
+        jnp.asarray(max_iters, jnp.int32).reshape(1),
+        Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+    )
+
+    lam = _unpack_vec(lam_p, Bn, K, s, K_sub, g)
+    dz_x = _unpack_vec(dzx_p, Bn, K, s, K_sub, g)
+    dz_u = _unpack_vec(dzu_p, Bn, K, cdim, K_sub, g)[:, : K - 1, :]
+
+    def per_problem(x):
+        v = x[:, 0, : g * K_sub].reshape(n_groups * g, K_sub)[:Bn, 0]
+        return v
+
+    res = PCGResult(
+        lam=lam,
+        iters=per_problem(iters),
+        converged=per_problem(conv) != 0,
+        eta=per_problem(eta),
+    )
+    return res, dz_x, dz_u

@@ -142,11 +142,13 @@ def default_pcg_backend(batched: bool = False) -> str:
 
     * CPU/GPU: always 'jax' (the pure path is the portable fallback and the
       numerics oracle).
-    * TPU batched: 'pallas' — the lane-packed fused kernel is ~10x the vmapped
-      while_loop path (measured 13 ms vs 128 ms per 256-problem IIWA batch).
-    * TPU single-problem: 'jax' — the fused kernel alone is slightly faster,
-      but the pack/unpack relayouts around it currently cost more than they
-      save at batch size 1 (measured 2.4 ms vs 1.7 ms end-to-end chained).
+    * TPU batched: 'fused' — the whole solve (condense + PCG + recovery) in
+      one lane-packed Pallas program; ~15x the split pallas-PCG path, which
+      itself is ~10x the vmapped while_loop fallback.  Requires the
+      symmetric-stair preconditioner (the default); other preconditioners
+      fall back to 'pallas'.
+    * TPU single-problem: 'jax' — at batch 1 the pack/unpack relayouts around
+      a kernel cost more than they save.
     """
     try:
         platform = jax.devices()[0].platform
@@ -155,10 +157,10 @@ def default_pcg_backend(batched: bool = False) -> str:
     if platform != "tpu" or not batched:
         return "jax"
     try:
-        from .kernels import pcg_pallas  # noqa: F401
+        from .kernels import fused_solve, pcg_pallas  # noqa: F401
     except ImportError:
         return "jax"
-    return "pallas"
+    return "fused"
 
 
 def solve(
@@ -212,6 +214,20 @@ def _solve_batched_core(
     pcg_backend: str,
     method: str = "pcg",
 ):
+    if pcg_backend == "fused" and method == "pcg":
+        # Whole solve (condense + PCG + recovery) in one Pallas program —
+        # skips assemble.condense entirely.  Symmetric-stair preconditioner
+        # only (enforced by solve_batched before dispatch).
+        from .kernels import fused_solve
+
+        res, dz_x, dz_u = fused_solve.solve_fused_batched(
+            Q, R, A, B, q, r, c, lam0,
+            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+        )
+        return SolveResult(
+            lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+            iters=res.iters, converged=res.converged, eta=res.eta,
+        )
     precond = None if method == "direct" else preconditioner
     sys = jax.vmap(
         lambda *xs: assemble.condense(*xs, rho, precond)
@@ -266,6 +282,11 @@ def solve_batched(
         lam0 = _cached_const(0, dtype, (Bn, K, s))
 
     backend = pcg_backend or default_pcg_backend(batched=True)
+    if backend == "fused" and (
+        options.method != "pcg"
+        or options.preconditioner != Preconditioner.SYMMETRIC_STAIR
+    ):
+        backend = "pallas" if options.method == "pcg" else "jax"
     return _solve_batched_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,
