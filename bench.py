@@ -243,7 +243,7 @@ def main():
     opts = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3)
     direct_opts = SolverOptions(rho=1e-3, method="direct")
     iiwa = ProblemSpec(14, 7, 50)
-    have_pallas = default_pcg_backend(batched=True) == "pallas"
+    have_pallas = default_pcg_backend(batched=True) in ("pallas", "fused")
 
     detail = {"platform": platform, "rtt_ms": rtt, "configs": {}}
     C = detail["configs"]

@@ -54,9 +54,11 @@ from jax.experimental.pallas import tpu as pltpu
 from ..pcg import PCGResult
 from .pcg_pallas import _LANE, _SUBLANE, _round_up
 
-# The fused kernel holds the full condensation working set per program, so
-# its lane budget is tighter than the PCG-only kernel's.
-_VMEM_BUDGET_BYTES = 3 * 1024 * 1024
+# The fused kernel holds the full condensation working set per program.  The
+# estimate below over-counts simultaneous liveness (Mosaic reuses buffers), so
+# the budget is set from an on-device sweep: 10 MB -> g=12 IIWA problems per
+# program compiles and is fastest; 14 MB -> g=17 exceeds real VMEM.
+_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
 def plan_packing(B: int, K: int, s: int, c: int):
