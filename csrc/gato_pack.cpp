@@ -102,6 +102,13 @@ int64_t gato_pack_C(const int64_t* indptr, int64_t n_rows,
     const int64_t i = row % s;
     for (int64_t it = indptr[row]; it < indptr[row + 1]; ++it) {
       const int64_t col = indices[it];
+      if (col < 0 || col >= sc * K - c) {
+        // Same guard as gato_pack_G: a corrupt CSR must be a hard error, not
+        // an out-of-bounds write (the reference's csr_to_custom_C silently
+        // corrupts adjacent memory here, gato_schur.cuh:725-743).
+        fail(err_buf, err_len, "C column %lld out of range", col);
+        return 2;
+      }
       const int64_t col_block = col / sc;
       if (col_block > k) continue;  // identity on x_{k+1}
       if (col_block != k) {

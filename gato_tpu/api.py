@@ -33,6 +33,7 @@ import time
 from typing import List, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from .formats import pack_kkt
@@ -99,20 +100,36 @@ def linsys_solve(
     options = SolverOptions(
         exit_tol=exit_tol, max_iters=max_iters, warm_start=warm_start, rho=rho
     )
-    lam = np.asarray(input_lambda, dtype=np.float32).reshape(spec.knot_points,
-                                                             spec.state_size)
+
+    # Stage all inputs on the device ONCE, before the timed loop — the analog
+    # of the reference keeping the CSR arrays device-resident across testiters
+    # (gpu_library.cu:140-157).  solve()'s jnp.asarray on these is then a
+    # no-op, so no per-iteration H2D transfers pollute the printed times.
+    blocks = type(blocks)(
+        *(jax.device_put(np.asarray(a, dtype=np.float32)) for a in blocks)
+    )
+    lam = jax.device_put(
+        np.asarray(input_lambda, dtype=np.float32).reshape(
+            spec.knot_points, spec.state_size
+        )
+    )
+    float(jnp.sum(blocks.q) + jnp.sum(lam))  # fence: staging complete
 
     result: Optional[SolveResult] = None
     times_ms = []
     for i in range(max(int(testiters), 1)):
         t0 = time.perf_counter()
         result = solve(spec, blocks, options, lam0=lam, pcg_backend=pcg_backend)
-        jax.block_until_ready(result.lam)
+        # jax.block_until_ready is not a reliable fence on remote transports
+        # (it can return before device execution completes); fetching a scalar
+        # reduction of the result is — 4 bytes that data-depend on everything.
+        float(jnp.sum(result.lam))
         times_ms.append((time.perf_counter() - t0) * 1e3)
         if warm_start:
             # MPC-style reuse: feed the solution back as the next start, which
             # is what the reference's host loop sets up (gpu_library.cu:161-179).
-            lam = np.asarray(result.lam)
+            # result.lam is already device-resident — no host round trip.
+            lam = result.lam
         if i == 0 and verbose:
             print(
                 f"first run PCG terminated in {int(result.iters)} iterations, "

@@ -45,23 +45,27 @@ def residual_history(S, Pinv, gamma, lam0=None, *, exit_tol=1e-6,
                      max_iters=100):
     """PCG with a recorded eta trace.  Fixed-length scan (masked after
     convergence) so the history shape is static under jit."""
+    from .pcg import _dot  # HIGHEST-precision dot: keeps the eta trace (and
+    # the derived iteration count) bit-aligned with pcg.pcg on TPU, where the
+    # default-precision vdot would diverge from solve()'s.
+
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
     r = gamma - btd_matvec(S, lam0)
     r_tilde = btd_matvec(Pinv, r)
     p = r_tilde
-    eta = jnp.vdot(r, r_tilde)
+    eta = _dot(r, r_tilde)
 
     def step(st, _):
         lam, r, p, eta, converged = st
         live = ~converged
         upsilon = btd_matvec(S, p)
-        nu = jnp.vdot(p, upsilon)
+        nu = _dot(p, upsilon)
         alpha = jnp.where(nu != 0, eta / nu, 0.0)
         lam_n = lam + alpha * p
         r_n = r - alpha * upsilon
         r_tilde = btd_matvec(Pinv, r_n)
-        eta_new = jnp.vdot(r_n, r_tilde)
+        eta_new = _dot(r_n, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + beta * p

@@ -61,7 +61,7 @@ from .pcg_pallas import _LANE, _SUBLANE, _round_up
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
 
 
-def plan_packing(B: int, K: int, s: int, c: int):
+def _lane_budget(K: int, s: int, c: int):
     sp = _round_up(s, _SUBLANE)
     K_sub = _round_up(K, _SUBLANE)
     # Working set per lane (f32 words): inputs Q,A (s cols) R,B (c cols),
@@ -69,7 +69,30 @@ def plan_packing(B: int, K: int, s: int, c: int):
     # S+Pinv (6*s cols), GJ scratch, PCG vectors.
     words_per_lane = sp * (4 * s + 4 * c + 6 * s + 4 * s + 10)
     max_lanes = max(_LANE, _VMEM_BUDGET_BYTES // (4 * words_per_lane))
-    g = max(1, min(B, int(max_lanes) // K_sub))
+    return sp, K_sub, int(max_lanes)
+
+
+def fits_vmem(K: int, s: int, c: int) -> bool:
+    """True iff one problem's condensation+PCG working set fits VMEM.
+
+    Longer horizons must use the 'jax' backend (HBM-streamed while_loop) —
+    the analog of the reference's resident-vs-strided kernel choice
+    (check_sms, gato_utils.cuh:829-854)."""
+    _, K_sub, max_lanes = _lane_budget(K, s, c)
+    return K_sub <= max_lanes
+
+
+def plan_packing(B: int, K: int, s: int, c: int):
+    """Raises when a single problem exceeds the VMEM budget; callers check
+    :func:`fits_vmem` first (solver.default_pcg_backend falls back to 'jax')."""
+    sp, K_sub, max_lanes = _lane_budget(K, s, c)
+    if K_sub > max_lanes:
+        raise ValueError(
+            f"trajectory K={K} (s={s}, c={c}) needs {K_sub} lanes but only "
+            f"{max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM budget; "
+            "use the 'jax' backend for horizons this long"
+        )
+    g = max(1, min(B, max_lanes // K_sub))
     L = _round_up(g * K_sub, _LANE)
     n_groups = -(-B // g)
     return K_sub, g, L, n_groups, sp
@@ -342,6 +365,9 @@ def solve_fused_batched(
     cdim = R.shape[-1]
     dt = q.dtype
     K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
+    # Mosaic kernels only lower on TPU; elsewhere (CPU tests, GPU) run the
+    # Pallas interpreter so explicit pcg_backend='fused' works everywhere.
+    interpret = interpret or jax.default_backend() != "tpu"
 
     if lam0 is None:
         lam0 = jnp.zeros_like(q)

@@ -78,16 +78,43 @@ def _round_up(x: int, m: int) -> int:
     return ((x + m - 1) // m) * m
 
 
+def _max_lanes(bytes_per_lane: int) -> int:
+    return max(_LANE, _VMEM_BUDGET_BYTES // bytes_per_lane)
+
+
+def _bytes_per_lane(s: int, sp: int) -> int:
+    return (2 * 3 * s * sp + 8 * sp) * 4  # S+P columns + vectors
+
+
+def fits_vmem(K: int, s: int) -> bool:
+    """True iff ONE problem's working set fits this kernel's VMEM budget.
+
+    The TPU analog of the reference's ``check_sms`` capacity decision
+    (gato_utils.cuh:829-854): when the trajectory is too long to be
+    kernel-resident, the solver falls back to the 'jax' backend (the
+    HBM-streamed path — XLA stages the while_loop state through HBM), the
+    role ``parallelPCG_fixed`` plays on the GPU (gato_pcg.cuh:17-268)."""
+    sp = _round_up(s, _SUBLANE)
+    return _round_up(K, _SUBLANE) <= _max_lanes(_bytes_per_lane(s, sp))
+
+
 def plan_packing(B: int, K: int, s: int):
     """Choose (K_sub, g, L, n_groups): problems-per-program and lane width.
 
     K_sub is the per-problem lane segment; g problems share a program; the
     lane axis L = round_up(g*K_sub, 128) is sized so the operators fit the
-    VMEM budget."""
+    VMEM budget.  Raises when even a single problem exceeds the budget —
+    callers must check :func:`fits_vmem` and fall back to the 'jax' backend
+    (solver.default_pcg_backend does)."""
     sp = _round_up(s, _SUBLANE)
     K_sub = _round_up(K, _SUBLANE)
-    bytes_per_lane = (2 * 3 * s * sp + 8 * sp) * 4  # S+P columns + vectors
-    max_lanes = max(_LANE, _VMEM_BUDGET_BYTES // bytes_per_lane)
+    max_lanes = _max_lanes(_bytes_per_lane(s, sp))
+    if K_sub > max_lanes:
+        raise ValueError(
+            f"trajectory K={K} (s={s}) needs {K_sub} lanes but only "
+            f"{max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM budget; "
+            "use the 'jax' backend for horizons this long"
+        )
     g = max(1, min(B, int(max_lanes) // K_sub))
     L = _round_up(g * K_sub, _LANE)
     n_groups = -(-B // g)
@@ -264,6 +291,9 @@ def pcg_fused_batched(
     B, K, _, s, _ = S.shape
     dt = gamma.dtype
     K_sub, g, L, n_groups, sp = plan_packing(B, K, s)
+    # Mosaic kernels only lower on TPU; elsewhere (CPU tests, GPU) run the
+    # Pallas interpreter so explicit pcg_backend='pallas' works everywhere.
+    interpret = interpret or jax.default_backend() != "tpu"
 
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)

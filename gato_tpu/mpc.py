@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import assemble, pcg as pcg_mod, recover
 from .formats import KKTBlocks
 from .problem import Preconditioner, ProblemSpec, SolverOptions
-from .solver import SolveResult, _cached_const, default_pcg_backend
+from .solver import SolveResult, _cached_const
 
 
 @functools.partial(jax.jit, static_argnames=("preconditioner", "pcg_backend"))
@@ -44,10 +44,18 @@ def _solve_sequence_core(
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
         sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
                                 preconditioner)
-        res = pcg_mod.pcg(
-            sys.S, sys.Pinv, sys.gamma, lam_carry,
-            exit_tol=exit_tol, max_iters=max_iters,
-        )
+        if pcg_backend == "pallas":
+            from .kernels import pcg_pallas
+
+            res = pcg_pallas.pcg_fused(
+                sys.S, sys.Pinv, sys.gamma, lam_carry,
+                exit_tol=exit_tol, max_iters=max_iters,
+            )
+        else:
+            res = pcg_mod.pcg(
+                sys.S, sys.Pinv, sys.gamma, lam_carry,
+                exit_tol=exit_tol, max_iters=max_iters,
+            )
         dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, At, Bt, qt, rt,
                                         res.lam)
         out = SolveResult(lam=res.lam, dz_x=dz_x, dz_u=dz_u,
@@ -94,16 +102,25 @@ def solve_sequence(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
-    backend = pcg_backend or default_pcg_backend()
-    # The scan body uses the lax.while_loop PCG: a pallas_call inside scan is
-    # legal, but per-step problems are single (no lane batching to win) and
-    # the pure path avoids per-step pack/unpack relayouts.
-    del backend
+    # Default is the lax.while_loop PCG: a pallas_call inside scan is legal
+    # ('pallas' is honored if asked), but per-step problems are single (no
+    # lane batching to win) and the pure path avoids per-step pack/unpack
+    # relayouts.  The whole-solve 'fused' kernel re-condenses in-kernel and
+    # has no per-step warm-start staging here — explicitly unsupported.
+    if pcg_backend is None:
+        backend = "jax"
+    elif pcg_backend in ("jax", "pallas"):
+        backend = pcg_backend
+    else:
+        raise ValueError(
+            f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas'); "
+            f"got {pcg_backend!r}"
+        )
     return _solve_sequence_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0, rhos,
         _cached_const(options.exit_tol, dtype),
         _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
-        "jax",
+        backend,
     )

@@ -81,6 +81,23 @@ def _solve_core(
     pcg_backend: str,
     method: str = "pcg",
 ):
+    if pcg_backend == "fused" and method == "pcg":
+        # Whole solve in one Pallas program (B=1 lane packing) — the
+        # single-problem analog of the reference's one-resident-kernel-per-
+        # solve design (gato_pcg.cuh:270-470).  Symmetric stair only
+        # (enforced by _resolve_backend before dispatch).
+        from .kernels import fused_solve
+
+        res, dz_x, dz_u = fused_solve.solve_fused_batched(
+            Q[None], R[None], A[None], B[None],
+            q[None], r[None], c[None], lam0[None],
+            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+        )
+        return SolveResult(
+            lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
+            iters=res.iters[0], converged=res.converged[0] != 0,
+            eta=res.eta[0],
+        )
     precond = None if method == "direct" else preconditioner
     sys = assemble.condense(Q, R, A, B, q, r, c, rho, precond)
     if method == "direct":
@@ -137,30 +154,88 @@ def _cached_const(value, dtype, shape=None):
     return out
 
 
-def default_pcg_backend(batched: bool = False) -> str:
+VALID_PCG_BACKENDS = ("jax", "pallas", "fused")
+
+
+def default_pcg_backend(
+    batched: bool = False, spec: Optional[ProblemSpec] = None
+) -> str:
     """Backend auto-selection.
 
     * CPU/GPU: always 'jax' (the pure path is the portable fallback and the
       numerics oracle).
-    * TPU batched: 'fused' — the whole solve (condense + PCG + recovery) in
-      one lane-packed Pallas program; ~15x the split pallas-PCG path, which
-      itself is ~10x the vmapped while_loop fallback.  Requires the
-      symmetric-stair preconditioner (the default); other preconditioners
-      fall back to 'pallas'.
-    * TPU single-problem: 'jax' — at batch 1 the pack/unpack relayouts around
-      a kernel cost more than they save.
+    * TPU: 'fused' — the whole solve (condense + PCG + recovery) in one
+      lane-packed Pallas program, batched or not; ~15x the split pallas-PCG
+      path on batches, and the fix for the overhead-bound single solve
+      (condensation at XLA's layout is ~87% of the 'jax' path's latency).
+      Requires the symmetric-stair preconditioner (the default); other
+      preconditioners fall back to 'pallas' (see _resolve_backend).
+    * TPU, horizon too long for VMEM residency: 'jax' — the HBM-streamed
+      fallback, playing the role of the reference's strided
+      ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its ``check_sms``
+      capacity decision (gato_utils.cuh:829-854).
     """
+    del batched  # the fused kernel packs lanes well at any batch size
     try:
         platform = jax.devices()[0].platform
     except Exception:
         platform = "cpu"
-    if platform != "tpu" or not batched:
+    if platform != "tpu":
         return "jax"
     try:
-        from .kernels import fused_solve, pcg_pallas  # noqa: F401
+        from .kernels import fused_solve  # noqa: F401
     except ImportError:
         return "jax"
+    if spec is not None and not fused_solve.fits_vmem(
+        spec.knot_points, spec.state_size, spec.control_size
+    ):
+        return "jax"
     return "fused"
+
+
+def _resolve_backend(
+    pcg_backend: Optional[str],
+    options: SolverOptions,
+    batched: bool,
+    spec: Optional[ProblemSpec] = None,
+) -> str:
+    """Validate an explicit backend choice, or auto-select.
+
+    Explicit requests that cannot be honored raise instead of silently
+    degrading — matching the reference's explicit kernel-select contract
+    (check_sms exits rather than running the wrong kernel,
+    gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
+    backend compatible with the options and problem size."""
+    fused_ok = (
+        options.method == "pcg"
+        and options.preconditioner == Preconditioner.SYMMETRIC_STAIR
+    )
+    if pcg_backend is None:
+        backend = default_pcg_backend(batched, spec=spec)
+        if backend == "fused" and not fused_ok:
+            backend = "pallas" if options.method == "pcg" else "jax"
+        if backend == "pallas" and spec is not None:
+            from .kernels import pcg_pallas
+
+            if not pcg_pallas.fits_vmem(spec.knot_points, spec.state_size):
+                backend = "jax"
+        return backend
+    if pcg_backend not in VALID_PCG_BACKENDS:
+        raise ValueError(
+            f"unknown pcg_backend {pcg_backend!r}; valid choices are "
+            f"{VALID_PCG_BACKENDS} or None for auto-selection"
+        )
+    if options.method == "direct" and pcg_backend != "jax":
+        raise ValueError(
+            "method='direct' runs no PCG; pcg_backend must be None or 'jax'"
+        )
+    if pcg_backend == "fused" and not fused_ok:
+        raise ValueError(
+            "pcg_backend='fused' (the whole-solve kernel) supports only "
+            "method='pcg' with Preconditioner.SYMMETRIC_STAIR; use 'pallas' "
+            "or 'jax' for other preconditioners"
+        )
+    return pcg_backend
 
 
 def solve(
@@ -179,7 +254,8 @@ def solve(
       lam0: optional (K, s) warm-start multipliers; used only when
         ``options.warm_start`` — matching the reference API surface
         (gpu_library.cu:46-47), except that here warm starting actually works.
-      pcg_backend: 'jax' | 'pallas' | None (auto).
+      pcg_backend: 'jax' | 'pallas' | 'fused' | None (auto).  Unknown strings
+        and option-incompatible explicit choices raise ValueError.
     """
     dtype = jnp.dtype(options.dtype)
     b = _as_jnp(blocks, dtype)
@@ -192,7 +268,7 @@ def solve(
     else:
         lam0 = _cached_const(0, dtype, (K, s))
 
-    backend = pcg_backend or default_pcg_backend()
+    backend = _resolve_backend(pcg_backend, options, batched=False, spec=spec)
     return _solve_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,
@@ -281,12 +357,7 @@ def solve_batched(
     else:
         lam0 = _cached_const(0, dtype, (Bn, K, s))
 
-    backend = pcg_backend or default_pcg_backend(batched=True)
-    if backend == "fused" and (
-        options.method != "pcg"
-        or options.preconditioner != Preconditioner.SYMMETRIC_STAIR
-    ):
-        backend = "pallas" if options.method == "pcg" else "jax"
+    backend = _resolve_backend(pcg_backend, options, batched=True, spec=spec)
     return _solve_batched_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,

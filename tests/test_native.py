@@ -65,6 +65,19 @@ def test_native_rejects_cross_knot():
         native.pack_G_native(spec, G_row, [4], [1.0])
 
 
+def test_native_rejects_out_of_range_C_column():
+    """A corrupt CSR column in C must be a hard error, not an out-of-bounds
+    write (the reference's csr_to_custom_C silently corrupts memory,
+    gato_schur.cuh:725-743)."""
+    spec = ProblemSpec(2, 1, 3)  # nz = 8, nl = 6
+    # Rows 0..1: identity block (skipped).  Row 2: one entry, column way out.
+    C_row = [0, 1, 2, 3, 3, 3, 3]
+    with pytest.raises(ValueError, match="out of range"):
+        native.pack_C_native(spec, C_row, [0, 1, 99], [1.0, 1.0, 1.0])
+    with pytest.raises(ValueError, match="out of range"):
+        native.pack_C_native(spec, C_row, [0, 1, -1], [1.0, 1.0, 1.0])
+
+
 def test_native_is_default_path():
     """formats.pack_G should route through the native packer when built."""
     assert formats.USE_NATIVE and native.available()
