@@ -10,18 +10,35 @@ exit_tol=1e-6 — the TPU analog of the reference's per-solve cudaEvent loop
 
 Measurement methodology (hard-won on a remote-attached TPU):
   * The runtime serves repeat executions of bit-identical program+inputs from
-    a cache, under-reporting by >100x.  Host-side chaining is not enough: a
-    perturbation that saturates (e.g. tanh of large multipliers) converges to
-    a bit-identical fixed point after one link and re-enables the cache.
-  * jax.block_until_ready can return BEFORE device execution completes on
-    this transport; the only reliable fence is fetching a scalar reduction
-    of the result to the host (4 bytes that data-depend on everything).
-  * Per-solve times far below the ~27 ms fetch round-trip are resolved by
-    running chains INSIDE one jitted lax.scan with per-step non-converging
-    perturbations and differencing two chain lengths (T vs 2T), which
-    cancels the transport exactly.
-  * Larger units of work (the 256-problem batch) are timed as scalar-fetch
-    synchronized calls minus the measured fetch round-trip.
+    a cache, under-reporting by >100x, and jax.block_until_ready can return
+    BEFORE device execution completes; the only reliable fence is fetching a
+    scalar reduction of the result (4 bytes that data-depend on everything).
+  * Every config is timed as a chain of solves INSIDE one jitted lax.scan,
+    differencing two chain lengths (T vs 2T) so the ~27-30 ms transport round
+    trip cancels exactly.
+  * Each scan step perturbs BOTH q and Q (scaled by step index and the lam
+    carry): perturbing only the rhs lets XLA hoist the entire loop-invariant
+    condensation (S, Pinv assembly) out of the scan, under-reporting the
+    XLA-path configs by ~3x while the opaque fused kernel can't hoist —
+    the round-1 bench's silent flaw.  With Q perturbed every step is a
+    genuinely cold full solve.
+  * Chain lengths are sized so the T-vs-2T difference is >> the ~1-2 ms
+    run-to-run jitter of a synced call, auto-doubling T once if a pilot
+    difference comes back too small to trust.
+  * Everything reports the median of >=2 independent repetitions plus the
+    spread (|rep1 - rep2|), written to BENCH_DETAIL.json.
+
+Before any timing, a PARITY GATE runs on-device: jax / pallas / fused must
+agree on iteration counts exactly (the repo's core invariant, CLAUDE.md) and
+on lambda to f32 round-off, for one IIWA problem and a ragged 5-problem
+batch.  A Mosaic numerics regression therefore fails the bench loudly instead
+of shipping a fast wrong number.
+
+Time split (the GATO_TIMING analog, gato_schur.cuh:972-982): the condense /
+PCG / recover spans of the 'jax' path are measured by differencing chains of
+truncated pipelines (condense-only, condense+PCG, full).  The fused kernel is
+a single Pallas program — no XLA-visible internal spans; its split is
+"whole solve".
 
 ``vs_baseline``: the reference publishes no numbers (BASELINE.json
 "published": {}), so this reports the speedup of the framework's best method
@@ -47,12 +64,7 @@ def _log(msg):
 
 
 def measure_rtt_ms(reps: int = 10) -> float:
-    """Transport round trip: time to fetch a 4-byte result to the host.
-
-    NOTE: jax.block_until_ready is NOT a reliable fence on this transport (it
-    can return before device execution completes), so every timing in this
-    harness synchronizes by fetching a scalar reduction of the result —
-    4 bytes of D2H that data-depend on the full computation."""
+    """Transport round trip: time to fetch a 4-byte result to the host."""
     f = jax.jit(lambda x: jnp.sum(x))
     float(f(jnp.ones((8, 128))))
     ts = []
@@ -64,56 +76,205 @@ def measure_rtt_ms(reps: int = 10) -> float:
     return float(np.median(ts)) * 1e3
 
 
-def _scan_chain_time(step_fn, q0, T: int, reps: int = 5):
-    """Per-solve device time from chained solves inside jitted lax.scans.
-
-    step_fn(q, lam_carry, t) -> (lam, aux).  The perturbation inside step_fn
-    must depend on both lam_carry and t so no two steps see identical inputs.
-
-    Times scans of length T and 2T and differences them, so the per-dispatch
-    transport cost — which jitters between ~0 and ~30 ms here — cancels
-    exactly instead of polluting the per-step quotient.
-    """
-
-    def make_chain(length):
-        @jax.jit
-        def chain(q0):
-            def body(carry, t):
-                lam, _ = step_fn(q0, carry, t)
-                return lam, None
-            lam, _ = jax.lax.scan(
-                body, jnp.zeros_like(q0),
-                jnp.arange(length, dtype=jnp.float32),
-            )
-            return jnp.sum(lam)
-        return chain
-
-    c1, c2 = make_chain(T), make_chain(2 * T)
-    float(c1(q0))  # compile
-    float(c2(q0))
-
-    def timed(chain, rep):
-        q = q0 * (1.0 + 1e-6 * (rep + 1))
-        t0 = time.perf_counter()
-        float(chain(q))  # scalar fetch = the only reliable fence here
-        return (time.perf_counter() - t0) * 1e3
-
-    t1 = float(np.median([timed(c1, r) for r in range(reps)]))
-    t2 = float(np.median([timed(c2, r) for r in range(reps)]))
-    return max((t2 - t1) / T, 1e-4)
+# --------------------------------------------------------------------------
+# Chain timing core
 
 
-def bench_single(spec, options, backend, *, T=20):
-    """Per-solve device latency via an in-scan cold-solve chain."""
+def _chain_fn(step_fn, q0, length):
+    """One jitted scan of `length` chained cold solves.
+
+    step_fn(q0, lam_carry, t) -> array whose sum fences the whole step."""
+
+    @jax.jit
+    def chain(q):
+        def body(carry, t):
+            out = step_fn(q, carry, t)
+            return out, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros_like(q0), jnp.arange(length, dtype=jnp.float32)
+        )
+        return jnp.sum(out)
+
+    return chain
+
+
+def _timed(chain, q0, rep):
+    q = q0 * (1.0 + 1e-6 * (rep + 1))
+    t0 = time.perf_counter()
+    float(chain(q))  # scalar fetch = the only reliable fence here
+    return (time.perf_counter() - t0) * 1e3
+
+
+def scan_chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
+                    min_diff_ms: float = 8.0, label: str = ""):
+    """Per-step device time in ms, via T-vs-2T chain differencing.
+
+    Runs ``n_independent`` full repetitions (fresh timing loops) and returns
+    (median_ms, {"reps_ms": [...], "spread_ms": ..., "T": ...}).  If the
+    pilot difference is below ``min_diff_ms`` (noise territory), T is doubled
+    once and the measurement redone."""
+    for attempt in range(2):
+        c1 = _chain_fn(step_fn, q0, T)
+        c2 = _chain_fn(step_fn, q0, 2 * T)
+        float(c1(q0))  # compile + first run
+        float(c2(q0))
+        estimates = []
+        diffs = []
+        for k in range(n_independent):
+            t1 = float(np.median([_timed(c1, q0, 10 * k + r) for r in range(reps)]))
+            t2 = float(np.median([_timed(c2, q0, 10 * k + r) for r in range(reps)]))
+            diffs.append(t2 - t1)
+            estimates.append(max((t2 - t1) / T, 1e-5))
+        if float(np.median(diffs)) >= min_diff_ms or attempt == 1:
+            ms = float(np.median(estimates))
+            info = {
+                "reps_ms": [round(e, 6) for e in estimates],
+                "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+                "T": T,
+                "chain_diff_ms": round(float(np.median(diffs)), 3),
+            }
+            if float(np.median(diffs)) < min_diff_ms:
+                info["noise_warning"] = "chain difference below noise floor"
+            return ms, info
+        _log(f"  [{label}] chain diff {np.median(diffs):.2f} ms < {min_diff_ms} ms"
+             f" at T={T}; doubling T")
+        T *= 2
+    raise AssertionError("unreachable")
+
+
+def _perturb(blocks, q0, lam_carry, t):
+    """Fresh problem data each step: breaks both the execution cache and
+    XLA's loop-invariant hoisting of the condensation."""
+    scale = 1.0 + 1e-6 * jnp.cos(t) + 1e-7 * jnp.tanh(jnp.sum(lam_carry))
+    Q = blocks.Q * scale
+    q = q0 * (1.0 + 1e-6 * jnp.sin(t))
+    return Q, q
+
+
+# --------------------------------------------------------------------------
+# Configs
+
+
+def _staged_blocks(spec, seed=7, batch=None):
     from gato_tpu.formats import KKTBlocks
-    from gato_tpu.solver import _solve_core
     from gato_tpu.testing import random_blocks
 
-    blocks = KKTBlocks(*(jax.device_put(jnp.asarray(a))
-                         for a in random_blocks(spec, seed=7)))
-    jax.block_until_ready(blocks.Q)
+    if batch is None:
+        arrs = random_blocks(spec, seed=seed)
+        blocks = KKTBlocks(*(jax.device_put(jnp.asarray(a)) for a in arrs))
+    else:
+        problems = [random_blocks(spec, seed=seed + i) for i in range(batch)]
+        blocks = KKTBlocks(*(jax.device_put(
+            jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
+            for f in range(7)))
+    float(jnp.sum(blocks.q))  # fence staging
+    return blocks
+
+
+def bench_single(spec, options, backend, *, T=64):
+    """Per-solve device latency via an in-scan cold-solve chain."""
+    from gato_tpu.solver import _solve_core
+
+    blocks = _staged_blocks(spec)
     core = functools.partial(
         _solve_core.__wrapped__,
+        preconditioner=options.preconditioner,
+        pcg_backend=backend or "jax",
+        method=options.method,
+        poly_degree=options.precond_poly_degree,
+    )
+    dt = blocks.q.dtype
+    rho = jnp.asarray(options.rho, dt)
+    tol = jnp.asarray(options.exit_tol, dt)
+    mi = jnp.asarray(options.max_iters, jnp.int32)
+    zero_lam = jnp.zeros_like(blocks.q)
+
+    def step(q0, lam_carry, t):
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        res = core(Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
+                   blocks.c, zero_lam, rho, tol, mi)
+        return res.lam
+
+    label = f"single/{backend or options.method}/K={spec.knot_points}"
+    ms, info = scan_chain_time(step, blocks.q, T, label=label)
+
+    # One plain solve for iteration count / convergence reporting.
+    res = core(blocks.Q, blocks.R, blocks.A, blocks.B, blocks.q, blocks.r,
+               blocks.c, zero_lam, rho, tol, mi)
+    float(jnp.sum(res.lam))
+    return {
+        "avg_ms_device": round(ms, 6),
+        "pcg_iters": int(res.iters),
+        "converged": bool(res.converged),
+        **info,
+    }
+
+
+def bench_split(spec, options, *, T=64):
+    """Condense / PCG / recover spans of the 'jax' path — the GATO_TIMING
+    analog (gato_schur.cuh:972-982) — by differencing truncated-pipeline
+    chains.  The fused kernel is one Pallas program with no XLA-visible
+    internal spans (its 'split' is the whole solve)."""
+    from gato_tpu import assemble, pcg as pcg_mod, recover
+
+    blocks = _staged_blocks(spec)
+    dt = blocks.q.dtype
+    rho = jnp.asarray(options.rho, dt)
+    tol = jnp.asarray(options.exit_tol, dt)
+    mi = jnp.asarray(options.max_iters, jnp.int32)
+    pre = options.preconditioner
+
+    def step_condense(q0, lam_carry, t):
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        sys = assemble.condense(Q, blocks.R, blocks.A, blocks.B, q,
+                                blocks.r, blocks.c, rho, pre)
+        # Touch every output so nothing is dead-code eliminated.
+        return (sys.gamma + jnp.sum(sys.S, axis=(1, 3))
+                + jnp.sum(sys.Pinv, axis=(1, 3))
+                + jnp.sum(sys.Qinv, axis=2) + 1e-20 * jnp.sum(sys.Rinv))
+
+    def step_pcg(q0, lam_carry, t):
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        sys = assemble.condense(Q, blocks.R, blocks.A, blocks.B, q,
+                                blocks.r, blocks.c, rho, pre)
+        res = pcg_mod.pcg(sys.S, sys.Pinv, sys.gamma,
+                          exit_tol=tol, max_iters=mi)
+        return res.lam + 1e-20 * (jnp.sum(sys.Qinv, axis=2)
+                                  + jnp.sum(sys.Rinv))
+
+    def step_full(q0, lam_carry, t):
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        sys = assemble.condense(Q, blocks.R, blocks.A, blocks.B, q,
+                                blocks.r, blocks.c, rho, pre)
+        res = pcg_mod.pcg(sys.S, sys.Pinv, sys.gamma,
+                          exit_tol=tol, max_iters=mi)
+        dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, blocks.A,
+                                        blocks.B, q, blocks.r, res.lam)
+        return res.lam + dz_x + jnp.sum(dz_u)
+
+    ms_c, i_c = scan_chain_time(step_condense, blocks.q, T, label="split/condense")
+    ms_cp, i_cp = scan_chain_time(step_pcg, blocks.q, T, label="split/condense+pcg")
+    ms_full, i_f = scan_chain_time(step_full, blocks.q, T, label="split/full")
+    return {
+        "condense_ms": round(ms_c, 6),
+        "pcg_ms": round(max(ms_cp - ms_c, 0.0), 6),
+        "recover_ms": round(max(ms_full - ms_cp, 0.0), 6),
+        "full_ms": round(ms_full, 6),
+        "detail": {"condense": i_c, "condense_pcg": i_cp, "full": i_f},
+    }
+
+
+def bench_batch(spec, options, backend, batch=256, *, T=12):
+    """Batch throughput via in-scan chaining of whole-batch solves (same
+    methodology as bench_single — the round-1 batch-size-differencing method
+    disagreed with it by 2.7x because two ~29 ms synced medians differenced
+    to ~0.5 ms sit inside transport jitter)."""
+    from gato_tpu.solver import _solve_batched_core
+
+    blocks = _staged_blocks(spec, seed=1000, batch=batch)
+    core = functools.partial(
+        _solve_batched_core.__wrapped__,
         preconditioner=options.preconditioner,
         pcg_backend=backend or "jax",
         method=options.method,
@@ -125,70 +286,27 @@ def bench_single(spec, options, backend, *, T=20):
     zero_lam = jnp.zeros_like(blocks.q)
 
     def step(q0, lam_carry, t):
-        q = q0 * (1.0 + 1e-6 * jnp.cos(t)) + 1e-7 * lam_carry
-        res = core(blocks.Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        res = core(Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
                    blocks.c, zero_lam, rho, tol, mi)
-        return res.lam, None
+        return res.lam
 
-    ms = _scan_chain_time(step, blocks.q, T)
-
-    # One plain solve for iteration count / convergence reporting.
-    res = core(blocks.Q, blocks.R, blocks.A, blocks.B, blocks.q, blocks.r,
-               blocks.c, zero_lam, rho, tol, mi)
-    jax.block_until_ready(res.lam)
+    ms, info = scan_chain_time(step, blocks.q, T,
+                               label=f"batch{batch}/{backend or options.method}")
     return {
-        "avg_ms_device": ms,
-        "pcg_iters": int(res.iters),
-        "converged": bool(res.converged),
+        "batch": batch,
+        "ms_per_batch": round(ms, 4),
+        "solves_per_sec": round(batch / (ms / 1e3), 1),
+        "us_per_solve": round(1e3 * ms / batch, 4),
+        **info,
     }
 
 
-def bench_batch(spec, options, backend, batch=256, reps=8):
-    """Batch throughput by batch-size differencing: time batches of B and 2B
-    and difference, so the (jittery) transport round trip cancels exactly."""
-    from gato_tpu.formats import KKTBlocks
-    from gato_tpu.solver import solve_batched
-    from gato_tpu.testing import random_blocks
-
-    def staged(n):
-        problems = [random_blocks(spec, seed=1000 + i) for i in range(n)]
-        blocks = KKTBlocks(*(jax.device_put(
-            jnp.asarray(np.stack([np.asarray(p[f]) for p in problems])))
-            for f in range(7)))
-        run = jax.jit(lambda q: jnp.sum(
-            solve_batched(spec, blocks._replace(q=q), options,
-                          pcg_backend=backend).lam))
-        float(run(blocks.q))  # compile + first execution
-        return blocks, run
-
-    b1, run1 = staged(batch)
-    b2, run2 = staged(2 * batch)
-
-    def times(run, blocks):
-        ts = []
-        for i in range(reps):
-            q = blocks.q * (1.0 + 1e-6 * (i + 1))
-            t0 = time.perf_counter()
-            float(run(q))
-            ts.append((time.perf_counter() - t0) * 1e3)
-        return float(np.median(ts))
-
-    t1, t2 = times(run1, b1), times(run2, b2)
-    ms = max(t2 - t1, 1e-3)  # device time for `batch` extra problems
-    return {"batch": batch, "ms_per_batch": ms,
-            "sync_ms_B": t1, "sync_ms_2B": t2,
-            "solves_per_sec": batch / (ms / 1e3),
-            "us_per_solve": 1e3 * ms / batch}
-
-
-def bench_mpc_sequence(spec, options, T=64, reps=6):
+def bench_mpc_sequence(spec, options, T=64, reps=7):
     """BASELINE config 3: warm-start MPC-style repeated solves as ONE
-    on-device lax.scan (gato_tpu.mpc.solve_sequence).
-
-    Timed by differencing two sequence lengths (T and 2T) so the transport
-    round trip — which jitters between ~0 and ~30 ms here, swamping any
-    subtraction against a separately-measured RTT — cancels exactly.
-    """
+    on-device lax.scan (gato_tpu.mpc.solve_sequence), differencing sequence
+    lengths T vs 2T.  Q varies across steps (an SQP relinearization), so the
+    per-step condensation is genuinely in the loop."""
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.mpc import solve_sequence
     from gato_tpu.testing import random_blocks
@@ -200,12 +318,15 @@ def bench_mpc_sequence(spec, options, T=64, reps=6):
         qs = np.asarray(base.q)[None] + 0.01 * rng.normal(
             size=(length,) + base.q.shape
         ).astype(np.float32).cumsum(axis=0)
+        qscale = (1.0 + 1e-4 * rng.normal(size=(length, 1, 1, 1))).astype(
+            np.float32)
         seq = KKTBlocks(
             *(jnp.broadcast_to(jnp.asarray(a), (length,) + a.shape)
               for a in base)
-        )._replace(q=jnp.asarray(qs))
+        )._replace(q=jnp.asarray(qs),
+                   Q=jnp.asarray(np.asarray(base.Q)[None] * qscale))
         seq = KKTBlocks(*(jax.device_put(a) for a in seq))
-        jax.block_until_ready(seq.Q)
+        float(jnp.sum(seq.q))
         return seq
 
     seq1, seq2 = make_seq(T), make_seq(2 * T)
@@ -220,16 +341,76 @@ def bench_mpc_sequence(spec, options, T=64, reps=6):
         float(jnp.sum(solve_sequence(spec, s2, options).lam))
         return (time.perf_counter() - t0) * 1e3
 
-    t1 = float(np.median([timed(seq1, i) for i in range(reps)]))
-    t2 = float(np.median([timed(seq2, i) for i in range(reps)]))
-    ms_per_solve = max((t2 - t1) / T, 1e-4)
+    estimates = []
+    for k in range(2):
+        t1 = float(np.median([timed(seq1, 10 * k + i) for i in range(reps)]))
+        t2 = float(np.median([timed(seq2, 10 * k + i) for i in range(reps)]))
+        estimates.append(max((t2 - t1) / T, 1e-4))
+    ms_per_solve = float(np.median(estimates))
     return {
         "T": T,
-        "ms_per_solve": ms_per_solve,
-        "ms_per_sequence": ms_per_solve * T,
+        "ms_per_solve": round(ms_per_solve, 6),
+        "ms_per_sequence": round(ms_per_solve * T, 4),
+        "reps_ms": [round(e, 6) for e in estimates],
+        "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
         "iters_first": iters_per_step[0],
         "iters_rest_mean": float(np.mean(iters_per_step[1:])),
     }
+
+
+# --------------------------------------------------------------------------
+# Parity gate
+
+
+def parity_gate(spec, options):
+    """On-device numerics gate, run BEFORE any timing: jax / pallas / fused
+    must agree on PCG iteration counts EXACTLY (CLAUDE.md invariant) and on
+    lambda to f32 round-off, for one problem and a ragged batch.  Raises on
+    any mismatch so a Mosaic regression fails the bench loudly."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.solver import solve, solve_batched
+    from gato_tpu.testing import random_blocks
+
+    report = {}
+    single = _staged_blocks(spec, seed=7)
+    results = {}
+    for be in ("jax", "pallas", "fused"):
+        r = solve(spec, single, options, pcg_backend=be)
+        float(jnp.sum(r.lam))
+        results[be] = r
+    it = {be: int(r.iters) for be, r in results.items()}
+    report["single_iters"] = it
+    assert len(set(it.values())) == 1, f"PARITY FAILURE single iters: {it}"
+    ref = np.asarray(results["jax"].lam)
+    scale = float(np.max(np.abs(ref))) or 1.0
+    for be in ("pallas", "fused"):
+        err = float(np.max(np.abs(np.asarray(results[be].lam) - ref))) / scale
+        report[f"single_rel_err_{be}"] = err
+        assert err < 1e-3, f"PARITY FAILURE lam {be}: rel err {err}"
+
+    # Ragged batch: different seeds -> different iteration counts.
+    nb = 5
+    batch = _staged_blocks(spec, seed=50, batch=nb)
+    bres = {}
+    for be in ("jax", "pallas", "fused"):
+        r = solve_batched(spec, batch, options, pcg_backend=be)
+        float(jnp.sum(r.lam))
+        bres[be] = r
+    bit = {be: [int(x) for x in np.asarray(r.iters)] for be, r in bres.items()}
+    report["batch_iters"] = bit
+    assert bit["jax"] == bit["pallas"] == bit["fused"], (
+        f"PARITY FAILURE batch iters: {bit}")
+    refb = np.asarray(bres["jax"].lam)
+    scaleb = float(np.max(np.abs(refb))) or 1.0
+    for be in ("pallas", "fused"):
+        err = float(np.max(np.abs(np.asarray(bres[be].lam) - refb))) / scaleb
+        report[f"batch_rel_err_{be}"] = err
+        assert err < 1e-3, f"PARITY FAILURE batch lam {be}: rel err {err}"
+    report["ok"] = True
+    return report
+
+
+# --------------------------------------------------------------------------
 
 
 def main():
@@ -243,38 +424,58 @@ def main():
     opts = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3)
     direct_opts = SolverOptions(rho=1e-3, method="direct")
     iiwa = ProblemSpec(14, 7, 50)
-    have_pallas = default_pcg_backend(batched=True) in ("pallas", "fused")
+    have_pallas = default_pcg_backend() == "fused"
 
     detail = {"platform": platform, "rtt_ms": rtt, "configs": {}}
     C = detail["configs"]
 
+    if have_pallas:
+        detail["parity_gate"] = parity_gate(iiwa, opts)
+        _log(f"parity gate: {detail['parity_gate']}")
+
     C["pendulum_2_1_5_pcg"] = bench_single(ProblemSpec(2, 1, 5), opts, "jax",
-                                           T=500)
+                                           T=512)
     _log(f"pendulum pcg: {C['pendulum_2_1_5_pcg']}")
     C["iiwa_pcg"] = bench_single(iiwa, opts, "jax")
     _log(f"iiwa pcg: {C['iiwa_pcg']}")
-    C["iiwa_direct"] = bench_single(iiwa, direct_opts, None)
+    C["iiwa_direct"] = bench_single(iiwa, direct_opts, "jax")
     _log(f"iiwa direct: {C['iiwa_direct']}")
+    C["iiwa_split_jax"] = bench_split(iiwa, opts)
+    _log(f"iiwa split: {C['iiwa_split_jax']}")
+    if have_pallas:
+        C["iiwa_pcg_pallas"] = bench_single(iiwa, opts, "pallas", T=256)
+        _log(f"iiwa pallas: {C['iiwa_pcg_pallas']}")
+        C["iiwa_fused"] = bench_single(iiwa, opts, "fused", T=512)
+        _log(f"iiwa fused: {C['iiwa_fused']}")
+        poly2 = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3,
+                              precond_poly_degree=2)
+        C["iiwa_fused_poly2"] = bench_single(iiwa, poly2, "fused", T=512)
+        _log(f"iiwa fused poly2: {C['iiwa_fused_poly2']}")
     for K in (100, 250, 500):
         C[f"iiwa_horizon_{K}_pcg"] = bench_single(
-            ProblemSpec(14, 7, K), opts, "jax", T=20)
-        _log(f"horizon {K}: {C[f'iiwa_horizon_{K}_pcg']}")
+            ProblemSpec(14, 7, K), opts, "jax", T=max(32, 6400 // K))
+        _log(f"horizon {K} jax: {C[f'iiwa_horizon_{K}_pcg']}")
+        if have_pallas:
+            C[f"iiwa_horizon_{K}_fused"] = bench_single(
+                ProblemSpec(14, 7, K), opts, "fused", T=max(64, 25600 // K))
+            _log(f"horizon {K} fused: {C[f'iiwa_horizon_{K}_fused']}")
 
     if have_pallas:
-        C["iiwa_batch_256_fused"] = bench_batch(iiwa, opts, "fused")
+        C["iiwa_batch_256_fused"] = bench_batch(iiwa, opts, "fused", T=32)
         _log(f"batch fused: {C['iiwa_batch_256_fused']}")
-        C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas")
+        C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas", T=6)
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
-    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None)
+    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=6)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
     C["iiwa_mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)
     _log(f"mpc sequence: {C['iiwa_mpc_sequence_64']}")
 
     pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
-    best_name, best_ms = min(
-        [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])],
-        key=lambda kv: kv[1],
-    )
+    candidates = [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])]
+    if have_pallas:
+        candidates.append(("fused", C["iiwa_fused"]["avg_ms_device"]))
+        candidates.append(("fused_poly2", C["iiwa_fused_poly2"]["avg_ms_device"]))
+    best_name, best_ms = min(candidates, key=lambda kv: kv[1])
     detail["headline_method"] = best_name
 
     with open("BENCH_DETAIL.json", "w") as f:

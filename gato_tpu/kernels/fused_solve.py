@@ -217,7 +217,7 @@ def _fused_kernel(
     rho_ref, tol_ref, maxit_ref,                      # SMEM scalars
     Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
     lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
-    *, s: int, c: int, K_sub: int, g: int, sp: int,
+    *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
 ):
     dt = q_ref.dtype
     rho = rho_ref[0]
@@ -297,8 +297,16 @@ def _fused_kernel(
     mvS = functools.partial(btd_mv, S_left, S_main, S_right)
     mvP = functools.partial(btd_mv, P_left, thinv, P_right)
 
+    def apply_P(rv):
+        # Polynomial composition (SolverOptions.precond_poly_degree), Horner
+        # form — identical formula to pcg.apply_P so iteration counts match.
+        y = mvP(rv)
+        for _ in range(poly_degree - 1):
+            y = y + mvP(rv - mvS(y))
+        return y
+
     r0 = gamma - mvS(lam0)
-    rt0 = mvP(r0)
+    rt0 = apply_P(r0)
     eta0 = dot(r0, rt0)
 
     def cond(st):
@@ -315,7 +323,7 @@ def _fused_kernel(
         alpha_l = lanes(alpha)
         lam_n = lam + alpha_l * p
         r_n = rr - alpha_l * upsilon
-        r_tilde = mvP(r_n)
+        r_tilde = apply_P(r_n)
         eta_new = dot(r_n, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
@@ -354,7 +362,8 @@ def _fused_kernel(
 
 def solve_fused_batched(
     Q, R, A, B, q, r, c, lam0=None, *,
-    rho=0.0, exit_tol=1e-6, max_iters=100, interpret: bool = False,
+    rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
+    interpret: bool = False,
 ):
     """Whole batched solve (condense+PCG+recover) in fused TPU kernels.
 
@@ -396,7 +405,8 @@ def solve_fused_batched(
     )
 
     lam_p, dzx_p, dzu_p, iters, conv, eta = pl.pallas_call(
-        functools.partial(_fused_kernel, s=s, c=cdim, K_sub=K_sub, g=g, sp=sp),
+        functools.partial(_fused_kernel, s=s, c=cdim, K_sub=K_sub, g=g, sp=sp,
+                          poly_degree=poly_degree),
         grid=(n_groups,),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),

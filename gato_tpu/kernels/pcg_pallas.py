@@ -175,7 +175,7 @@ def _pcg_kernel(
     tol_ref, maxit_ref,                     # SMEM scalars
     S_ref, P_ref, gam_ref, lam0_ref,        # VMEM tensors
     lam_out, iters_out, conv_out, eta_out,  # outputs
-    *, s: int, K_sub: int, g: int,
+    *, s: int, K_sub: int, g: int, poly_degree: int = 1,
 ):
     S = S_ref[:]
     P = P_ref[:]
@@ -216,10 +216,18 @@ def _pcg_kernel(
     def dot(a, b):
         return seg_sum(a * b)  # (1, g)
 
+    def apply_P(rv):
+        # Polynomial composition (SolverOptions.precond_poly_degree), Horner
+        # form — identical formula to pcg.apply_P so iteration counts match.
+        y = mv(P, rv)
+        for _ in range(poly_degree - 1):
+            y = y + mv(P, rv - mv(S, y))
+        return y
+
     # r0 = gamma - S lam0 (cold start: lam0 = 0 -> r0 = gamma, like the
     # reference's unconditional reset, gato_pcg.cuh:296-304; warm start real).
     r = gam - mv(S, lam0)
-    r_tilde = mv(P, r)
+    r_tilde = apply_P(r)
     p = r_tilde
     eta = dot(r, r_tilde)  # (1, g)
 
@@ -239,7 +247,7 @@ def _pcg_kernel(
         alpha_l = lanes(alpha)
         lam_n = lam + alpha_l * p
         r_n = r - alpha_l * upsilon
-        r_tilde = mv(P, r_n)
+        r_tilde = apply_P(r_n)
         eta_new = dot(r_n, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol             # (1, g)
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
@@ -279,6 +287,7 @@ def pcg_fused_batched(
     *,
     exit_tol=1e-6,
     max_iters=100,
+    poly_degree: int = 1,
     interpret: bool = False,
 ) -> PCGResult:
     """Solve a batch of block-tridiagonal systems in fused TPU kernels.
@@ -326,7 +335,7 @@ def pcg_fused_batched(
             tol_ref, maxit_ref,
             S_ref.at[0], P_ref.at[0], gam_ref.at[0], lam0_ref.at[0],
             lam_out.at[0], iters_out.at[0], conv_out.at[0], eta_out.at[0],
-            s=s, K_sub=K_sub, g=g,
+            s=s, K_sub=K_sub, g=g, poly_degree=poly_degree,
         )
 
     lam_p, iters, conv, eta = pl.pallas_call(
@@ -375,13 +384,15 @@ def pcg_fused(
     *,
     exit_tol=1e-6,
     max_iters=100,
+    poly_degree: int = 1,
     interpret: bool = False,
 ) -> PCGResult:
     """Single-problem fused solve: same contract as pcg.pcg."""
     res = pcg_fused_batched(
         S[None], Pinv[None], gamma[None],
         None if lam0 is None else lam0[None],
-        exit_tol=exit_tol, max_iters=max_iters, interpret=interpret,
+        exit_tol=exit_tol, max_iters=max_iters, poly_degree=poly_degree,
+        interpret=interpret,
     )
     return PCGResult(
         lam=res.lam[0], iters=res.iters[0],

@@ -33,12 +33,16 @@ from .problem import Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, _cached_const
 
 
-@functools.partial(jax.jit, static_argnames=("preconditioner", "pcg_backend"))
+@functools.partial(
+    jax.jit,
+    static_argnames=("preconditioner", "pcg_backend", "poly_degree"),
+)
 def _solve_sequence_core(
     Q, R, A, B, q, r, c,        # leading T axis on every array
     lam0, rhos, exit_tol, max_iters,
     preconditioner: Preconditioner,
     pcg_backend: str,
+    poly_degree: int = 1,
 ):
     def step(lam_carry, xs):
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
@@ -50,11 +54,13 @@ def _solve_sequence_core(
             res = pcg_pallas.pcg_fused(
                 sys.S, sys.Pinv, sys.gamma, lam_carry,
                 exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
             )
         else:
             res = pcg_mod.pcg(
                 sys.S, sys.Pinv, sys.gamma, lam_carry,
                 exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
             )
         dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, At, Bt, qt, rt,
                                         res.lam)
@@ -123,4 +129,5 @@ def solve_sequence(
         _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
+        options.precond_poly_degree,
     )

@@ -89,6 +89,7 @@ def pcg_sharded(
     *,
     exit_tol=1e-6,
     max_iters=100,
+    poly_degree: int = 1,
     axis_name: str = "knot",
 ) -> PCGResult:
     """PCG with the knot axis sharded over ``mesh[axis_name]``.
@@ -118,7 +119,7 @@ def pcg_sharded(
         return pcg(
             S_l, Pinv_l, gamma_l, lam0_l,
             exit_tol=exit_tol, max_iters=max_iters,
-            matvec=matvec, dot=dot,
+            matvec=matvec, dot=dot, poly_degree=poly_degree,
         )
 
     if lam0 is None:
@@ -135,6 +136,7 @@ def solve_sharded(
     exit_tol=1e-6,
     max_iters=100,
     preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR,
+    poly_degree: int = 1,
     axis_name: str = "knot",
 ):
     """Full solve with the knot axis sharded across the mesh.
@@ -182,7 +184,8 @@ def solve_sharded(
 
     res = pcg_sharded(
         mesh, S, Pinv, gamma, lam0,
-        exit_tol=exit_tol, max_iters=max_iters, axis_name=axis_name,
+        exit_tol=exit_tol, max_iters=max_iters, poly_degree=poly_degree,
+        axis_name=axis_name,
     )
 
     @jax.jit

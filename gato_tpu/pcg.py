@@ -70,6 +70,7 @@ def pcg(
     max_iters: jnp.ndarray | int = 100,
     matvec: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = btd_matvec,
     dot: Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray] = _dot,
+    poly_degree: int = 1,
 ) -> PCGResult:
     """Solve S lam = gamma.  ``exit_tol`` and ``max_iters`` are runtime values
     (no retrace when they change).
@@ -79,7 +80,18 @@ def pcg(
     psum-reducing dot, turning this same loop into a multi-chip solver — the
     TPU-native analog of the reference's cooperative-kernel barriers and
     atomicAdd all-reduces.
+
+    ``poly_degree`` composes the preconditioner polynomially (see
+    SolverOptions.precond_poly_degree):  M_d r = P sum_{i<d} (I - S P)^i r,
+    evaluated in Horner form — y_1 = P r; y_{j+1} = y_j + P (r - S y_j).
+    Degree 1 is the reference's plain application (gato_pcg.cuh:341-346).
     """
+
+    def apply_P(r):
+        y = matvec(Pinv, r)
+        for _ in range(poly_degree - 1):
+            y = y + matvec(Pinv, r - matvec(S, y))
+        return y
     dt = gamma.dtype
     max_iters = jnp.asarray(max_iters, jnp.int32)
     exit_tol = jnp.asarray(exit_tol, dt)
@@ -91,7 +103,7 @@ def pcg(
         lam = lam0.astype(dt)
         rvec = gamma - matvec(S, lam)
 
-    r_tilde = matvec(Pinv, rvec)
+    r_tilde = apply_P(rvec)
     p = r_tilde
     eta = dot(rvec, r_tilde)
 
@@ -113,7 +125,7 @@ def pcg(
         alpha = jnp.where(nu != 0, st.eta / nu, jnp.zeros_like(nu))
         lam = st.lam + alpha * st.p
         rvec = st.r - alpha * upsilon
-        r_tilde = matvec(Pinv, rvec)
+        r_tilde = apply_P(rvec)
         eta_new = dot(rvec, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol
 

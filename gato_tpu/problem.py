@@ -110,6 +110,17 @@ class SolverOptions:
       method: 'pcg' (the reference's algorithm) or 'direct' (exact block
         Thomas elimination, see direct.py — no reference equivalent; ignores
         exit_tol/max_iters/warm_start/preconditioner and reports iters=0).
+      precond_poly_degree: polynomial composition of the preconditioner —
+        PCG applies  M_d r = P sum_{i<d} (I - S P)^i r  instead of P r
+        (Horner form, pcg.py).  Degree 1 (default) is the reference's plain
+        application; degree d costs 2(d-1) extra block-tridiag matvecs per
+        iteration and cuts iterations (measured on IIWA (14,7,50), rho=1e-3,
+        tol=1e-6: 27 -> 19 -> 16 for d=1,2,3).  An extension in the spirit of
+        the reference's compile-time PRECONDITIONER_BANDWIDTH knob
+        (gato_defines.h:11) — wider effective bandwidth without storing
+        wider-band blocks.  Note the composed operator is SPD for any d when
+        the spectrum of P S stays below 2 (true for the stair preconditioner
+        on these systems); degree 1 never has the caveat.
       dtype: compute dtype; the reference is float32 throughout.
     """
 
@@ -119,6 +130,7 @@ class SolverOptions:
     rho: float = 0.0
     preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR
     method: str = "pcg"
+    precond_poly_degree: int = 1
     dtype: str = "float32"
 
 

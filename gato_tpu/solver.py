@@ -72,7 +72,8 @@ def _direct_result(sys, batched: bool):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("preconditioner", "pcg_backend", "method")
+    jax.jit,
+    static_argnames=("preconditioner", "pcg_backend", "method", "poly_degree"),
 )
 def _solve_core(
     Q, R, A, B, q, r, c,
@@ -80,6 +81,7 @@ def _solve_core(
     preconditioner: Preconditioner,
     pcg_backend: str,
     method: str = "pcg",
+    poly_degree: int = 1,
 ):
     if pcg_backend == "fused" and method == "pcg":
         # Whole solve in one Pallas program (B=1 lane packing) — the
@@ -92,6 +94,7 @@ def _solve_core(
             Q[None], R[None], A[None], B[None],
             q[None], r[None], c[None], lam0[None],
             rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
         )
         return SolveResult(
             lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
@@ -108,11 +111,13 @@ def _solve_core(
         res = pcg_pallas.pcg_fused(
             sys.S, sys.Pinv, sys.gamma, lam0,
             exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
         )
     else:
         res = pcg_mod.pcg(
             sys.S, sys.Pinv, sys.gamma, lam0,
             exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
         )
     dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, res.lam)
     return SolveResult(
@@ -278,17 +283,20 @@ def solve(
         options.preconditioner,
         backend,
         options.method,
+        options.precond_poly_degree,
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("preconditioner", "pcg_backend", "method")
+    jax.jit,
+    static_argnames=("preconditioner", "pcg_backend", "method", "poly_degree"),
 )
 def _solve_batched_core(
     Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
     preconditioner: Preconditioner,
     pcg_backend: str,
     method: str = "pcg",
+    poly_degree: int = 1,
 ):
     if pcg_backend == "fused" and method == "pcg":
         # Whole solve (condense + PCG + recovery) in one Pallas program —
@@ -299,6 +307,7 @@ def _solve_batched_core(
         res, dz_x, dz_u = fused_solve.solve_fused_batched(
             Q, R, A, B, q, r, c, lam0,
             rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
         )
         return SolveResult(
             lam=res.lam, dz_x=dz_x, dz_u=dz_u,
@@ -316,11 +325,13 @@ def _solve_batched_core(
         res = pcg_pallas.pcg_fused_batched(
             sys.S, sys.Pinv, sys.gamma, lam0,
             exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
         )
     else:
         res = jax.vmap(
             lambda S, P, g, l: pcg_mod.pcg(
-                S, P, g, l, exit_tol=exit_tol, max_iters=max_iters
+                S, P, g, l, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
             )
         )(sys.S, sys.Pinv, sys.gamma, lam0)
     dz_x, dz_u = jax.vmap(recover.recover_dz)(
@@ -367,4 +378,5 @@ def solve_batched(
         options.preconditioner,
         backend,
         options.method,
+        options.precond_poly_degree,
     )
