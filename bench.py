@@ -302,7 +302,7 @@ def bench_batch(spec, options, backend, batch=256, *, T=12):
     }
 
 
-def bench_mpc_sequence(spec, options, T=64, reps=7):
+def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
     """BASELINE config 3: warm-start MPC-style repeated solves as ONE
     on-device lax.scan (gato_tpu.mpc.solve_sequence), differencing sequence
     lengths T vs 2T.  Q varies across steps (an SQP relinearization), so the
@@ -330,15 +330,17 @@ def bench_mpc_sequence(spec, options, T=64, reps=7):
         return seq
 
     seq1, seq2 = make_seq(T), make_seq(2 * T)
-    res = solve_sequence(spec, seq1, options)
+    res = solve_sequence(spec, seq1, options, pcg_backend=pcg_backend)
     float(jnp.sum(res.lam))  # compile T + execute
-    float(jnp.sum(solve_sequence(spec, seq2, options).lam))  # compile 2T
+    float(jnp.sum(solve_sequence(spec, seq2, options,
+                                 pcg_backend=pcg_backend).lam))  # compile 2T
     iters_per_step = [int(x) for x in res.iters]
 
     def timed(seq, i):
         s2 = seq._replace(q=seq.q * (1.0 + 1e-6 * (i + 1)))
         t0 = time.perf_counter()
-        float(jnp.sum(solve_sequence(spec, s2, options).lam))
+        float(jnp.sum(solve_sequence(spec, s2, options,
+                                     pcg_backend=pcg_backend).lam))
         return (time.perf_counter() - t0) * 1e3
 
     estimates = []
@@ -467,8 +469,12 @@ def main():
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
     C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=6)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
-    C["iiwa_mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts)
-    _log(f"mpc sequence: {C['iiwa_mpc_sequence_64']}")
+    C["iiwa_mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts,
+                                                   pcg_backend="jax")
+    _log(f"mpc sequence (jax): {C['iiwa_mpc_sequence_64']}")
+    if have_pallas:
+        C["iiwa_mpc_sequence_64_fused"] = bench_mpc_sequence(iiwa, opts)
+        _log(f"mpc sequence (fused): {C['iiwa_mpc_sequence_64_fused']}")
 
     pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
     candidates = [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])]

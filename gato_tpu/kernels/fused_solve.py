@@ -272,18 +272,28 @@ def _fused_kernel(
     # so P_left/P_right vanish there structurally.
 
     # ---- PCG (pcg_pallas semantics) ---------------------------------------
-    lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
-    prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
-    seg = (lane_seg == prob_ids).astype(dt)
+    if g == 1:
+        # Single problem per program: whole-tile sums / lane broadcasts,
+        # no MXU segment matmuls (see pcg_pallas._pcg_kernel).
+        def seg_sum(z):
+            row = jnp.sum(z, axis=0, keepdims=True)
+            return jnp.sum(row, axis=1, keepdims=True)
 
-    def seg_sum(z):
-        row = jnp.sum(z, axis=0, keepdims=True)
-        return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        def lanes(per):
+            return jnp.broadcast_to(per, (1, L))
+    else:
+        lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
+        prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
+        seg = (lane_seg == prob_ids).astype(dt)
 
-    def lanes(per):
-        return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
-                                   preferred_element_type=jnp.float32)
+        def seg_sum(z):
+            row = jnp.sum(z, axis=0, keepdims=True)
+            return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def lanes(per):
+            return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
 
     def dot(a, b):
         return seg_sum(a * b)
@@ -315,8 +325,6 @@ def _fused_kernel(
 
     def body(st):
         lam, rr, p, eta, it, n_iters, conv = st
-        live = (conv == 0)
-        live_l = lanes(live.astype(dt))
         upsilon = mvS(p)
         nu = dot(p, upsilon)
         alpha = jnp.where(nu != 0, eta / nu, 0.0)
@@ -329,12 +337,21 @@ def _fused_kernel(
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + lanes(beta) * p
 
-        lam = live_l * lam_n + (1.0 - live_l) * lam
-        rr = live_l * r_n + (1.0 - live_l) * rr
-        p = live_l * p_n + (1.0 - live_l) * p
-        eta = jnp.where(live, eta_new, eta)
-        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
-        conv = jnp.maximum(conv, conv_now.astype(i32))
+        if g == 1:
+            # cond exits on convergence — no freeze-masking needed (see
+            # pcg_pallas._pcg_kernel).
+            lam, rr, p, eta = lam_n, r_n, p_n, eta_new
+            n_iters = jnp.where(conv_now, it, n_iters)
+            conv = jnp.maximum(conv, conv_now.astype(i32))
+        else:
+            live = (conv == 0)
+            live_l = lanes(live.astype(dt))
+            lam = live_l * lam_n + (1.0 - live_l) * lam
+            rr = live_l * r_n + (1.0 - live_l) * rr
+            p = live_l * p_n + (1.0 - live_l) * p
+            eta = jnp.where(live, eta_new, eta)
+            n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
+            conv = jnp.maximum(conv, conv_now.astype(i32))
         return (lam, rr, p, eta, it + 1, n_iters, conv)
 
     init = (lam0, r0, rt0, eta0, jnp.zeros((), i32),

@@ -188,30 +188,41 @@ def _pcg_kernel(
 
     mv = functools.partial(_matvec_lanes, s=s)
 
-    # Constant 0/1 segment matrix: Seg[l, j] = 1 iff lane l belongs to
-    # problem j of this group.  Built from iota; hoisted by the compiler.
-    lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
-    prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
-    seg = (lane_seg == prob_ids).astype(gam.dtype)  # (L, g)
+    if g == 1:
+        # Single problem per program: per-problem reductions degenerate to
+        # whole-tile sums and lane broadcasts — no MXU segment matmuls needed
+        # (two-step reduction: Mosaic cannot legalize multi-axis keepdims).
+        def seg_sum(z):
+            row = jnp.sum(z, axis=0, keepdims=True)              # (1, L)
+            return jnp.sum(row, axis=1, keepdims=True)           # (1, 1)
 
-    def seg_sum(z):
-        """(sp, L) -> per-problem sums (1, g), via one MXU pass."""
-        row = jnp.sum(z, axis=0, keepdims=True)                  # (1, L)
-        return jax.lax.dot_general(                              # (1, g)
-            row, seg, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        def lanes(per):
+            return jnp.broadcast_to(per, (1, L))
+    else:
+        # Constant 0/1 segment matrix: Seg[l, j] = 1 iff lane l belongs to
+        # problem j of this group.  Built from iota; hoisted by the compiler.
+        lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
+        prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
+        seg = (lane_seg == prob_ids).astype(gam.dtype)  # (L, g)
 
-    def lanes(per):
-        """(1, g) per-problem values -> (1, L) lane broadcast, one MXU pass.
+        def seg_sum(z):
+            """(sp, L) -> per-problem sums (1, g), via one MXU pass."""
+            row = jnp.sum(z, axis=0, keepdims=True)              # (1, L)
+            return jax.lax.dot_general(                          # (1, g)
+                row, seg, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
-        (pltpu.repeat is NOT usable here: it tiles [a,b,a,b,...] rather than
-        element-repeating [a,a,...,b,b,...], which would scatter problems'
-        scalars across the wrong lane segments.)"""
-        return jax.lax.dot_general(
-            per, seg, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
+        def lanes(per):
+            """(1, g) per-problem values -> (1, L) lane broadcast, one MXU pass.
+
+            (pltpu.repeat is NOT usable here: it tiles [a,b,a,b,...] rather
+            than element-repeating [a,a,...,b,b,...], which would scatter
+            problems' scalars across the wrong lane segments.)"""
+            return jax.lax.dot_general(
+                per, seg, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
 
     def dot(a, b):
         return seg_sum(a * b)  # (1, g)
@@ -239,8 +250,6 @@ def _pcg_kernel(
 
     def body(st):
         lam, r, p, eta, it, n_iters, conv = st
-        live = (conv == 0)                     # (1, g)
-        live_l = lanes(live.astype(gam.dtype)) # (1, L) 1.0/0.0
         upsilon = mv(S, p)
         nu = dot(p, upsilon)
         alpha = jnp.where(nu != 0, eta / nu, 0.0)          # (1, g)
@@ -253,13 +262,23 @@ def _pcg_kernel(
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + lanes(beta) * p
 
-        # Per-problem freeze after convergence (matches pcg.pcg / vmap).
-        lam = live_l * lam_n + (1.0 - live_l) * lam
-        r = live_l * r_n + (1.0 - live_l) * r
-        p = live_l * p_n + (1.0 - live_l) * p
-        eta = jnp.where(live, eta_new, eta)
-        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
-        conv = jnp.maximum(conv, conv_now.astype(i32))
+        if g == 1:
+            # The while cond exits the moment the problem converges, so no
+            # freeze-masking is needed (matches pcg.pcg's single semantics:
+            # the converging update IS applied, then the loop exits).
+            lam, r, p, eta = lam_n, r_n, p_n, eta_new
+            n_iters = jnp.where(conv_now, it, n_iters)
+            conv = jnp.maximum(conv, conv_now.astype(i32))
+        else:
+            # Per-problem freeze after convergence (matches pcg.pcg / vmap).
+            live = (conv == 0)                      # (1, g)
+            live_l = lanes(live.astype(gam.dtype))  # (1, L) 1.0/0.0
+            lam = live_l * lam_n + (1.0 - live_l) * lam
+            r = live_l * r_n + (1.0 - live_l) * r
+            p = live_l * p_n + (1.0 - live_l) * p
+            eta = jnp.where(live, eta_new, eta)
+            n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
+            conv = jnp.maximum(conv, conv_now.astype(i32))
         return (lam, r, p, eta, it + 1, n_iters, conv)
 
     init = (

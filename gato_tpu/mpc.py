@@ -46,6 +46,24 @@ def _solve_sequence_core(
 ):
     def step(lam_carry, xs):
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
+        if pcg_backend == "fused":
+            # Whole per-step solve (condense + PCG + recover) in one Pallas
+            # program, warm-started from the carry — the fastest MPC path on
+            # TPU (each step re-linearizes, so in-kernel condensation is on
+            # the critical path every step).
+            from .kernels import fused_solve
+
+            res, dz_x, dz_u = fused_solve.solve_fused_batched(
+                Qt[None], Rt[None], At[None], Bt[None],
+                qt[None], rt[None], ct[None], lam_carry[None],
+                rho=rho_t, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
+            )
+            out = SolveResult(lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
+                              iters=res.iters[0],
+                              converged=res.converged[0] != 0,
+                              eta=res.eta[0])
+            return out.lam, out
         sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
                                 preconditioner)
         if pcg_backend == "pallas":
@@ -108,19 +126,30 @@ def solve_sequence(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
-    # Default is the lax.while_loop PCG: a pallas_call inside scan is legal
-    # ('pallas' is honored if asked), but per-step problems are single (no
-    # lane batching to win) and the pure path avoids per-step pack/unpack
-    # relayouts.  The whole-solve 'fused' kernel re-condenses in-kernel and
-    # has no per-step warm-start staging here — explicitly unsupported.
+    # Portable default is the lax.while_loop PCG; on TPU the auto default is
+    # the per-step fused whole-solve kernel (warm-started from the carry).
+    # Explicit requests that can't be honored raise — no silent degradation.
+    from .problem import Preconditioner
+    from .solver import default_pcg_backend
+
+    fused_ok = options.preconditioner == Preconditioner.SYMMETRIC_STAIR
     if pcg_backend is None:
-        backend = "jax"
+        backend = default_pcg_backend(spec=spec)
+        if backend == "fused" and not fused_ok:
+            backend = "jax"
     elif pcg_backend in ("jax", "pallas"):
         backend = pcg_backend
+    elif pcg_backend == "fused":
+        if not fused_ok:
+            raise ValueError(
+                "pcg_backend='fused' in solve_sequence requires "
+                "Preconditioner.SYMMETRIC_STAIR"
+            )
+        backend = "fused"
     else:
         raise ValueError(
-            f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas'); "
-            f"got {pcg_backend!r}"
+            f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas', "
+            f"'fused'); got {pcg_backend!r}"
         )
     return _solve_sequence_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,

@@ -57,13 +57,29 @@ def test_direct_rejects_pcg_backends():
     solve(SPEC, _blocks(), opts, pcg_backend="jax")
 
 
-def test_sequence_rejects_fused_and_unknown():
+def test_sequence_rejects_unknown_and_incompatible():
     seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (3,) + a.shape)
                       for a in _blocks()))
     with pytest.raises(ValueError, match="solve_sequence supports"):
-        solve_sequence(SPEC, seq, OPTS, pcg_backend="fused")
-    with pytest.raises(ValueError, match="solve_sequence supports"):
         solve_sequence(SPEC, seq, OPTS, pcg_backend="nope")
+    bj = SolverOptions(rho=0.01, preconditioner=Preconditioner.BLOCK_JACOBI)
+    with pytest.raises(ValueError, match="SYMMETRIC_STAIR"):
+        solve_sequence(SPEC, seq, bj, pcg_backend="fused")
+
+
+def test_sequence_honors_fused():
+    """Per-step fused whole-solve kernel in the scan, warm-started from the
+    carry: iteration counts must match the jax path exactly."""
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (4,) + a.shape)
+                      for a in _blocks()))
+    opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=60)
+    ref = solve_sequence(SPEC, seq, opts, pcg_backend="jax")
+    got = solve_sequence(SPEC, seq, opts, pcg_backend="fused")
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.dz_u), np.asarray(ref.dz_u),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sequence_honors_pallas():
