@@ -106,13 +106,22 @@ def _solve_core(
     if method == "direct":
         res = _direct_result(sys, batched=False)
     elif pcg_backend == "pallas":
-        from .kernels import pcg_pallas
+        from .kernels import pcg_pallas, pcg_streamed
 
-        res = pcg_pallas.pcg_fused(
-            sys.S, sys.Pinv, sys.gamma, lam0,
-            exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree,
-        )
+        if pcg_pallas.fits_vmem(q.shape[0], q.shape[1]):
+            res = pcg_pallas.pcg_fused(
+                sys.S, sys.Pinv, sys.gamma, lam0,
+                exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
+            )
+        else:
+            # Over the VMEM budget: HBM-streamed kernel — the check_sms ->
+            # parallelPCG_fixed decision (gato_utils.cuh:829-854).
+            res = pcg_streamed.pcg_streamed(
+                sys.S, sys.Pinv, sys.gamma, lam0,
+                exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
+            )
     else:
         res = pcg_mod.pcg(
             sys.S, sys.Pinv, sys.gamma, lam0,
@@ -175,8 +184,9 @@ def default_pcg_backend(
       (condensation at XLA's layout is ~87% of the 'jax' path's latency).
       Requires the symmetric-stair preconditioner (the default); other
       preconditioners fall back to 'pallas' (see _resolve_backend).
-    * TPU, horizon too long for VMEM residency: 'jax' — the HBM-streamed
-      fallback, playing the role of the reference's strided
+    * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas' —
+      XLA condensation + the resident-or-HBM-streamed PCG kernel
+      (kernels/pcg_streamed.py), the role of the reference's strided
       ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its ``check_sms``
       capacity decision (gato_utils.cuh:829-854).
     """
@@ -194,7 +204,7 @@ def default_pcg_backend(
     if spec is not None and not fused_solve.fits_vmem(
         spec.knot_points, spec.state_size, spec.control_size
     ):
-        return "jax"
+        return "pallas"
     return "fused"
 
 
@@ -219,11 +229,8 @@ def _resolve_backend(
         backend = default_pcg_backend(batched, spec=spec)
         if backend == "fused" and not fused_ok:
             backend = "pallas" if options.method == "pcg" else "jax"
-        if backend == "pallas" and spec is not None:
-            from .kernels import pcg_pallas
-
-            if not pcg_pallas.fits_vmem(spec.knot_points, spec.state_size):
-                backend = "jax"
+        if backend == "pallas" and options.method != "pcg":
+            backend = "jax"
         return backend
     if pcg_backend not in VALID_PCG_BACKENDS:
         raise ValueError(
@@ -320,13 +327,20 @@ def _solve_batched_core(
     if method == "direct":
         res = _direct_result(sys, batched=True)
     elif pcg_backend == "pallas":
-        from .kernels import pcg_pallas
+        from .kernels import pcg_pallas, pcg_streamed
 
-        res = pcg_pallas.pcg_fused_batched(
-            sys.S, sys.Pinv, sys.gamma, lam0,
-            exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree,
-        )
+        if pcg_pallas.fits_vmem(q.shape[1], q.shape[2]):
+            res = pcg_pallas.pcg_fused_batched(
+                sys.S, sys.Pinv, sys.gamma, lam0,
+                exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
+            )
+        else:
+            res = pcg_streamed.pcg_streamed_batched(
+                sys.S, sys.Pinv, sys.gamma, lam0,
+                exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree,
+            )
     else:
         res = jax.vmap(
             lambda S, P, g, l: pcg_mod.pcg(

@@ -110,31 +110,71 @@ def test_single_problem_fused_matches_jax():
                                rtol=1e-4, atol=1e-5)
 
 
-def test_resolve_backend_auto_falls_back_on_long_horizon():
-    """IIWA-width K=4096 exceeds the VMEM lane budget: the Pallas tiers must
-    not be auto-selected (the 'jax' while_loop is the HBM-streamed fallback,
-    the role of parallelPCG_fixed, gato_pcg.cuh:17-268)."""
+def test_vmem_budget_decisions_on_long_horizon():
+    """IIWA-width K=4096 exceeds the VMEM lane budget: the resident kernels
+    must refuse it loudly, and fits_vmem must gate the dispatch (the
+    check_sms analog, gato_utils.cuh:829-854)."""
     from gato_tpu.kernels import fused_solve, pcg_pallas
 
-    long_spec = ProblemSpec(14, 7, 4096)
     assert not fused_solve.fits_vmem(4096, 14, 7)
     assert not pcg_pallas.fits_vmem(4096, 14)
     assert fused_solve.fits_vmem(500, 14, 7)
-    assert _resolve_backend(None, OPTS, batched=False, spec=long_spec) == "jax"
     with pytest.raises(ValueError, match="VMEM"):
         fused_solve.plan_packing(1, 4096, 14, 7)
     with pytest.raises(ValueError, match="VMEM"):
         pcg_pallas.plan_packing(1, 8192, 14)
+    # On this (CPU) test platform auto-selection is always 'jax'; the
+    # TPU-side long-horizon auto choice ('pallas' -> streamed) is asserted
+    # structurally: the streamed module exists and handles the shape.
+    assert _resolve_backend(None, OPTS, batched=False,
+                            spec=ProblemSpec(14, 7, 4096)) == "jax"
 
 
-def test_long_horizon_solve_succeeds_via_fallback():
-    """End-to-end auto-backend solve at a horizon past the VMEM budget."""
-    spec = ProblemSpec(14, 7, 4096)
+def test_streamed_matvec_matches_btd():
+    from gato_tpu.blocktri import btd_matvec
+    from gato_tpu.kernels import pcg_streamed as ps
+    from gato_tpu import assemble
+    from gato_tpu.problem import Preconditioner
+
+    spec = ProblemSpec(6, 3, 300)
+    b = random_blocks(spec, seed=5)
+    sys = assemble.condense(*(jnp.asarray(a) for a in b), jnp.float32(1e-2),
+                            Preconditioner.SYMMETRIC_STAIR)
+    x = jnp.asarray(np.random.default_rng(0).normal(
+        size=(spec.knot_points, spec.state_size)).astype(np.float32))
+    ref = btd_matvec(sys.S, x)
+    K_pad, Lc, n_chunks, sp = ps.plan_chunks(spec.knot_points,
+                                             spec.state_size)
+    # Force several chunks so the halo patching is exercised.
+    Lc, n_chunks = 128, K_pad // 128
+    Sp = ps._pack_operator(sys.S, K_pad, sp)
+    xp = ps._pack_vec(x, K_pad, sp)
+    got = ps.streamed_matvec(Sp, xp, s=spec.state_size, Lc=Lc,
+                             n_chunks=n_chunks, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got[: spec.state_size, : spec.knot_points].T),
+        np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+def test_long_horizon_streamed_parity_and_fallback():
+    """K past the PCG kernel's VMEM budget: explicit 'pallas' routes to the
+    HBM-streamed kernel (the parallelPCG_fixed analog) with exact iteration
+    parity vs the 'jax' oracle; auto-selection also succeeds end-to-end."""
+    from gato_tpu.kernels import pcg_pallas
+
+    spec = ProblemSpec(14, 7, 1024)
+    assert not pcg_pallas.fits_vmem(spec.knot_points, spec.state_size)
     blocks = random_blocks(spec, seed=1)
-    res = solve(spec, blocks, SolverOptions(rho=0.01, exit_tol=1e-6,
-                                            max_iters=500))
-    assert bool(res.converged)
-    assert np.all(np.isfinite(np.asarray(res.lam)))
+    opts = SolverOptions(rho=0.01, exit_tol=1e-6, max_iters=300)
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="pallas")  # -> streamed
+    assert bool(ref.converged) and bool(got.converged)
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-3, atol=1e-4)
+    auto = solve(spec, blocks, opts)  # auto backend on this platform
+    assert bool(auto.converged)
+    assert np.all(np.isfinite(np.asarray(auto.lam)))
 
 
 def test_valid_backends_are_exhaustive():
