@@ -459,7 +459,8 @@ def main():
         _log(f"horizon {K} jax: {C[f'iiwa_horizon_{K}_pcg']}")
         if have_pallas:
             C[f"iiwa_horizon_{K}_fused"] = bench_single(
-                ProblemSpec(14, 7, K), opts, "fused", T=max(64, 25600 // K))
+                ProblemSpec(14, 7, K), opts, "fused",
+                T=512 if K <= 256 else 256)
             _log(f"horizon {K} fused: {C[f'iiwa_horizon_{K}_fused']}")
 
     if have_pallas:
@@ -469,12 +470,14 @@ def main():
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
     C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=6)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
-    C["iiwa_mpc_sequence_64"] = bench_mpc_sequence(iiwa, opts,
-                                                   pcg_backend="jax")
-    _log(f"mpc sequence (jax): {C['iiwa_mpc_sequence_64']}")
+    C["iiwa_mpc_sequence"] = bench_mpc_sequence(iiwa, opts, T=128,
+                                                pcg_backend="jax")
+    _log(f"mpc sequence (jax): {C['iiwa_mpc_sequence']}")
     if have_pallas:
-        C["iiwa_mpc_sequence_64_fused"] = bench_mpc_sequence(iiwa, opts)
-        _log(f"mpc sequence (fused): {C['iiwa_mpc_sequence_64_fused']}")
+        # The fused step is ~10x faster, so the sequence-length differencing
+        # needs a much longer sequence to rise above transport jitter.
+        C["iiwa_mpc_sequence_fused"] = bench_mpc_sequence(iiwa, opts, T=1024)
+        _log(f"mpc sequence (fused): {C['iiwa_mpc_sequence_fused']}")
 
     pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
     candidates = [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])]
