@@ -377,6 +377,54 @@ def _fused_kernel(
     eta_out[0] = jnp.broadcast_to(lanes(jnp.abs(eta)), out_shape)
 
 
+def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
+                s, c, K_sub, g, L, sp, n_groups, flops_scale,
+                poly_degree, interpret):
+    """Invoke the fused kernel on pre-packed arrays; returns packed outputs."""
+    dt = qb.dtype
+
+    def mat_spec(ncols):
+        return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aux_spec = pl.BlockSpec((1, _SUBLANE, L), lambda i: (i, 0, 0),
+                            memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    cost = pl.CostEstimate(
+        flops=int(flops_scale * s * s * (6 * s + 100 * 6)),
+        bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4),
+        transcendentals=0,
+    )
+
+    return pl.pallas_call(
+        functools.partial(_fused_kernel, s=s, c=c, K_sub=K_sub, g=g, sp=sp,
+                          poly_degree=poly_degree),
+        grid=(n_groups,),
+        out_shape=(
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
+        ),
+        in_specs=[smem, smem, smem,
+                  mat_spec(s), mat_spec(c), mat_spec(s), mat_spec(c),
+                  vec_spec, vec_spec, vec_spec, vec_spec],
+        out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec, aux_spec),
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, dt).reshape(1),
+        jnp.asarray(exit_tol, dt).reshape(1),
+        jnp.asarray(max_iters, jnp.int32).reshape(1),
+        Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+    )
+
+
 def solve_fused_batched(
     Q, R, A, B, q, r, c, lam0=None, *,
     rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
@@ -405,45 +453,10 @@ def solve_fused_batched(
     Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
     qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
 
-    def mat_spec(ncols):
-        return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
-    vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    aux_spec = pl.BlockSpec((1, _SUBLANE, L), lambda i: (i, 0, 0),
-                            memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    cost = pl.CostEstimate(
-        flops=int(Bn * K * s * s * (6 * s + 100 * 6)),
-        bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4),
-        transcendentals=0,
-    )
-
-    lam_p, dzx_p, dzu_p, iters, conv, eta = pl.pallas_call(
-        functools.partial(_fused_kernel, s=s, c=cdim, K_sub=K_sub, g=g, sp=sp,
-                          poly_degree=poly_degree),
-        grid=(n_groups,),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
-            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
-            jax.ShapeDtypeStruct((n_groups, sp, L), dt),
-            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
-            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
-            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
-        ),
-        in_specs=[smem, smem, smem,
-                  mat_spec(s), mat_spec(cdim), mat_spec(s), mat_spec(cdim),
-                  vec_spec, vec_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec, aux_spec),
-        cost_estimate=cost,
-        interpret=interpret,
-    )(
-        jnp.asarray(rho, dt).reshape(1),
-        jnp.asarray(exit_tol, dt).reshape(1),
-        jnp.asarray(max_iters, jnp.int32).reshape(1),
-        Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+    lam_p, dzx_p, dzu_p, iters, conv, eta = _call_fused(
+        rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+        s=s, c=cdim, K_sub=K_sub, g=g, L=L, sp=sp, n_groups=n_groups,
+        flops_scale=Bn * K, poly_degree=poly_degree, interpret=interpret,
     )
 
     lam = _unpack_vec(lam_p, Bn, K, s, K_sub, g)
@@ -461,3 +474,59 @@ def solve_fused_batched(
         eta=per_problem(eta),
     )
     return res, dz_x, dz_u
+
+
+def solve_fused_sequence(
+    Q, R, A, B, q, r, c,           # leading T axis on every array
+    lam0, rhos, exit_tol, max_iters, *,
+    poly_degree: int = 1, interpret: bool = False,
+):
+    """T dependent warm-started solves, each a fused kernel call, with ALL
+    relayouts hoisted out of the sequential chain: the T steps' inputs are
+    packed into lane layout in one vectorized pass BEFORE the scan, the
+    lambda carry stays packed between steps (no unpack->repack on the
+    critical path), and outputs unpack once after the scan.
+
+    Used by mpc.solve_sequence (pcg_backend='fused').  Returns
+    (lam (T,K,s), dz_x (T,K,s), dz_u (T,K-1,c), iters (T,), conv (T,),
+    eta (T,))."""
+    T, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    K_sub, g, L, n_groups, sp = plan_packing(1, K, s, cdim)
+    assert g == 1 and n_groups == 1
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pm = jax.vmap(lambda M: _pack_mat(M[None], K_sub=K_sub, g=1, L=L,
+                                      n_groups=1, sp=sp)[0])
+    pv = jax.vmap(lambda x: _pack_vec(x[None], K_sub=K_sub, g=1, L=L,
+                                      n_groups=1, sp=sp)[0])
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)   # (T, m, sp, L)
+    qb, rb, cb = pv(q), pv(r), pv(c)              # (T, sp, L)
+    lb0 = pv(lam0[None])[0]                       # (sp, L)
+
+    call = functools.partial(
+        _call_fused, s=s, c=cdim, K_sub=K_sub, g=1, L=L, sp=sp, n_groups=1,
+        flops_scale=K, poly_degree=poly_degree, interpret=interpret,
+    )
+
+    def step(lam_carry, xs):
+        Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
+        lam_p, dzx_p, dzu_p, iters, conv, eta = call(
+            rho_t, exit_tol, max_iters,
+            Qt[None], Rt[None], At[None], Bt[None],
+            qt[None], rt[None], ct[None], lam_carry[None],
+        )
+        out = (lam_p[0], dzx_p[0], dzu_p[0],
+               iters[0, 0, 0], conv[0, 0, 0], eta[0, 0, 0])
+        return lam_p[0], out
+
+    _, (lam_p, dzx_p, dzu_p, iters, conv, eta) = jax.lax.scan(
+        step, lb0, (Qb, Rb, Ab, Bb, qb, rb, cb, rhos)
+    )
+
+    up = jax.vmap(lambda x, n: _unpack_vec(x[None], 1, K, n, K_sub, 1)[0],
+                  in_axes=(0, None))
+    lam = up(lam_p, s)
+    dz_x = up(dzx_p, s)
+    dz_u = up(dzu_p, cdim)[:, : K - 1, :]
+    return lam, dz_x, dz_u, iters, conv != 0, eta

@@ -44,26 +44,22 @@ def _solve_sequence_core(
     pcg_backend: str,
     poly_degree: int = 1,
 ):
+    if pcg_backend == "fused":
+        # Whole per-step solve (condense + PCG + recover) in one Pallas
+        # program, warm-started from the carry — the fastest MPC path on
+        # TPU.  All lane-layout relayouts are hoisted out of the sequential
+        # chain (inputs packed once before the scan, lambda carried packed).
+        from .kernels import fused_solve
+
+        lam, dz_x, dz_u, iters, conv, eta = fused_solve.solve_fused_sequence(
+            Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
+            poly_degree=poly_degree,
+        )
+        return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
+                           converged=conv, eta=eta)
+
     def step(lam_carry, xs):
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
-        if pcg_backend == "fused":
-            # Whole per-step solve (condense + PCG + recover) in one Pallas
-            # program, warm-started from the carry — the fastest MPC path on
-            # TPU (each step re-linearizes, so in-kernel condensation is on
-            # the critical path every step).
-            from .kernels import fused_solve
-
-            res, dz_x, dz_u = fused_solve.solve_fused_batched(
-                Qt[None], Rt[None], At[None], Bt[None],
-                qt[None], rt[None], ct[None], lam_carry[None],
-                rho=rho_t, exit_tol=exit_tol, max_iters=max_iters,
-                poly_degree=poly_degree,
-            )
-            out = SolveResult(lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
-                              iters=res.iters[0],
-                              converged=res.converged[0] != 0,
-                              eta=res.eta[0])
-            return out.lam, out
         sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
                                 preconditioner)
         if pcg_backend == "pallas":
