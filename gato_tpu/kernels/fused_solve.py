@@ -56,9 +56,10 @@ from .pcg_pallas import _LANE, _SUBLANE, _round_up
 
 # The fused kernel holds the full condensation working set per program.  The
 # estimate below over-counts simultaneous liveness (Mosaic reuses buffers), so
-# the budget is set from an on-device sweep: 10 MB -> g=12 IIWA problems per
-# program compiles and is fastest; 14 MB -> g=17 exceeds real VMEM.
-_VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# the budget is set from an on-device sweep (v5e, 256x IIWA batch):
+# 10 MB -> g=12 at ~5.0 us/solve; 13 MB -> g=16 (L=896, one exact lane tile
+# grid) at ~3.9 us/solve; 14 MB -> g=17 exceeds real VMEM and fails compile.
+_VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
 def _lane_budget(K: int, s: int, c: int):
