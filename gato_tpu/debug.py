@@ -42,17 +42,25 @@ class DebugResult(NamedTuple):
 
 
 def residual_history(S, Pinv, gamma, lam0=None, *, exit_tol=1e-6,
-                     max_iters=100):
+                     max_iters=100, poly_degree=1):
     """PCG with a recorded eta trace.  Fixed-length scan (masked after
-    convergence) so the history shape is static under jit."""
+    convergence) so the history shape is static under jit.  ``poly_degree``
+    composes the preconditioner exactly as pcg.pcg does, so the trace (and
+    the derived iteration count) matches solve() at any degree."""
     from .pcg import _dot  # HIGHEST-precision dot: keeps the eta trace (and
     # the derived iteration count) bit-aligned with pcg.pcg on TPU, where the
     # default-precision vdot would diverge from solve()'s.
 
+    def apply_P(rv):
+        y = btd_matvec(Pinv, rv)
+        for _ in range(poly_degree - 1):
+            y = y + btd_matvec(Pinv, rv - btd_matvec(S, y))
+        return y
+
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
     r = gamma - btd_matvec(S, lam0)
-    r_tilde = btd_matvec(Pinv, r)
+    r_tilde = apply_P(r)
     p = r_tilde
     eta = _dot(r, r_tilde)
 
@@ -64,7 +72,7 @@ def residual_history(S, Pinv, gamma, lam0=None, *, exit_tol=1e-6,
         alpha = jnp.where(nu != 0, eta / nu, 0.0)
         lam_n = lam + alpha * p
         r_n = r - alpha * upsilon
-        r_tilde = btd_matvec(Pinv, r_n)
+        r_tilde = apply_P(r_n)
         eta_new = _dot(r_n, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
@@ -108,6 +116,7 @@ def solve_debug(
     lam, hist, conv = residual_history(
         sys.S, sys.Pinv, sys.gamma, lam0,
         exit_tol=options.exit_tol, max_iters=options.max_iters,
+        poly_degree=options.precond_poly_degree,
     )
     below = hist[1:] < options.exit_tol
     iters = jnp.where(

@@ -67,33 +67,40 @@ def _lane_budget(K: int, s: int, c: int):
     K_sub = _round_up(K, _SUBLANE)
     # Working set per lane (f32 words): inputs Q,A (s cols) R,B (c cols),
     # vectors; intermediates Qinv, theta, thetainv, phi, phiT, BR (s/c cols),
-    # S+Pinv (6*s cols), GJ scratch, PCG vectors.
+    # S+Pinv (6*s cols), GJ scratch, PCG vectors.  No minimum-lane floor:
+    # wide-state problems whose working set busts the budget even at one
+    # 128-lane tile must report as not fitting, not round up to a block
+    # Mosaic cannot allocate.
     words_per_lane = sp * (4 * s + 4 * c + 6 * s + 4 * s + 10)
-    max_lanes = max(_LANE, _VMEM_BUDGET_BYTES // (4 * words_per_lane))
+    max_lanes = _VMEM_BUDGET_BYTES // (4 * words_per_lane)
     return sp, K_sub, int(max_lanes)
 
 
 def fits_vmem(K: int, s: int, c: int) -> bool:
-    """True iff one problem's condensation+PCG working set fits VMEM.
+    """True iff one problem's condensation+PCG working set fits VMEM (the
+    kernel always allocates at least one 128-lane tile).
 
-    Longer horizons must use the 'jax' backend (HBM-streamed while_loop) —
-    the analog of the reference's resident-vs-strided kernel choice
-    (check_sms, gato_utils.cuh:829-854)."""
+    Past the budget the solver condenses in XLA and streams the PCG
+    (kernels/pcg_streamed.py) — the analog of the reference's
+    resident-vs-strided kernel choice (check_sms, gato_utils.cuh:829-854)."""
     _, K_sub, max_lanes = _lane_budget(K, s, c)
-    return K_sub <= max_lanes
+    return _round_up(max(K_sub, _LANE), _LANE) <= max_lanes
 
 
 def plan_packing(B: int, K: int, s: int, c: int):
     """Raises when a single problem exceeds the VMEM budget; callers check
-    :func:`fits_vmem` first (solver.default_pcg_backend falls back to 'jax')."""
+    :func:`fits_vmem` first (solver auto-selection falls back)."""
     sp, K_sub, max_lanes = _lane_budget(K, s, c)
-    if K_sub > max_lanes:
+    if _round_up(K_sub, _LANE) > max_lanes:
         raise ValueError(
-            f"trajectory K={K} (s={s}, c={c}) needs {K_sub} lanes but only "
-            f"{max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM budget; "
-            "use the 'jax' backend for horizons this long"
+            f"trajectory K={K} (s={s}, c={c}) needs "
+            f"{_round_up(K_sub, _LANE)} lanes but only {max_lanes} fit the "
+            f"{_VMEM_BUDGET_BYTES >> 20} MB VMEM budget; use the 'pallas' "
+            "backend (HBM-streamed past the budget) for horizons this long"
         )
     g = max(1, min(B, max_lanes // K_sub))
+    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
+        g -= 1
     L = _round_up(g * K_sub, _LANE)
     n_groups = -(-B // g)
     return K_sub, g, L, n_groups, sp

@@ -79,7 +79,10 @@ def _round_up(x: int, m: int) -> int:
 
 
 def _max_lanes(bytes_per_lane: int) -> int:
-    return max(_LANE, _VMEM_BUDGET_BYTES // bytes_per_lane)
+    # No floor: a working set that exceeds the budget even at minimum lane
+    # width must be reported as not fitting (fits_vmem False -> streamed
+    # path), not silently rounded up to a block Mosaic cannot allocate.
+    return _VMEM_BUDGET_BYTES // bytes_per_lane
 
 
 def _bytes_per_lane(s: int, sp: int) -> int:
@@ -91,11 +94,14 @@ def fits_vmem(K: int, s: int) -> bool:
 
     The TPU analog of the reference's ``check_sms`` capacity decision
     (gato_utils.cuh:829-854): when the trajectory is too long to be
-    kernel-resident, the solver falls back to the 'jax' backend (the
-    HBM-streamed path — XLA stages the while_loop state through HBM), the
-    role ``parallelPCG_fixed`` plays on the GPU (gato_pcg.cuh:17-268)."""
+    kernel-resident, the solver switches to the HBM-streamed kernel
+    (kernels/pcg_streamed.py), the role ``parallelPCG_fixed`` plays on the
+    GPU (gato_pcg.cuh:17-268)."""
     sp = _round_up(s, _SUBLANE)
-    return _round_up(K, _SUBLANE) <= _max_lanes(_bytes_per_lane(s, sp))
+    # The resident kernel always allocates at least one 128-lane tile, so a
+    # short-K problem must fit at L = _LANE width.
+    lanes = max(_round_up(K, _SUBLANE), _LANE)
+    return lanes <= _max_lanes(_bytes_per_lane(s, sp))
 
 
 def plan_packing(B: int, K: int, s: int):
@@ -109,13 +115,17 @@ def plan_packing(B: int, K: int, s: int):
     sp = _round_up(s, _SUBLANE)
     K_sub = _round_up(K, _SUBLANE)
     max_lanes = _max_lanes(_bytes_per_lane(s, sp))
-    if K_sub > max_lanes:
+    if _round_up(K_sub, _LANE) > max_lanes:
+        # Even one problem at the minimum lane-tile width busts the budget.
         raise ValueError(
-            f"trajectory K={K} (s={s}) needs {K_sub} lanes but only "
-            f"{max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM budget; "
-            "use the 'jax' backend for horizons this long"
+            f"trajectory K={K} (s={s}) needs {_round_up(K_sub, _LANE)} lanes "
+            f"but only {max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM "
+            "budget; use the HBM-streamed path (kernels/pcg_streamed.py) for "
+            "horizons this long"
         )
     g = max(1, min(B, int(max_lanes) // K_sub))
+    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
+        g -= 1
     L = _round_up(g * K_sub, _LANE)
     n_groups = -(-B // g)
     return K_sub, g, L, n_groups, sp

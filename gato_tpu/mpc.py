@@ -30,7 +30,7 @@ import jax.numpy as jnp
 from . import assemble, pcg as pcg_mod, recover
 from .formats import KKTBlocks
 from .problem import Preconditioner, ProblemSpec, SolverOptions
-from .solver import SolveResult, _cached_const
+from .solver import SolveResult, _cached_const, default_pcg_backend
 
 
 @functools.partial(
@@ -63,13 +63,22 @@ def _solve_sequence_core(
         sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
                                 preconditioner)
         if pcg_backend == "pallas":
-            from .kernels import pcg_pallas
+            from .kernels import pcg_pallas, pcg_streamed
 
-            res = pcg_pallas.pcg_fused(
-                sys.S, sys.Pinv, sys.gamma, lam_carry,
-                exit_tol=exit_tol, max_iters=max_iters,
-                poly_degree=poly_degree,
-            )
+            if pcg_pallas.fits_vmem(qt.shape[0], qt.shape[1]):
+                res = pcg_pallas.pcg_fused(
+                    sys.S, sys.Pinv, sys.gamma, lam_carry,
+                    exit_tol=exit_tol, max_iters=max_iters,
+                    poly_degree=poly_degree,
+                )
+            else:
+                # Over the VMEM budget: HBM-streamed kernel, same as
+                # solver._solve_core's dispatch.
+                res = pcg_streamed.pcg_streamed(
+                    sys.S, sys.Pinv, sys.gamma, lam_carry,
+                    exit_tol=exit_tol, max_iters=max_iters,
+                    poly_degree=poly_degree,
+                )
         else:
             res = pcg_mod.pcg(
                 sys.S, sys.Pinv, sys.gamma, lam_carry,
@@ -125,9 +134,6 @@ def solve_sequence(
     # Portable default is the lax.while_loop PCG; on TPU the auto default is
     # the per-step fused whole-solve kernel (warm-started from the carry).
     # Explicit requests that can't be honored raise — no silent degradation.
-    from .problem import Preconditioner
-    from .solver import default_pcg_backend
-
     fused_ok = options.preconditioner == Preconditioner.SYMMETRIC_STAIR
     if pcg_backend is None:
         backend = default_pcg_backend(spec=spec)

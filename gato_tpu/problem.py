@@ -133,5 +133,18 @@ class SolverOptions:
     precond_poly_degree: int = 1
     dtype: str = "float32"
 
+    def __post_init__(self):
+        if self.method not in ("pcg", "direct"):
+            raise ValueError(f"method must be 'pcg' or 'direct', got "
+                             f"{self.method!r}")
+        if not isinstance(self.precond_poly_degree, int) \
+                or self.precond_poly_degree < 1:
+            # Degree 0 would be the empty Horner sum (M_0 = 0, meaningless)
+            # and would otherwise silently run as degree 1.
+            raise ValueError(
+                f"precond_poly_degree must be an int >= 1, got "
+                f"{self.precond_poly_degree!r}"
+            )
+
 
 DEFAULT_OPTIONS = SolverOptions()

@@ -179,3 +179,58 @@ def test_long_horizon_streamed_parity_and_fallback():
 
 def test_valid_backends_are_exhaustive():
     assert set(VALID_PCG_BACKENDS) == {"jax", "pallas", "fused"}
+
+
+def test_options_validation():
+    with pytest.raises(ValueError, match="precond_poly_degree"):
+        SolverOptions(precond_poly_degree=0)
+    with pytest.raises(ValueError, match="precond_poly_degree"):
+        SolverOptions(precond_poly_degree=-2)
+    with pytest.raises(ValueError, match="method"):
+        SolverOptions(method="thomas")
+
+
+def test_fits_vmem_no_minimum_lane_false_positive():
+    """A wide-state problem whose working set exceeds the budget even at one
+    128-lane tile must report as NOT fitting (it previously rounded up to a
+    block Mosaic cannot allocate)."""
+    from gato_tpu.kernels import fused_solve, pcg_pallas
+
+    # s=44, c=20: ~135 KB/lane -> 128 lanes is ~17 MB > the 13 MB budget.
+    assert not fused_solve.fits_vmem(64, 44, 20)
+    with pytest.raises(ValueError, match="VMEM"):
+        fused_solve.plan_packing(1, 64, 44, 20)
+    # The PCG-only kernel is lighter; compute its true budget boundary.
+    assert not pcg_pallas.fits_vmem(8, 120)
+    with pytest.raises(ValueError, match="VMEM"):
+        pcg_pallas.plan_packing(1, 8, 120)
+
+
+def test_sequence_pallas_streams_long_horizon():
+    """solve_sequence with 'pallas' past the VMEM budget must route to the
+    streamed kernel inside the scan (previously raised at trace time)."""
+    from gato_tpu.kernels import pcg_pallas
+
+    spec = ProblemSpec(14, 7, 1024)
+    assert not pcg_pallas.fits_vmem(spec.knot_points, spec.state_size)
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (2,) + a.shape)
+                      for a in random_blocks(spec, seed=2)))
+    opts = SolverOptions(rho=0.01, exit_tol=1e-6, max_iters=200)
+    ref = solve_sequence(spec, seq, opts, pcg_backend="jax")
+    got = solve_sequence(spec, seq, opts, pcg_backend="pallas")
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_solve_debug_matches_solve_at_poly_degree_2():
+    from gato_tpu.debug import solve_debug
+
+    opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=100,
+                         precond_poly_degree=2)
+    blocks = _blocks(seed=11)
+    ref = solve(SPEC, blocks, opts, pcg_backend="jax")
+    dbg = solve_debug(SPEC, blocks, opts)
+    assert int(dbg.result.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(dbg.result.lam), np.asarray(ref.lam),
+                               rtol=1e-5, atol=1e-6)

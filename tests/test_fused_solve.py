@@ -38,9 +38,11 @@ def test_fused_solve_matches_pure_single(spec):
 
 
 def test_fused_solve_batch_multi_group(monkeypatch):
-    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 120_000)
+    # 270 kB -> max_lanes = 140 at this shape (1920 B/lane): g = 8 problems
+    # per 128-lane program, 3 ragged groups for n = 17.
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 270_000)
     spec = ProblemSpec(3, 2, 12)
-    n = 17  # with the 128-lane floor and K_sub=16 -> g=8, 3 ragged groups
+    n = 17
     problems, bb = _stack(spec, n, seed0=30)
     K_sub, g, L, n_groups, sp = fs.plan_packing(n, 12, 3, 2)
     assert n_groups > 1 and n_groups * g > n  # ragged multi-group

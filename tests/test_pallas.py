@@ -58,7 +58,9 @@ def test_fused_max_iters_exhaustion():
 def test_fused_batched_multi_chunk(monkeypatch):
     """Force a multi-group grid (with a ragged final group padded by dummy
     problems) and check per-problem parity with the pure path."""
-    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 100_000)
+    # 135 kB -> max_lanes = 131 at this shape (1024 B/lane): g = 5 problems
+    # per 128-lane program, 2 ragged groups for B = 6.
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 135_000)
     spec = ProblemSpec(4, 2, 20)
     Ss, Ps, gs = [], [], []
     for i in range(6):
@@ -82,7 +84,8 @@ def test_fused_batched_multi_chunk(monkeypatch):
 def test_fused_batched_mixed_convergence(monkeypatch):
     """Problems with very different conditioning: early-converging problems
     must freeze (per-problem masking), matching the pure path exactly."""
-    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 100_000)
+    # 110 kB -> 132 lanes (832 B/lane): all 4 problems share one program.
+    monkeypatch.setattr(kp, "_VMEM_BUDGET_BYTES", 110_000)
     spec = ProblemSpec(3, 1, 16)
     Ss, Ps, gs = [], [], []
     for i in range(4):
