@@ -36,7 +36,7 @@ import jax
 import jax.numpy as jnp
 
 from . import assemble, recover
-from .direct import btd_solve
+from .direct import btd_solve_auto
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -44,7 +44,7 @@ _PRECISION = jax.lax.Precision.HIGHEST
 def _solve_kkt(Q, R, A, B, q, r, c, rho):
     """Exact solve of the saddle system; returns (lam, dz_x, dz_u)."""
     sys = assemble.condense(Q, R, A, B, q, r, c, rho, preconditioner=None)
-    lam = btd_solve(sys.S, sys.gamma)
+    lam = btd_solve_auto(sys.S, sys.gamma)
     dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, lam)
     return lam, dz_x, dz_u
 

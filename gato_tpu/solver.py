@@ -57,7 +57,7 @@ def _direct_result(sys, batched: bool):
     reports the squared true residual norm of the returned solution."""
     from . import direct
 
-    lam = direct.btd_solve(sys.S, sys.gamma)
+    lam = direct.btd_solve_auto(sys.S, sys.gamma)
     mv = jax.vmap(blocktri.btd_matvec) if batched else blocktri.btd_matvec
     resid = sys.gamma - mv(sys.S, lam)
     axes = tuple(range(resid.ndim - 2, resid.ndim))
@@ -179,11 +179,11 @@ def default_pcg_backend(
     * CPU/GPU: always 'jax' (the pure path is the portable fallback and the
       numerics oracle).
     * TPU: 'fused' — the whole solve (condense + PCG + recovery) in one
-      lane-packed Pallas program, batched or not; ~15x the split pallas-PCG
-      path on batches, and the fix for the overhead-bound single solve
-      (condensation at XLA's layout is ~87% of the 'jax' path's latency).
-      Requires the symmetric-stair preconditioner (the default); other
-      preconditioners fall back to 'pallas' (see _resolve_backend).
+      lane-packed Pallas program, batched or not; ~12x the split pallas-PCG
+      path on batches, ~10x the 'jax' path on single solves (measured v5e,
+      BENCH_DETAIL.json).  Requires the symmetric-stair preconditioner (the
+      default); other preconditioners fall back to 'pallas'
+      (see _resolve_backend).
     * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas' —
       XLA condensation + the resident-or-HBM-streamed PCG kernel
       (kernels/pcg_streamed.py), the role of the reference's strided

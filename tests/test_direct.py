@@ -108,3 +108,48 @@ def test_direct_grad_flows():
     bm = b.at[2, 1].add(-eps)
     fd = (loss(bp) - loss(bm)) / (2 * eps)
     np.testing.assert_allclose(float(g[2, 1]), float(fd), rtol=2e-2)
+
+
+@pytest.mark.parametrize("K,s", [(2, 3), (3, 2), (5, 2), (7, 3), (16, 4),
+                                 (50, 14), (127, 4), (128, 4)])
+def test_btd_solve_cr_matches_thomas(K, s):
+    """Cyclic reduction (the parallel direct solver) vs block Thomas on
+    random SPD block-tridiagonal systems, including odd/power-of-two K and
+    the K=2 single-level edge."""
+    from gato_tpu.direct import btd_solve_cr
+
+    S = jnp.asarray(_random_spd_btd(K, s, seed=K + s))
+    b = jnp.asarray(np.random.default_rng(1).normal(size=(K, s))
+                    .astype(np.float32))
+    ref = btd_solve(S, b)
+    got = btd_solve_cr(S, b)
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    np.testing.assert_allclose(np.asarray(got) / scale,
+                               np.asarray(ref) / scale, rtol=2e-4, atol=2e-4)
+
+
+def test_btd_solve_cr_batched():
+    from gato_tpu.direct import btd_solve_cr
+
+    K, s, B = 20, 3, 4
+    S = jnp.asarray(np.stack([_random_spd_btd(K, s, seed=i)
+                              for i in range(B)]))
+    b = jnp.asarray(np.random.default_rng(2).normal(size=(B, K, s))
+                    .astype(np.float32))
+    ref = jax.vmap(btd_solve)(S, b)
+    got = jax.vmap(btd_solve_cr)(S, b)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_method_direct_uses_cr_dispatch(monkeypatch):
+    """btd_solve_auto routes through CR when forced, end-to-end via solve."""
+    from gato_tpu import direct as direct_mod
+
+    monkeypatch.setattr(direct_mod, "btd_solve_auto", direct_mod.btd_solve_cr)
+    spec = ProblemSpec(4, 2, 12)
+    blocks = random_blocks(spec, seed=5)
+    res = solve(spec, blocks, SolverOptions(rho=1e-2, method="direct"),
+                pcg_backend="jax")
+    lam_ref, _ = dense_oracle(spec, blocks, rho=1e-2)
+    np.testing.assert_allclose(res.lam_flat(), lam_ref, rtol=2e-3, atol=2e-3)
