@@ -121,7 +121,10 @@ class SolverOptions:
         wider-band blocks.  Note the composed operator is SPD for any d when
         the spectrum of P S stays below 2 (true for the stair preconditioner
         on these systems); degree 1 never has the caveat.
-      dtype: compute dtype; the reference is float32 throughout.
+      dtype: compute dtype; the reference is float32 throughout.  'float64'
+        works end to end (oracle agreement to ~1e-14) but requires JAX's x64
+        mode (``jax.enable_x64(True)`` / ``jax.config.update('jax_enable_x64',
+        True)``) — without it JAX silently truncates to f32.
     """
 
     exit_tol: float = 1e-6

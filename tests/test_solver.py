@@ -115,3 +115,23 @@ def test_rho_and_tol_do_not_retrace():
     solve(spec, blocks, SolverOptions(rho=0.5, exit_tol=1e-3, max_iters=7),
           pcg_backend="jax")
     assert _solve_core._cache_size() == n1 > n0
+
+
+def test_float64_dtype():
+    """SolverOptions(dtype='float64') under jax.enable_x64: the whole
+    pipeline runs in f64 and matches the oracle to ~1e-14."""
+    import jax
+
+    from gato_tpu.testing import dense_oracle
+
+    spec = ProblemSpec(4, 2, 10)
+    blocks = random_blocks(spec, seed=1)
+    with jax.enable_x64(True):
+        res = solve(spec, blocks,
+                    SolverOptions(rho=1e-3, exit_tol=1e-22, max_iters=400,
+                                  dtype="float64"),
+                    pcg_backend="jax")
+        assert res.lam.dtype == jnp.float64
+        lam_ref, _ = dense_oracle(spec, blocks, rho=1e-3)
+        np.testing.assert_allclose(res.lam_flat(), lam_ref,
+                                   rtol=1e-10, atol=1e-12)
