@@ -473,6 +473,16 @@ def main():
                 T=512 if K <= 256 else 256)
             _log(f"horizon {K} fused: {C[f'iiwa_horizon_{K}_fused']}")
 
+    # Past the VMEM budget: the HBM-streamed kernel tier (K=1024 does not
+    # fit the resident kernels at s=14).
+    C["iiwa_horizon_1024_pcg"] = bench_single(
+        ProblemSpec(14, 7, 1024), opts, "jax", T=16)
+    _log(f"horizon 1024 jax: {C['iiwa_horizon_1024_pcg']}")
+    if have_pallas:
+        C["iiwa_horizon_1024_streamed"] = bench_single(
+            ProblemSpec(14, 7, 1024), opts, "pallas", T=16)
+        _log(f"horizon 1024 streamed: {C['iiwa_horizon_1024_streamed']}")
+
     if have_pallas:
         C["iiwa_batch_256_fused"] = bench_batch(iiwa, opts, "fused", T=32)
         _log(f"batch fused: {C['iiwa_batch_256_fused']}")

@@ -127,6 +127,66 @@ def pcg_sharded(
     return run(S, Pinv, gamma, lam0)
 
 
+def solve_batched_dp(
+    mesh: Mesh,
+    Q, R, A, B, q, r, c,
+    lam0=None,
+    *,
+    rho=0.0,
+    exit_tol=1e-6,
+    max_iters=100,
+    poly_degree: int = 1,
+    axis_name: str = "dp",
+):
+    """Data-parallel batched solves: the problem batch shards across the mesh
+    and every device runs the whole-solve fused kernel on its local shard.
+
+    The natural multi-chip deployment for MPC farms / batched QP serving:
+    problems are independent, so there is NO cross-device communication at
+    all — each chip's lane-packed fused kernel (kernels/fused_solve.py) runs
+    its local problems, and results come back sharded the same way.  This
+    composes orthogonally with the knot-axis sharding of
+    :func:`solve_sharded` (which targets single problems too long for one
+    chip).
+
+    Arrays follow formats.KKTBlocks with a leading batch axis divisible by
+    the mesh axis size.  Returns (PCGResult, dz_x, dz_u) with the batch axis
+    sharded over ``axis_name``.
+    """
+    from ..kernels import fused_solve
+    from ..pcg import PCGResult
+
+    Bn = q.shape[0]
+    n = mesh.shape[axis_name]
+    if Bn % n:
+        raise ValueError(
+            f"batch {Bn} not divisible by mesh axis {axis_name}={n}")
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q)
+
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 8,
+        out_specs=(
+            PCGResult(lam=P(axis_name), iters=P(axis_name),
+                      converged=P(axis_name), eta=P(axis_name)),
+            P(axis_name), P(axis_name),
+        ),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation; the
+        # body is embarrassingly parallel (no collectives), so skip the check.
+        check_vma=False,
+    )
+    def run(Ql, Rl, Al, Bl, ql, rl, cl, l0):
+        return fused_solve.solve_fused_batched(
+            Ql, Rl, Al, Bl, ql, rl, cl, l0,
+            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+            poly_degree=poly_degree,
+        )
+
+    return run(Q, R, A, B, q, r, c, lam0)
+
+
 def solve_sharded(
     mesh: Mesh,
     Q, R, A, B, q, r, c,

@@ -9,6 +9,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 
 from gato_tpu import ProblemSpec, SolverOptions
 from gato_tpu.assemble import condense
+from gato_tpu.formats import KKTBlocks
 from gato_tpu.parallel.sharded import pcg_sharded, solve_sharded
 from gato_tpu.pcg import pcg
 from gato_tpu.solver import solve
@@ -99,3 +100,45 @@ def test_batch_sharding_dp():
         np.testing.assert_allclose(np.asarray(res.lam[i]),
                                    np.asarray(single.lam),
                                    rtol=1e-3, atol=1e-4)
+
+
+def test_solve_batched_dp_fused():
+    """Data-parallel batch: problems sharded over the mesh, fused whole-solve
+    kernel per device (interpret on CPU), zero cross-device comm.  Exact
+    iteration parity with the single-chip jax path per problem."""
+    from jax.sharding import Mesh
+
+    from gato_tpu.parallel.sharded import solve_batched_dp
+
+    spec = ProblemSpec(4, 2, 10)
+    n_dev = 4
+    B = 8
+    problems = [random_blocks(spec, seed=200 + i) for i in range(B)]
+    batch = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                              for p in problems]))
+                        for f in range(7)))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    res, dz_x, dz_u = solve_batched_dp(
+        mesh, *batch, rho=1e-2, exit_tol=1e-10, max_iters=300)
+    for i in range(B):
+        ref = solve(spec, problems[i],
+                    SolverOptions(rho=1e-2, exit_tol=1e-10, max_iters=300),
+                    pcg_backend="jax")
+        assert int(np.asarray(res.iters)[i]) == int(ref.iters), i
+        np.testing.assert_allclose(np.asarray(res.lam)[i],
+                                   np.asarray(ref.lam), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dz_u)[i],
+                                   np.asarray(ref.dz_u), rtol=1e-4, atol=1e-4)
+
+
+def test_solve_batched_dp_rejects_ragged():
+    from jax.sharding import Mesh
+
+    from gato_tpu.parallel.sharded import solve_batched_dp
+
+    spec = ProblemSpec(3, 2, 8)
+    batch = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(a)] * 3))
+                        for a in random_blocks(spec, seed=0)))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+    with pytest.raises(ValueError, match="divisible"):
+        solve_batched_dp(mesh, *batch, rho=1e-2)
