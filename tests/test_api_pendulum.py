@@ -44,6 +44,26 @@ def test_pendulum_linsys_solve_matches_reference_oracle(capsys):
     assert "avg time:" in out
 
 
+def test_pendulum_linsys_solve_fused_backend():
+    """The reference e2e flow through the fused whole-solve kernel (the TPU
+    default backend; interpret mode here) — same oracle, same tolerances."""
+    p = pendulum_problem()
+    l, dz = gato_tpu.linsys_solve(
+        p.G_row, p.G_col, p.G_val, p.C_row, p.C_col, p.C_val,
+        p.g, p.c, [0.0] * 10, 1, 1e-6, 10, False, 0.001,
+        pcg_backend="fused", verbose=False,
+    )
+    l_ref, dz_ref = gato_tpu.linsys_solve(
+        p.G_row, p.G_col, p.G_val, p.C_row, p.C_col, p.C_val,
+        p.g, p.c, [0.0] * 10, 1, 1e-6, 10, False, 0.001,
+        pcg_backend="jax", verbose=False,
+    )
+    # max_iters=10 is exhausted on this problem (as in the reference run),
+    # so iterates carry un-damped f32 reduction-order differences.
+    np.testing.assert_allclose(l, l_ref, rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(dz, dz_ref, rtol=1e-3, atol=1e-3)
+
+
 def test_pendulum_spec_inference():
     p = pendulum_problem()
     spec = gato_tpu.infer_spec(p.C_row, p.g, p.c)

@@ -1,0 +1,60 @@
+"""Cross-backend property sweep: every backend must agree with the jax
+numerics oracle — exact iteration counts, close solutions — across a grid of
+shapes, regularizers, tolerances, and poly degrees (the repo's core
+invariant, CLAUDE.md, exercised wider than the per-feature tests)."""
+
+import numpy as np
+import pytest
+
+from gato_tpu import ProblemSpec, SolverOptions
+from gato_tpu.solver import solve
+from gato_tpu.testing import dense_oracle, random_blocks
+
+
+CASES = [
+    # (spec, rho, exit_tol, degree)
+    (ProblemSpec(2, 1, 5), 1e-3, 1e-8, 1),      # pendulum shape
+    (ProblemSpec(2, 1, 5), 1e-3, 1e-8, 2),
+    (ProblemSpec(5, 4, 7), 1e-2, 1e-10, 1),     # control wider than usual
+    (ProblemSpec(3, 2, 64), 1e-4, 1e-8, 1),     # longer horizon, tiny rho
+    (ProblemSpec(3, 2, 64), 1e-4, 1e-8, 3),
+    (ProblemSpec(9, 5, 21), 1e-1, 1e-6, 2),     # heavy regularization
+    (ProblemSpec(1, 1, 4), 1e-3, 1e-10, 1),     # minimal sizes
+]
+
+
+@pytest.mark.parametrize("spec,rho,tol,degree", CASES)
+def test_backend_agreement(spec, rho, tol, degree):
+    blocks = random_blocks(spec, seed=hash((spec.nx, spec.nk)) % 1000)
+    opts = SolverOptions(rho=rho, exit_tol=tol, max_iters=400,
+                         precond_poly_degree=degree)
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    assert bool(ref.converged)
+    scale = max(float(np.max(np.abs(np.asarray(ref.lam)))), 1.0)
+    for be in ("pallas", "fused"):
+        got = solve(spec, blocks, opts, pcg_backend=be)
+        assert int(got.iters) == int(ref.iters), (be, spec)
+        np.testing.assert_allclose(np.asarray(got.lam) / scale,
+                                   np.asarray(ref.lam) / scale,
+                                   rtol=1e-4, atol=1e-4, err_msg=str((be, spec)))
+        np.testing.assert_allclose(np.asarray(got.dz_u), np.asarray(ref.dz_u),
+                                   rtol=1e-3, atol=1e-3, err_msg=str((be, spec)))
+
+
+@pytest.mark.parametrize("spec,rho", [
+    (ProblemSpec(2, 1, 5), 1e-3),
+    (ProblemSpec(5, 4, 7), 1e-2),
+    (ProblemSpec(3, 2, 64), 1e-4),
+])
+def test_solutions_match_dense_oracle(spec, rho):
+    """All three backends against the f64 dense saddle-point oracle."""
+    blocks = random_blocks(spec, seed=3)
+    opts = SolverOptions(rho=rho, exit_tol=1e-12, max_iters=500)
+    lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
+    scale = max(float(np.max(np.abs(lam_ref))), 1.0)
+    for be in ("jax", "pallas", "fused"):
+        res = solve(spec, blocks, opts, pcg_backend=be)
+        np.testing.assert_allclose(res.lam_flat() / scale, lam_ref / scale,
+                                   rtol=2e-3, atol=2e-3, err_msg=be)
+        np.testing.assert_allclose(res.dz_flat(), dz_ref,
+                                   rtol=2e-3, atol=2e-3, err_msg=be)
