@@ -488,7 +488,7 @@ def main():
         _log(f"batch fused: {C['iiwa_batch_256_fused']}")
         C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas", T=6)
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
-    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=24)
+    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=6)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
     C["iiwa_mpc_sequence"] = bench_mpc_sequence(iiwa, opts, T=128,
                                                 pcg_backend="jax")

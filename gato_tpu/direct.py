@@ -102,11 +102,13 @@ def btd_solve_cr(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     Same contract as :func:`btd_solve`, different depth/width trade: block
     Thomas is a length-K sequential sweep whose steps are tiny, while cyclic
     reduction eliminates all odd rows at once per level — ceil(log2 K) levels
-    of fully batched (m, s, s) inversions and products.  On TPU the batched
-    level ops saturate lanes where the scan serializes, so CR wins from
-    K ~ 16 up (measured: IIWA (14,7,50) direct solve 0.94 ms Thomas ->
-    ~0.1 ms CR on v5e).  Same no-pivoting SPD justification; CR's reduced
-    systems are Schur complements of SPD systems, hence SPD themselves.
+    of fully batched (m, s, s) inversions and products.  CR trades ~2x the
+    flops of Thomas for log-depth, so it wins when the computation is
+    depth-bound (small batches: measured v5e, IIWA single solve 0.89 Thomas
+    -> 0.17 ms CR) and loses once Thomas's batched steps saturate the VPU
+    (256-batch: 83 vs 122 us/solve) — :func:`btd_solve_auto` picks by step
+    width.  Same no-pivoting SPD justification; CR's reduced systems are
+    Schur complements of SPD systems, hence SPD themselves.
 
     Per level, with odd rows j (D_o, L_o, U_o, b_o) and even rows i:
 
@@ -181,9 +183,21 @@ def btd_solve_cr(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 
 
 def btd_solve_auto(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Platform-dispatched direct solve: cyclic reduction on TPU (batched
-    level ops saturate lanes), block Thomas elsewhere (the scan is cheap on
-    CPU and is the numerics oracle)."""
-    if jax.default_backend() == "tpu":
+    """Dispatched direct solve: cyclic reduction when the problem is
+    DEPTH-bound, block Thomas when it is THROUGHPUT-bound (and always Thomas
+    off-TPU — the scan is cheap on CPU and is the numerics oracle).
+
+    Thomas's per-step width is batch*s^2 elements; once that saturates the
+    VPU, the sequential depth stops dominating and CR's ~2x flop count makes
+    it a net loss.  Measured on v5e, IIWA width: single solve 0.89 (Thomas)
+    vs 0.17 ms (CR), but 256-batch 83 vs 122 us/solve the other way — the
+    crossover is a few thousand elements of step width."""
+    if jax.default_backend() != "tpu":
+        return btd_solve(S, b)
+    batch = 1
+    for d in b.shape[:-2]:
+        batch *= int(d)
+    s = b.shape[-1]
+    if batch * s * s <= 4096:
         return btd_solve_cr(S, b)
     return btd_solve(S, b)
