@@ -30,8 +30,6 @@ controller), sensitivity analysis, and bilevel trajectory optimization.
 
 from __future__ import annotations
 
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

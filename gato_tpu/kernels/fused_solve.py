@@ -44,7 +44,6 @@ compiled parity on TPU via the verify flow).
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ Build:  make -C csrc        (or gato_tpu.native.build())
 from __future__ import annotations
 
 import ctypes
-import os
 import pathlib
 import subprocess
 from typing import Optional, Tuple
