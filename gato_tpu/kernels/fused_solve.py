@@ -225,6 +225,7 @@ def _fused_kernel(
     Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
     lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
     *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
+    precond: str = "symmetric_stair",
 ):
     dt = q_ref.dtype
     rho = rho_ref[0]
@@ -265,18 +266,37 @@ def _fused_kernel(
     S_main = theta
     S_right = phiT                     # at knot lane k: phi_{k+1}^T
 
-    # Symmetric-stair preconditioner (assemble._preconditioner):
-    thinv = _gj_inv(theta, s, sp)
-    thinv_prev = [_roll_p1(x) for x in thinv]
-    thinv_next = [_roll_m1(x) for x in thinv]
-    P_left = [
-        -x for x in _mat_mat(_mat_mat(thinv, S_left, s), thinv_prev, s)
-    ]
-    P_right = [
-        -x for x in _mat_mat(_mat_mat(thinv, S_right, s), thinv_next, s)
-    ]
-    # Edge guard: padded/boundary lanes already carry zero off-diagonal phi,
-    # so P_left/P_right vanish there structurally.
+    # Preconditioner assembly (mirrors assemble._preconditioner; selected at
+    # trace time — the reference selects by compile flags, gato_defines.h:9-11):
+    if precond == "jacobi":
+        # Scalar Jacobi: Pinv main diag = 1/diag(theta).  Pad lanes carry
+        # zero diagonals; clamp them so pads stay finite (x is zero there).
+        thd = [jnp.where(theta[b][b : b + 1, :] != 0,
+                         theta[b][b : b + 1, :], 1.0) for b in range(s)]
+
+        def apply_Pmat(x):
+            return sum(_row_onehot(b, sp, dt) * (x[b : b + 1, :] / thd[b])
+                       for b in range(s))
+    else:
+        thinv = _gj_inv(theta, s, sp)
+        if precond == "block_jacobi":
+            def apply_Pmat(x):
+                return _mat_vec(thinv, x, s)
+        else:
+            # Symmetric stair (the reference's default build):
+            thinv_prev = [_roll_p1(x) for x in thinv]
+            thinv_next = [_roll_m1(x) for x in thinv]
+            P_left = [
+                -x for x in
+                _mat_mat(_mat_mat(thinv, S_left, s), thinv_prev, s)
+            ]
+            P_right = [
+                -x for x in
+                _mat_mat(_mat_mat(thinv, S_right, s), thinv_next, s)
+            ]
+            # Edge guard: padded/boundary lanes already carry zero
+            # off-diagonal phi, so P_left/P_right vanish there structurally.
+            apply_Pmat = None
 
     # ---- PCG (pcg_pallas semantics) ---------------------------------------
     if g == 1:
@@ -312,7 +332,10 @@ def _fused_kernel(
                 + _mat_vec(right, xp, s))
 
     mvS = functools.partial(btd_mv, S_left, S_main, S_right)
-    mvP = functools.partial(btd_mv, P_left, thinv, P_right)
+    if precond == "symmetric_stair":
+        mvP = functools.partial(btd_mv, P_left, thinv, P_right)
+    else:
+        mvP = apply_Pmat
 
     def apply_P(rv):
         # Polynomial composition (SolverOptions.precond_poly_degree), Horner
@@ -386,7 +409,7 @@ def _fused_kernel(
 
 def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
                 s, c, K_sub, g, L, sp, n_groups, flops_scale,
-                poly_degree, interpret):
+                poly_degree, precond, interpret):
     """Invoke the fused kernel on pre-packed arrays; returns packed outputs."""
     dt = qb.dtype
 
@@ -408,7 +431,7 @@ def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
 
     return pl.pallas_call(
         functools.partial(_fused_kernel, s=s, c=c, K_sub=K_sub, g=g, sp=sp,
-                          poly_degree=poly_degree),
+                          poly_degree=poly_degree, precond=precond),
         grid=(n_groups,),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
@@ -435,13 +458,16 @@ def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
 def solve_fused_batched(
     Q, R, A, B, q, r, c, lam0=None, *,
     rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
+    preconditioner: str = "symmetric_stair",
     interpret: bool = False,
 ):
     """Whole batched solve (condense+PCG+recover) in fused TPU kernels.
 
     Args follow formats.KKTBlocks with a leading batch axis.  Returns
     (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)).
-    Symmetric-stair preconditioner only (the reference's default build)."""
+    ``preconditioner`` selects among the reference's three options
+    ('symmetric_stair' | 'block_jacobi' | 'jacobi', gato_defines.h:9-11) —
+    all assembled in-kernel."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
     dt = q.dtype
@@ -463,7 +489,8 @@ def solve_fused_batched(
     lam_p, dzx_p, dzu_p, iters, conv, eta = _call_fused(
         rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
         s=s, c=cdim, K_sub=K_sub, g=g, L=L, sp=sp, n_groups=n_groups,
-        flops_scale=Bn * K, poly_degree=poly_degree, interpret=interpret,
+        flops_scale=Bn * K, poly_degree=poly_degree,
+        precond=preconditioner, interpret=interpret,
     )
 
     lam = _unpack_vec(lam_p, Bn, K, s, K_sub, g)
@@ -486,7 +513,8 @@ def solve_fused_batched(
 def solve_fused_sequence(
     Q, R, A, B, q, r, c,           # leading T axis on every array
     lam0, rhos, exit_tol, max_iters, *,
-    poly_degree: int = 1, interpret: bool = False,
+    poly_degree: int = 1, preconditioner: str = "symmetric_stair",
+    interpret: bool = False,
 ):
     """T dependent warm-started solves, each a fused kernel call, with ALL
     relayouts hoisted out of the sequential chain: the T steps' inputs are
@@ -513,7 +541,8 @@ def solve_fused_sequence(
 
     call = functools.partial(
         _call_fused, s=s, c=cdim, K_sub=K_sub, g=1, L=L, sp=sp, n_groups=1,
-        flops_scale=K, poly_degree=poly_degree, interpret=interpret,
+        flops_scale=K, poly_degree=poly_degree, precond=preconditioner,
+        interpret=interpret,
     )
 
     def step(lam_carry, xs):

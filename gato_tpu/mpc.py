@@ -53,7 +53,7 @@ def _solve_sequence_core(
 
         lam, dz_x, dz_u, iters, conv, eta = fused_solve.solve_fused_sequence(
             Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
-            poly_degree=poly_degree,
+            poly_degree=poly_degree, preconditioner=preconditioner.value,
         )
         return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
                            converged=conv, eta=eta)
@@ -134,20 +134,10 @@ def solve_sequence(
     # Portable default is the lax.while_loop PCG; on TPU the auto default is
     # the per-step fused whole-solve kernel (warm-started from the carry).
     # Explicit requests that can't be honored raise — no silent degradation.
-    fused_ok = options.preconditioner == Preconditioner.SYMMETRIC_STAIR
     if pcg_backend is None:
         backend = default_pcg_backend(spec=spec)
-        if backend == "fused" and not fused_ok:
-            backend = "jax"
-    elif pcg_backend in ("jax", "pallas"):
+    elif pcg_backend in ("jax", "pallas", "fused"):
         backend = pcg_backend
-    elif pcg_backend == "fused":
-        if not fused_ok:
-            raise ValueError(
-                "pcg_backend='fused' in solve_sequence requires "
-                "Preconditioner.SYMMETRIC_STAIR"
-            )
-        backend = "fused"
     else:
         raise ValueError(
             f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas', "

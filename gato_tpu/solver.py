@@ -86,15 +86,14 @@ def _solve_core(
     if pcg_backend == "fused" and method == "pcg":
         # Whole solve in one Pallas program (B=1 lane packing) — the
         # single-problem analog of the reference's one-resident-kernel-per-
-        # solve design (gato_pcg.cuh:270-470).  Symmetric stair only
-        # (enforced by _resolve_backend before dispatch).
+        # solve design (gato_pcg.cuh:270-470).
         from .kernels import fused_solve
 
         res, dz_x, dz_u = fused_solve.solve_fused_batched(
             Q[None], R[None], A[None], B[None],
             q[None], r[None], c[None], lam0[None],
             rho=rho, exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree,
+            poly_degree=poly_degree, preconditioner=preconditioner.value,
         )
         return SolveResult(
             lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
@@ -181,9 +180,8 @@ def default_pcg_backend(
     * TPU: 'fused' — the whole solve (condense + PCG + recovery) in one
       lane-packed Pallas program, batched or not; ~12x the split pallas-PCG
       path on batches, ~10x the 'jax' path on single solves (measured v5e,
-      BENCH_DETAIL.json).  Requires the symmetric-stair preconditioner (the
-      default); other preconditioners fall back to 'pallas'
-      (see _resolve_backend).
+      BENCH_DETAIL.json).  All three preconditioners are assembled
+      in-kernel.
     * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas' —
       XLA condensation + the resident-or-HBM-streamed PCG kernel
       (kernels/pcg_streamed.py), the role of the reference's strided
@@ -221,10 +219,7 @@ def _resolve_backend(
     (check_sms exits rather than running the wrong kernel,
     gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
     backend compatible with the options and problem size."""
-    fused_ok = (
-        options.method == "pcg"
-        and options.preconditioner == Preconditioner.SYMMETRIC_STAIR
-    )
+    fused_ok = options.method == "pcg"
     if pcg_backend is None:
         backend = default_pcg_backend(batched, spec=spec)
         if backend == "fused" and not fused_ok:
@@ -243,9 +238,8 @@ def _resolve_backend(
         )
     if pcg_backend == "fused" and not fused_ok:
         raise ValueError(
-            "pcg_backend='fused' (the whole-solve kernel) supports only "
-            "method='pcg' with Preconditioner.SYMMETRIC_STAIR; use 'pallas' "
-            "or 'jax' for other preconditioners"
+            "pcg_backend='fused' (the whole-solve kernel) requires "
+            "method='pcg'"
         )
     return pcg_backend
 
@@ -307,14 +301,13 @@ def _solve_batched_core(
 ):
     if pcg_backend == "fused" and method == "pcg":
         # Whole solve (condense + PCG + recovery) in one Pallas program —
-        # skips assemble.condense entirely.  Symmetric-stair preconditioner
-        # only (enforced by solve_batched before dispatch).
+        # skips assemble.condense entirely.
         from .kernels import fused_solve
 
         res, dz_x, dz_u = fused_solve.solve_fused_batched(
             Q, R, A, B, q, r, c, lam0,
             rho=rho, exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree,
+            poly_degree=poly_degree, preconditioner=preconditioner.value,
         )
         return SolveResult(
             lam=res.lam, dz_x=dz_x, dz_u=dz_u,

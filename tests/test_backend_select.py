@@ -43,10 +43,24 @@ def test_unknown_backend_raises_batched():
         solve_batched(SPEC, b, OPTS, pcg_backend="fsued")
 
 
-def test_fused_requires_symmetric_stair():
-    opts = SolverOptions(rho=0.01, preconditioner=Preconditioner.BLOCK_JACOBI)
-    with pytest.raises(ValueError, match="SYMMETRIC_STAIR"):
-        solve(SPEC, _blocks(), opts, pcg_backend="fused")
+@pytest.mark.parametrize("precond", [
+    Preconditioner.SYMMETRIC_STAIR,
+    Preconditioner.BLOCK_JACOBI,
+    Preconditioner.JACOBI,
+])
+def test_fused_all_preconditioners(precond):
+    """The fused kernel assembles all three of the reference's preconditioner
+    options in-kernel (gato_defines.h:9-11) — exact iteration parity with the
+    jax oracle for each."""
+    opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=300,
+                         preconditioner=precond)
+    blocks = _blocks(seed=4)
+    ref = solve(SPEC, blocks, opts, pcg_backend="jax")
+    got = solve(SPEC, blocks, opts, pcg_backend="fused")
+    assert int(got.iters) == int(ref.iters), precond
+    assert bool(got.converged)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_direct_rejects_pcg_backends():
@@ -57,14 +71,24 @@ def test_direct_rejects_pcg_backends():
     solve(SPEC, _blocks(), opts, pcg_backend="jax")
 
 
-def test_sequence_rejects_unknown_and_incompatible():
+def test_sequence_rejects_unknown():
     seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (3,) + a.shape)
                       for a in _blocks()))
     with pytest.raises(ValueError, match="solve_sequence supports"):
         solve_sequence(SPEC, seq, OPTS, pcg_backend="nope")
-    bj = SolverOptions(rho=0.01, preconditioner=Preconditioner.BLOCK_JACOBI)
-    with pytest.raises(ValueError, match="SYMMETRIC_STAIR"):
-        solve_sequence(SPEC, seq, bj, pcg_backend="fused")
+
+
+def test_sequence_fused_block_jacobi():
+    """Non-default preconditioner through the fused sequence path."""
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (3,) + a.shape)
+                      for a in _blocks()))
+    bj = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=200,
+                       preconditioner=Preconditioner.BLOCK_JACOBI)
+    ref = solve_sequence(SPEC, seq, bj, pcg_backend="jax")
+    got = solve_sequence(SPEC, seq, bj, pcg_backend="fused")
+    np.testing.assert_array_equal(np.asarray(got.iters), np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-4)
 
 
 def test_sequence_honors_fused():
