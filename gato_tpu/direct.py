@@ -182,7 +182,8 @@ def btd_solve_cr(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     return x
 
 
-def btd_solve_auto(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def btd_solve_auto(S: jnp.ndarray, b: jnp.ndarray,
+                   use_cr: "bool | None" = None) -> jnp.ndarray:
     """Dispatched direct solve: cyclic reduction when the problem is
     DEPTH-bound, block Thomas when it is THROUGHPUT-bound (and always Thomas
     off-TPU — the scan is cheap on CPU and is the numerics oracle).
@@ -191,7 +192,16 @@ def btd_solve_auto(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     VPU, the sequential depth stops dominating and CR's ~2x flop count makes
     it a net loss.  Measured on v5e, IIWA width: single solve 0.89 (Thomas)
     vs 0.17 ms (CR), but 256-batch 83 vs 122 us/solve the other way — the
-    crossover is a few thousand elements of step width."""
+    crossover is a few thousand elements of step width.
+
+    CAVEAT: the width heuristic reads ``b``'s trace-time shape, which does
+    NOT see axes mapped away by a user-side ``jax.vmap`` — a vmapped wide
+    batch would look like many single solves and pick CR in Thomas's regime.
+    Both are exact, so only speed is at stake; prefer the library's batched
+    entry points (solve_batched, lax.map) for wide batches, or force the
+    choice with ``use_cr``."""
+    if use_cr is not None:
+        return btd_solve_cr(S, b) if use_cr else btd_solve(S, b)
     if jax.default_backend() != "tpu":
         return btd_solve(S, b)
     batch = 1

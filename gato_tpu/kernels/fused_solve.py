@@ -269,13 +269,16 @@ def _fused_kernel(
     # Preconditioner assembly (mirrors assemble._preconditioner; selected at
     # trace time — the reference selects by compile flags, gato_defines.h:9-11):
     if precond == "jacobi":
-        # Scalar Jacobi: Pinv main diag = 1/diag(theta).  Pad lanes carry
-        # zero diagonals; clamp them so pads stay finite (x is zero there).
-        thd = [jnp.where(theta[b][b : b + 1, :] != 0,
-                         theta[b][b : b + 1, :], 1.0) for b in range(s)]
+        # Scalar Jacobi: Pinv main diag = 1/diag(theta), reciprocals
+        # precomputed once (divides are loop-invariant; the PCG loop applies
+        # this every iteration).  Pad lanes carry zero diagonals; clamp them
+        # so pads stay finite (x is zero there).
+        thdinv = [1.0 / jnp.where(theta[b][b : b + 1, :] != 0,
+                                  theta[b][b : b + 1, :], 1.0)
+                  for b in range(s)]
 
         def apply_Pmat(x):
-            return sum(_row_onehot(b, sp, dt) * (x[b : b + 1, :] / thd[b])
+            return sum(_row_onehot(b, sp, dt) * (x[b : b + 1, :] * thdinv[b])
                        for b in range(s))
     else:
         thinv = _gj_inv(theta, s, sp)
@@ -468,6 +471,11 @@ def solve_fused_batched(
     ``preconditioner`` selects among the reference's three options
     ('symmetric_stair' | 'block_jacobi' | 'jacobi', gato_defines.h:9-11) —
     all assembled in-kernel."""
+    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {preconditioner!r}; valid: "
+            "'symmetric_stair', 'block_jacobi', 'jacobi'"
+        )
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
     dt = q.dtype
@@ -525,6 +533,11 @@ def solve_fused_sequence(
     Used by mpc.solve_sequence (pcg_backend='fused').  Returns
     (lam (T,K,s), dz_x (T,K,s), dz_u (T,K-1,c), iters (T,), conv (T,),
     eta (T,))."""
+    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {preconditioner!r}; valid: "
+            "'symmetric_stair', 'block_jacobi', 'jacobi'"
+        )
     T, K, s, _ = Q.shape
     cdim = R.shape[-1]
     K_sub, g, L, n_groups, sp = plan_packing(1, K, s, cdim)

@@ -127,6 +127,43 @@ def pcg_sharded(
     return run(S, Pinv, gamma, lam0)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "poly_degree", "preconditioner"),
+)
+def _solve_batched_dp_core(
+    Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
+    mesh: Mesh,
+    axis_name: str,
+    poly_degree: int,
+    preconditioner: str,
+):
+    from ..kernels import fused_solve
+    from ..pcg import PCGResult
+
+    def body(Ql, Rl, Al, Bl, ql, rl, cl, l0, rho_, tol_, mi_):
+        return fused_solve.solve_fused_batched(
+            Ql, Rl, Al, Bl, ql, rl, cl, l0,
+            rho=rho_, exit_tol=tol_, max_iters=mi_,
+            poly_degree=poly_degree, preconditioner=preconditioner,
+        )
+
+    run = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 8 + (P(), P(), P()),
+        out_specs=(
+            PCGResult(lam=P(axis_name), iters=P(axis_name),
+                      converged=P(axis_name), eta=P(axis_name)),
+            P(axis_name), P(axis_name),
+        ),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation; the
+        # body is embarrassingly parallel (no collectives), so skip the check.
+        check_vma=False,
+    )
+    return run(Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters)
+
+
 def solve_batched_dp(
     mesh: Mesh,
     Q, R, A, B, q, r, c,
@@ -136,6 +173,7 @@ def solve_batched_dp(
     exit_tol=1e-6,
     max_iters=100,
     poly_degree: int = 1,
+    preconditioner: str = "symmetric_stair",
     axis_name: str = "dp",
 ):
     """Data-parallel batched solves: the problem batch shards across the mesh
@@ -147,15 +185,13 @@ def solve_batched_dp(
     its local problems, and results come back sharded the same way.  This
     composes orthogonally with the knot-axis sharding of
     :func:`solve_sharded` (which targets single problems too long for one
-    chip).
+    chip).  The core is jitted (mesh/axis/preconditioner static, scalars
+    traced), so repeated serving-loop calls hit the compile cache.
 
     Arrays follow formats.KKTBlocks with a leading batch axis divisible by
     the mesh axis size.  Returns (PCGResult, dz_x, dz_u) with the batch axis
     sharded over ``axis_name``.
     """
-    from ..kernels import fused_solve
-    from ..pcg import PCGResult
-
     Bn = q.shape[0]
     n = mesh.shape[axis_name]
     if Bn % n:
@@ -163,28 +199,14 @@ def solve_batched_dp(
             f"batch {Bn} not divisible by mesh axis {axis_name}={n}")
     if lam0 is None:
         lam0 = jnp.zeros_like(q)
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(P(axis_name),) * 8,
-        out_specs=(
-            PCGResult(lam=P(axis_name), iters=P(axis_name),
-                      converged=P(axis_name), eta=P(axis_name)),
-            P(axis_name), P(axis_name),
-        ),
-        # pallas_call out_shapes carry no varying-mesh-axes annotation; the
-        # body is embarrassingly parallel (no collectives), so skip the check.
-        check_vma=False,
+    dt = q.dtype
+    return _solve_batched_dp_core(
+        Q, R, A, B, q, r, c, lam0,
+        jnp.asarray(rho, dt), jnp.asarray(exit_tol, dt),
+        jnp.asarray(max_iters, jnp.int32),
+        mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
+        preconditioner=preconditioner,
     )
-    def run(Ql, Rl, Al, Bl, ql, rl, cl, l0):
-        return fused_solve.solve_fused_batched(
-            Ql, Rl, Al, Bl, ql, rl, cl, l0,
-            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree,
-        )
-
-    return run(Q, R, A, B, q, r, c, lam0)
 
 
 def solve_sharded(

@@ -102,3 +102,11 @@ def test_solve_batched_fused_backend(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
         np.testing.assert_allclose(np.asarray(res.dz_x[i]),
                                    np.asarray(ref.dz_x), rtol=1e-4, atol=1e-4)
+
+
+def test_fused_rejects_unknown_preconditioner():
+    spec = ProblemSpec(3, 2, 8)
+    problems, bb = _stack(spec, 1, seed0=7)
+    with pytest.raises(ValueError, match="unknown preconditioner"):
+        fs.solve_fused_batched(*bb, rho=1e-2, preconditioner="block-jacobi",
+                               interpret=True)

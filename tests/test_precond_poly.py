@@ -107,3 +107,42 @@ def test_degree1_unchanged_default():
                  pcg_backend="jax")
     d1 = solve(IIWA, blocks, _opts(1), pcg_backend="jax")
     assert int(base.iters) == int(d1.iters)
+
+
+def test_fused_block_jacobi_poly_degree_parity():
+    """Block-Jacobi composed polynomially through the fused kernel: exact
+    iteration parity with the jax oracle (the spectrum of P S stays below 2
+    here, so the composed operator is SPD and eta decays monotonically)."""
+    from gato_tpu.problem import Preconditioner
+
+    spec = ProblemSpec(5, 3, 12)
+    blocks = random_blocks(spec, seed=21)
+    opts = SolverOptions(rho=1e-2, exit_tol=1e-8, max_iters=400,
+                         preconditioner=Preconditioner.BLOCK_JACOBI,
+                         precond_poly_degree=2)
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="fused")
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_fused_scalar_jacobi_poly_degree_converges():
+    """Scalar Jacobi + poly degree 2 hits the documented SPD caveat
+    (SolverOptions docstring): nothing bounds the spectrum of P S below 2, so
+    the composed operator can be indefinite — eta oscillates and the exit
+    iteration becomes reduction-order-sensitive (measured: 47 vs 42 at tol
+    1e-6 between jax and fused).  What IS guaranteed and asserted: both paths
+    converge and agree on the solution to f32 round-off."""
+    from gato_tpu.problem import Preconditioner
+
+    spec = ProblemSpec(5, 3, 12)
+    blocks = random_blocks(spec, seed=21)
+    opts = SolverOptions(rho=1e-2, exit_tol=1e-8, max_iters=400,
+                         preconditioner=Preconditioner.JACOBI,
+                         precond_poly_degree=2)
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="fused")
+    assert bool(ref.converged) and bool(got.converged)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-3, atol=1e-3)
