@@ -225,7 +225,7 @@ def _fused_kernel(
     Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
     lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
     *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
-    precond: str = "symmetric_stair",
+    precond: str = "symmetric_stair", unroll: int = 1,
 ):
     dt = q_ref.dtype
     rho = rho_ref[0]
@@ -356,7 +356,11 @@ def _fused_kernel(
         it, conv = st[4], st[6]
         return jnp.logical_and(it < max_iters, jnp.sum(conv) < g)
 
-    def body(st):
+    def one_iter(st):
+        # Self-gated masked iteration: no-op past per-problem convergence or
+        # past max_iters, which makes it safe to unroll several iterations
+        # per while trip at identical iteration counts (measured rationale:
+        # pcg_pallas._pcg_kernel.one_iter).
         lam, rr, p, eta, it, n_iters, conv = st
         upsilon = mvS(p)
         nu = dot(p, upsilon)
@@ -370,22 +374,20 @@ def _fused_kernel(
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + lanes(beta) * p
 
-        if g == 1:
-            # cond exits on convergence — no freeze-masking needed (see
-            # pcg_pallas._pcg_kernel).
-            lam, rr, p, eta = lam_n, r_n, p_n, eta_new
-            n_iters = jnp.where(conv_now, it, n_iters)
-            conv = jnp.maximum(conv, conv_now.astype(i32))
-        else:
-            live = (conv == 0)
-            live_l = lanes(live.astype(dt))
-            lam = live_l * lam_n + (1.0 - live_l) * lam
-            rr = live_l * r_n + (1.0 - live_l) * rr
-            p = live_l * p_n + (1.0 - live_l) * p
-            eta = jnp.where(live, eta_new, eta)
-            n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
-            conv = jnp.maximum(conv, conv_now.astype(i32))
+        live = jnp.logical_and(conv == 0, it < max_iters)
+        live_l = lanes(live.astype(dt))
+        lam = live_l * lam_n + (1.0 - live_l) * lam
+        rr = live_l * r_n + (1.0 - live_l) * rr
+        p = live_l * p_n + (1.0 - live_l) * p
+        eta = jnp.where(live, eta_new, eta)
+        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
+        conv = jnp.maximum(conv, jnp.logical_and(live, conv_now).astype(i32))
         return (lam, rr, p, eta, it + 1, n_iters, conv)
+
+    def body(st):
+        for _ in range(unroll):
+            st = one_iter(st)
+        return st
 
     init = (lam0, r0, rt0, eta0, jnp.zeros((), i32),
             jnp.full((1, g), max_iters, i32), jnp.zeros((1, g), i32))
@@ -412,7 +414,7 @@ def _fused_kernel(
 
 def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
                 s, c, K_sub, g, L, sp, n_groups, flops_scale,
-                poly_degree, precond, interpret):
+                poly_degree, precond, interpret, unroll=1):
     """Invoke the fused kernel on pre-packed arrays; returns packed outputs."""
     dt = qb.dtype
 
@@ -434,7 +436,8 @@ def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
 
     return pl.pallas_call(
         functools.partial(_fused_kernel, s=s, c=c, K_sub=K_sub, g=g, sp=sp,
-                          poly_degree=poly_degree, precond=precond),
+                          poly_degree=poly_degree, precond=precond,
+                          unroll=unroll),
         grid=(n_groups,),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
@@ -462,7 +465,7 @@ def solve_fused_batched(
     Q, R, A, B, q, r, c, lam0=None, *,
     rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
     preconditioner: str = "symmetric_stair",
-    interpret: bool = False,
+    interpret: bool = False, unroll=None,
 ):
     """Whole batched solve (condense+PCG+recover) in fused TPU kernels.
 
@@ -480,6 +483,13 @@ def solve_fused_batched(
     cdim = R.shape[-1]
     dt = q.dtype
     K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
+    if unroll is None:
+        # Measured on v5e (IIWA headline/batch configs): at g=1 the Mosaic
+        # while-trip overhead is a visible share of the 0.46 us iteration and
+        # unroll=4 buys ~6%; at g>1 the overhead amortizes over the packed
+        # problems while unrolled masked iterations waste work across the
+        # group's ragged convergence — unroll=1 wins there.
+        unroll = 4 if g == 1 else 1
     # Mosaic kernels only lower on TPU; elsewhere (CPU tests, GPU) run the
     # Pallas interpreter so explicit pcg_backend='fused' works everywhere.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -498,7 +508,7 @@ def solve_fused_batched(
         rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
         s=s, c=cdim, K_sub=K_sub, g=g, L=L, sp=sp, n_groups=n_groups,
         flops_scale=Bn * K, poly_degree=poly_degree,
-        precond=preconditioner, interpret=interpret,
+        precond=preconditioner, interpret=interpret, unroll=unroll,
     )
 
     lam = _unpack_vec(lam_p, Bn, K, s, K_sub, g)
@@ -555,7 +565,7 @@ def solve_fused_sequence(
     call = functools.partial(
         _call_fused, s=s, c=cdim, K_sub=K_sub, g=1, L=L, sp=sp, n_groups=1,
         flops_scale=K, poly_degree=poly_degree, precond=preconditioner,
-        interpret=interpret,
+        interpret=interpret, unroll=4,
     )
 
     def step(lam_carry, xs):

@@ -185,7 +185,7 @@ def _pcg_kernel(
     tol_ref, maxit_ref,                     # SMEM scalars
     S_ref, P_ref, gam_ref, lam0_ref,        # VMEM tensors
     lam_out, iters_out, conv_out, eta_out,  # outputs
-    *, s: int, K_sub: int, g: int, poly_degree: int = 1,
+    *, s: int, K_sub: int, g: int, poly_degree: int = 1, unroll: int = 1,
 ):
     S = S_ref[:]
     P = P_ref[:]
@@ -258,7 +258,19 @@ def _pcg_kernel(
         it, conv = st[4], st[6]
         return jnp.logical_and(it < max_iters, jnp.sum(conv) < g)
 
-    def body(st):
+    def one_iter(st):
+        """One PCG iteration with self-gated masked updates.
+
+        Every state update is masked per problem by
+        ``live = (not converged) & (it < max_iters)``, which makes the step a
+        no-op past convergence or past the iteration budget.  This is exactly
+        pcg.pcg's semantics (the converging update IS applied on the iteration
+        that trips the exit test, then the problem freezes), and the self-gate
+        makes the body safe to UNROLL inside one while_loop trip at identical
+        iteration counts.  Measured on v5e (IIWA): unroll=4 cuts the g=1
+        per-iteration cost 0.46 -> 0.35 us (~6%% off the single-solve
+        headline); at g>1 unrolling loses slightly (masked overshoot across
+        the group's ragged convergence), hence the g-dependent auto rule."""
         lam, r, p, eta, it, n_iters, conv = st
         upsilon = mv(S, p)
         nu = dot(p, upsilon)
@@ -272,24 +284,20 @@ def _pcg_kernel(
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + lanes(beta) * p
 
-        if g == 1:
-            # The while cond exits the moment the problem converges, so no
-            # freeze-masking is needed (matches pcg.pcg's single semantics:
-            # the converging update IS applied, then the loop exits).
-            lam, r, p, eta = lam_n, r_n, p_n, eta_new
-            n_iters = jnp.where(conv_now, it, n_iters)
-            conv = jnp.maximum(conv, conv_now.astype(i32))
-        else:
-            # Per-problem freeze after convergence (matches pcg.pcg / vmap).
-            live = (conv == 0)                      # (1, g)
-            live_l = lanes(live.astype(gam.dtype))  # (1, L) 1.0/0.0
-            lam = live_l * lam_n + (1.0 - live_l) * lam
-            r = live_l * r_n + (1.0 - live_l) * r
-            p = live_l * p_n + (1.0 - live_l) * p
-            eta = jnp.where(live, eta_new, eta)
-            n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
-            conv = jnp.maximum(conv, conv_now.astype(i32))
+        live = jnp.logical_and(conv == 0, it < max_iters)  # (1, g)
+        live_l = lanes(live.astype(gam.dtype))             # (1, L) 1.0/0.0
+        lam = live_l * lam_n + (1.0 - live_l) * lam
+        r = live_l * r_n + (1.0 - live_l) * r
+        p = live_l * p_n + (1.0 - live_l) * p
+        eta = jnp.where(live, eta_new, eta)
+        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
+        conv = jnp.maximum(conv, jnp.logical_and(live, conv_now).astype(i32))
         return (lam, r, p, eta, it + 1, n_iters, conv)
+
+    def body(st):
+        for _ in range(unroll):
+            st = one_iter(st)
+        return st
 
     init = (
         lam0, r, p, eta,
@@ -318,6 +326,7 @@ def pcg_fused_batched(
     max_iters=100,
     poly_degree: int = 1,
     interpret: bool = False,
+    unroll=None,
 ) -> PCGResult:
     """Solve a batch of block-tridiagonal systems in fused TPU kernels.
 
@@ -329,6 +338,8 @@ def pcg_fused_batched(
     B, K, _, s, _ = S.shape
     dt = gamma.dtype
     K_sub, g, L, n_groups, sp = plan_packing(B, K, s)
+    if unroll is None:
+        unroll = 4 if g == 1 else 1  # same auto rule as fused_solve
     # Mosaic kernels only lower on TPU; elsewhere (CPU tests, GPU) run the
     # Pallas interpreter so explicit pcg_backend='pallas' works everywhere.
     interpret = interpret or jax.default_backend() != "tpu"
@@ -364,7 +375,7 @@ def pcg_fused_batched(
             tol_ref, maxit_ref,
             S_ref.at[0], P_ref.at[0], gam_ref.at[0], lam0_ref.at[0],
             lam_out.at[0], iters_out.at[0], conv_out.at[0], eta_out.at[0],
-            s=s, K_sub=K_sub, g=g, poly_degree=poly_degree,
+            s=s, K_sub=K_sub, g=g, poly_degree=poly_degree, unroll=unroll,
         )
 
     lam_p, iters, conv, eta = pl.pallas_call(
