@@ -374,6 +374,7 @@ def parity_gate(spec, options):
     lambda to f32 round-off, for one problem and a ragged batch.  Raises on
     any mismatch so a Mosaic regression fails the bench loudly."""
     from gato_tpu.formats import KKTBlocks
+    from gato_tpu.problem import SolverOptions
     from gato_tpu.solver import solve, solve_batched
     from gato_tpu.testing import random_blocks
 
@@ -399,6 +400,18 @@ def parity_gate(spec, options):
         err = float(np.max(np.abs(np.asarray(results[be].lam) - ref))) / scale
         report[f"single_rel_err_{be}"] = err
         check(err < 1e-3, f"PARITY FAILURE lam {be}: rel err {err}")
+
+    # Direct method: the fused cyclic-reduction kernel vs the XLA path
+    # (both exact; agreement to f32 round-off).
+    dopts = SolverOptions(rho=options.rho, method="direct")
+    d_jax = solve(spec, single, dopts, pcg_backend="jax")
+    d_fused = solve(spec, single, dopts, pcg_backend="fused")
+    float(jnp.sum(d_jax.lam) + jnp.sum(d_fused.lam))
+    dref = np.asarray(d_jax.lam)
+    dscale = float(np.max(np.abs(dref))) or 1.0
+    derr = float(np.max(np.abs(np.asarray(d_fused.lam) - dref))) / dscale
+    report["direct_rel_err_fused"] = derr
+    check(derr < 1e-3, f"PARITY FAILURE direct fused: rel err {derr}")
 
     # Ragged batch: different seeds -> different iteration counts.
     nb = 5
@@ -452,6 +465,12 @@ def main():
     _log(f"iiwa pcg: {C['iiwa_pcg']}")
     C["iiwa_direct"] = bench_single(iiwa, direct_opts, "jax")
     _log(f"iiwa direct: {C['iiwa_direct']}")
+    if have_pallas:
+        # The fused cyclic-reduction kernel: exact solve at iterative-path
+        # latency (kernels/direct_fused.py).
+        C["iiwa_direct_fused"] = bench_single(iiwa, direct_opts, "fused",
+                                              T=512)
+        _log(f"iiwa direct fused: {C['iiwa_direct_fused']}")
     C["iiwa_split_jax"] = bench_split(iiwa, opts)
     _log(f"iiwa split: {C['iiwa_split_jax']}")
     if have_pallas:
@@ -488,8 +507,12 @@ def main():
         _log(f"batch fused: {C['iiwa_batch_256_fused']}")
         C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas", T=6)
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
-    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, None, T=6)
+    C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, "jax", T=6)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
+    if have_pallas:
+        C["iiwa_batch_256_direct_fused"] = bench_batch(iiwa, direct_opts,
+                                                       "fused", T=32)
+        _log(f"batch direct fused: {C['iiwa_batch_256_direct_fused']}")
     C["iiwa_mpc_sequence"] = bench_mpc_sequence(iiwa, opts, T=128,
                                                 pcg_backend="jax")
     _log(f"mpc sequence (jax): {C['iiwa_mpc_sequence']}")
@@ -504,6 +527,8 @@ def main():
     if have_pallas:
         candidates.append(("fused", C["iiwa_fused"]["avg_ms_device"]))
         candidates.append(("fused_poly2", C["iiwa_fused_poly2"]["avg_ms_device"]))
+        candidates.append(("direct_fused",
+                           C["iiwa_direct_fused"]["avg_ms_device"]))
     best_name, best_ms = min(candidates, key=lambda kv: kv[1])
     detail["headline_method"] = best_name
 

@@ -16,7 +16,7 @@ Public surface:
 from .api import infer_spec, linsys_solve
 from .diff import kkt_solve
 from .direct import btd_solve
-from .formats import KKTBlocks, pack_kkt
+from .formats import KKTBlocks, pack_kkt, pack_kkt_sparse
 from .mpc import solve_sequence
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, solve, solve_batched
@@ -34,6 +34,7 @@ __all__ = [
     "SolveResult",
     "KKTBlocks",
     "pack_kkt",
+    "pack_kkt_sparse",
     "ProblemSpec",
     "SolverOptions",
     "Preconditioner",

@@ -200,6 +200,30 @@ def pack_kkt(
     return KKTBlocks(Q=Q, R=R, A=A, B=B, q=q, r=r, c=cc)
 
 
+def pack_kkt_sparse(
+    spec: ProblemSpec, G, C, g, c_vec, dtype=np.float32
+) -> KKTBlocks:
+    """Convenience ingestion from scipy.sparse matrices (or any object with
+    CSR ``indptr``/``indices``/``data`` attributes, converted via ``tocsr``
+    when available).
+
+    The reference API takes raw CSR index arrays (gpu_library.cu:85-87);
+    users who already hold ``scipy.sparse`` operators can skip the manual
+    unpacking."""
+    if hasattr(G, "tocsr"):
+        G = G.tocsr()
+    if hasattr(C, "tocsr"):
+        C = C.tocsr()
+    for name, M in (("G", G), ("C", C)):
+        if not all(hasattr(M, a) for a in ("indptr", "indices", "data")):
+            raise TypeError(
+                f"{name} must be a scipy.sparse matrix or expose CSR "
+                "indptr/indices/data attributes"
+            )
+    return pack_kkt(spec, G.indptr, G.indices, G.data,
+                    C.indptr, C.indices, C.data, g, c_vec, dtype)
+
+
 def interleave_dz(spec: ProblemSpec, dz_x: np.ndarray, dz_u: np.ndarray) -> np.ndarray:
     """Merge (K,s) state steps and (K-1,c) control steps into the flat
     [dz_x0, dz_u0, dz_x1, ..., dz_x_{K-1}] layout the reference returns

@@ -220,26 +220,14 @@ def _roll_m1(x):
 # --------------------------------------------------------------------------
 
 
-def _fused_kernel(
-    rho_ref, tol_ref, maxit_ref,                      # SMEM scalars
-    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
-    lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
-    *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
-    precond: str = "symmetric_stair", unroll: int = 1,
-):
-    dt = q_ref.dtype
-    rho = rho_ref[0]
-    exit_tol = tol_ref[0]
-    max_iters = maxit_ref[0]
-    L = q_ref.shape[-1]
-    i32 = jnp.int32
+def _condense_cols(Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho,
+                   *, s: int, c: int, sp: int):
+    """Lane-parallel Schur condensation (assemble.condense) on column stacks.
 
-    qv = q_ref[0]
-    rv = r_ref[0]
-    cv = c_ref[0]
-    lam0 = lam0_ref[0]
-
-    # ---- condensation (assemble.condense, lane-parallel) ------------------
+    Shared by the PCG and direct whole-solve kernels.  Returns everything the
+    downstream solve and recovery stages need:
+    (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right)."""
+    dt = qv.dtype
     Qc = [Q_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
     Rc = [R_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
     Ac = [A_ref[0, b] for b in range(s)]
@@ -263,8 +251,73 @@ def _fused_kernel(
 
     phiT = _transpose(phi, s, sp)      # interval lanes: phi_{k+1}^T
     S_left = [_roll_p1(phi[b]) for b in range(s)]
-    S_main = theta
     S_right = phiT                     # at knot lane k: phi_{k+1}^T
+    return Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right
+
+
+def _make_reducers(g: int, K_sub: int, L: int, dt):
+    """Per-problem segment reduction / lane broadcast for the packed layout.
+
+    g == 1 degenerates to whole-tile sums; g > 1 rides the MXU via a constant
+    0/1 segment matrix (see pcg_pallas module docstring)."""
+    i32 = jnp.int32
+    if g == 1:
+        def seg_sum(z):
+            row = jnp.sum(z, axis=0, keepdims=True)
+            return jnp.sum(row, axis=1, keepdims=True)
+
+        def lanes(per):
+            return jnp.broadcast_to(per, (1, L))
+    else:
+        lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
+        prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
+        seg = (lane_seg == prob_ids).astype(dt)
+
+        def seg_sum(z):
+            row = jnp.sum(z, axis=0, keepdims=True)
+            return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+
+        def lanes(per):
+            return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
+                                       preferred_element_type=jnp.float32)
+    return seg_sum, lanes
+
+
+def _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, *, s: int, c: int, sp: int):
+    """dz recovery (recover.recover_dz) on column stacks; returns (dzx, dzu)."""
+    lam_next = _roll_m1(lam)  # lam_{k+1} at lane k; cross-boundary wrap is
+    # annihilated by the zero pad columns of A/B at the segment-final lane.
+    at_l = _matT_vec(Ac, lam_next, s, sp)   # interval lanes
+    bt_l = _matT_vec(Bc, lam_next, c, sp)
+    dzx = _mat_vec(Qinv, qv - lam - at_l, s)
+    dzu = _mat_vec(Rinv, rv - bt_l, c)
+    return dzx, dzu
+
+
+def _fused_kernel(
+    rho_ref, tol_ref, maxit_ref,                      # SMEM scalars
+    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, lam0_ref,
+    lam_out, dzx_out, dzu_out, iters_out, conv_out, eta_out,
+    *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
+    precond: str = "symmetric_stair", unroll: int = 1,
+):
+    dt = q_ref.dtype
+    rho = rho_ref[0]
+    exit_tol = tol_ref[0]
+    max_iters = maxit_ref[0]
+    L = q_ref.shape[-1]
+    i32 = jnp.int32
+
+    qv = q_ref[0]
+    rv = r_ref[0]
+    cv = c_ref[0]
+    lam0 = lam0_ref[0]
+
+    Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right = _condense_cols(
+        Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp
+    )
+    S_main = theta
 
     # Preconditioner assembly (mirrors assemble._preconditioner; selected at
     # trace time — the reference selects by compile flags, gato_defines.h:9-11):
@@ -302,28 +355,7 @@ def _fused_kernel(
             apply_Pmat = None
 
     # ---- PCG (pcg_pallas semantics) ---------------------------------------
-    if g == 1:
-        # Single problem per program: whole-tile sums / lane broadcasts,
-        # no MXU segment matmuls (see pcg_pallas._pcg_kernel).
-        def seg_sum(z):
-            row = jnp.sum(z, axis=0, keepdims=True)
-            return jnp.sum(row, axis=1, keepdims=True)
-
-        def lanes(per):
-            return jnp.broadcast_to(per, (1, L))
-    else:
-        lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
-        prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
-        seg = (lane_seg == prob_ids).astype(dt)
-
-        def seg_sum(z):
-            row = jnp.sum(z, axis=0, keepdims=True)
-            return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        def lanes(per):
-            return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
+    seg_sum, lanes = _make_reducers(g, K_sub, L, dt)
 
     def dot(a, b):
         return seg_sum(a * b)
@@ -393,13 +425,7 @@ def _fused_kernel(
             jnp.full((1, g), max_iters, i32), jnp.zeros((1, g), i32))
     lam, rr, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
 
-    # ---- dz recovery (recover.recover_dz) ---------------------------------
-    lam_next = _roll_m1(lam)  # lam_{k+1} at lane k; cross-boundary wrap is
-    # annihilated by the zero pad columns of A/B at the segment-final lane.
-    at_l = _matT_vec(Ac, lam_next, s, sp)   # interval lanes
-    bt_l = _matT_vec(Bc, lam_next, c, sp)
-    dzx = _mat_vec(Qinv, qv - lam - at_l, s)
-    dzu = _mat_vec(Rinv, rv - bt_l, c)
+    dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)
 
     lam_out[0] = lam
     dzx_out[0] = dzx

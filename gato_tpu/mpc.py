@@ -116,6 +116,16 @@ def solve_sequence(
     solve t+1.  Note the first solve warm starts from ``lam0`` regardless of
     ``options.warm_start`` — chaining is the point of this API.
     """
+    if options.method != "pcg":
+        # Explicit rejection, not silent degradation: the sequence's whole
+        # point is carrying the warm start between solves, which a direct
+        # solve has no use for — a "direct sequence" is just independent
+        # exact solves; use solve_batched (fused cyclic-reduction kernel).
+        raise ValueError(
+            "solve_sequence is a warm-started PCG chain; method="
+            f"{options.method!r} has no warm start to carry — use "
+            "solve_batched for independent exact solves"
+        )
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
     T, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]

@@ -83,18 +83,27 @@ def _solve_core(
     method: str = "pcg",
     poly_degree: int = 1,
 ):
-    if pcg_backend == "fused" and method == "pcg":
+    if pcg_backend == "fused":
         # Whole solve in one Pallas program (B=1 lane packing) — the
         # single-problem analog of the reference's one-resident-kernel-per-
-        # solve design (gato_pcg.cuh:270-470).
-        from .kernels import fused_solve
+        # solve design (gato_pcg.cuh:270-470).  method='direct' runs the
+        # cyclic-reduction kernel instead of PCG (no reference equivalent).
+        if method == "direct":
+            from .kernels import direct_fused
 
-        res, dz_x, dz_u = fused_solve.solve_fused_batched(
-            Q[None], R[None], A[None], B[None],
-            q[None], r[None], c[None], lam0[None],
-            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree, preconditioner=preconditioner.value,
-        )
+            res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
+                Q[None], R[None], A[None], B[None],
+                q[None], r[None], c[None], rho=rho,
+            )
+        else:
+            from .kernels import fused_solve
+
+            res, dz_x, dz_u = fused_solve.solve_fused_batched(
+                Q[None], R[None], A[None], B[None],
+                q[None], r[None], c[None], lam0[None],
+                rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree, preconditioner=preconditioner.value,
+            )
         return SolveResult(
             lam=res.lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
             iters=res.iters[0], converged=res.converged[0] != 0,
@@ -171,24 +180,26 @@ VALID_PCG_BACKENDS = ("jax", "pallas", "fused")
 
 
 def default_pcg_backend(
-    batched: bool = False, spec: Optional[ProblemSpec] = None
+    batched: bool = False, spec: Optional[ProblemSpec] = None,
+    method: str = "pcg",
 ) -> str:
     """Backend auto-selection.
 
     * CPU/GPU: always 'jax' (the pure path is the portable fallback and the
       numerics oracle).
-    * TPU: 'fused' — the whole solve (condense + PCG + recovery) in one
+    * TPU: 'fused' — the whole solve (condense + solve + recovery) in one
       lane-packed Pallas program, batched or not; ~12x the split pallas-PCG
       path on batches, ~10x the 'jax' path on single solves (measured v5e,
-      BENCH_DETAIL.json).  All three preconditioners are assembled
-      in-kernel.
-    * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas' —
-      XLA condensation + the resident-or-HBM-streamed PCG kernel
+      BENCH_DETAIL.json).  method='pcg' runs the PCG kernel (all three
+      preconditioners assembled in-kernel); method='direct' runs the
+      cyclic-reduction kernel (kernels/direct_fused.py).
+    * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas'
+      for PCG — XLA condensation + the resident-or-HBM-streamed PCG kernel
       (kernels/pcg_streamed.py), the role of the reference's strided
       ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its ``check_sms``
-      capacity decision (gato_utils.cuh:829-854).
+      capacity decision (gato_utils.cuh:829-854) — and 'jax' for direct.
     """
-    del batched  # the fused kernel packs lanes well at any batch size
+    del batched  # the fused kernels pack lanes well at any batch size
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -196,9 +207,15 @@ def default_pcg_backend(
     if platform != "tpu":
         return "jax"
     try:
-        from .kernels import fused_solve  # noqa: F401
+        from .kernels import direct_fused, fused_solve  # noqa: F401
     except ImportError:
         return "jax"
+    if method == "direct":
+        if spec is not None and not direct_fused.fits_vmem(
+            spec.knot_points, spec.state_size, spec.control_size
+        ):
+            return "jax"
+        return "fused"
     if spec is not None and not fused_solve.fits_vmem(
         spec.knot_points, spec.state_size, spec.control_size
     ):
@@ -219,11 +236,9 @@ def _resolve_backend(
     (check_sms exits rather than running the wrong kernel,
     gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
     backend compatible with the options and problem size."""
-    fused_ok = options.method == "pcg"
     if pcg_backend is None:
-        backend = default_pcg_backend(batched, spec=spec)
-        if backend == "fused" and not fused_ok:
-            backend = "pallas" if options.method == "pcg" else "jax"
+        backend = default_pcg_backend(batched, spec=spec,
+                                      method=options.method)
         if backend == "pallas" and options.method != "pcg":
             backend = "jax"
         return backend
@@ -232,14 +247,10 @@ def _resolve_backend(
             f"unknown pcg_backend {pcg_backend!r}; valid choices are "
             f"{VALID_PCG_BACKENDS} or None for auto-selection"
         )
-    if options.method == "direct" and pcg_backend != "jax":
+    if options.method == "direct" and pcg_backend == "pallas":
         raise ValueError(
-            "method='direct' runs no PCG; pcg_backend must be None or 'jax'"
-        )
-    if pcg_backend == "fused" and not fused_ok:
-        raise ValueError(
-            "pcg_backend='fused' (the whole-solve kernel) requires "
-            "method='pcg'"
+            "method='direct' runs no PCG; pcg_backend must be None, 'jax', "
+            "or 'fused' (the whole-solve cyclic-reduction kernel)"
         )
     return pcg_backend
 
@@ -299,16 +310,24 @@ def _solve_batched_core(
     method: str = "pcg",
     poly_degree: int = 1,
 ):
-    if pcg_backend == "fused" and method == "pcg":
-        # Whole solve (condense + PCG + recovery) in one Pallas program —
-        # skips assemble.condense entirely.
-        from .kernels import fused_solve
+    if pcg_backend == "fused":
+        # Whole solve (condense + solve + recovery) in one Pallas program —
+        # skips assemble.condense entirely.  method='direct' uses the
+        # cyclic-reduction kernel.
+        if method == "direct":
+            from .kernels import direct_fused
 
-        res, dz_x, dz_u = fused_solve.solve_fused_batched(
-            Q, R, A, B, q, r, c, lam0,
-            rho=rho, exit_tol=exit_tol, max_iters=max_iters,
-            poly_degree=poly_degree, preconditioner=preconditioner.value,
-        )
+            res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
+                Q, R, A, B, q, r, c, rho=rho,
+            )
+        else:
+            from .kernels import fused_solve
+
+            res, dz_x, dz_u = fused_solve.solve_fused_batched(
+                Q, R, A, B, q, r, c, lam0,
+                rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree, preconditioner=preconditioner.value,
+            )
         return SolveResult(
             lam=res.lam, dz_x=dz_x, dz_u=dz_u,
             iters=res.iters, converged=res.converged, eta=res.eta,

@@ -1,0 +1,131 @@
+"""Fused direct-solve kernel (kernels/direct_fused.py): cyclic reduction in
+the lane-packed layout vs the pure-path oracle, plus solver-level dispatch.
+
+The pure path (assemble.condense + direct.btd_solve) is the numerics oracle;
+the kernel must reproduce its solution to f32 round-off on every shape —
+including non-power-of-two horizons (pad-lane structural-zero induction) and
+multi-problem lane packing (segment-boundary rolls)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gato_tpu import assemble, direct
+from gato_tpu.kernels import direct_fused
+from gato_tpu.problem import ProblemSpec, SolverOptions
+from gato_tpu.recover import recover_dz
+from gato_tpu.solver import solve, solve_batched
+from gato_tpu.testing import random_blocks
+
+
+def _arrs(spec, seed=0):
+    b = random_blocks(spec, seed=seed)
+    return [jnp.asarray(np.asarray(a), jnp.float32) for a in b]
+
+
+@pytest.mark.parametrize(
+    "shape", [(4, 2, 2), (2, 1, 5), (5, 3, 8), (14, 7, 50)]
+)
+def test_matches_oracle_single(shape):
+    s, c, K = shape
+    spec = ProblemSpec(s, c, K)
+    Q, R, A, B, q, r, cc = _arrs(spec, seed=11)
+    rho = 1e-3
+    sys = assemble.condense(Q, R, A, B, q, r, cc, rho, None)
+    lam_ref = direct.btd_solve(sys.S, sys.gamma)
+    dzx_ref, dzu_ref = recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, lam_ref)
+
+    res, dzx, dzu = direct_fused.solve_direct_fused_batched(
+        Q[None], R[None], A[None], B[None], q[None], r[None], cc[None],
+        rho=rho,
+    )
+    scale = float(jnp.max(jnp.abs(lam_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(res.lam[0] - lam_ref))) / scale < 5e-5
+    sx = float(jnp.max(jnp.abs(dzx_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzx[0] - dzx_ref))) / sx < 5e-5
+    su = float(jnp.max(jnp.abs(dzu_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzu[0] - dzu_ref))) / su < 5e-5
+    assert int(res.iters[0]) == 0 and bool(res.converged[0])
+    # eta is the squared TRUE residual of an exact solve: tiny.
+    assert float(res.eta[0]) < 1e-6
+
+
+def test_matches_oracle_lane_packed_batch():
+    """Multiple problems per program: segment-boundary rolls must not leak
+    between problems (different seeds -> different solutions)."""
+    spec = ProblemSpec(5, 3, 12)
+    pro = [random_blocks(spec, seed=100 + i) for i in range(7)]
+    arrs = [
+        jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+        for f in range(7)
+    ]
+    Q, R, A, B, q, r, cc = arrs
+    K_sub, g, L, n_groups, sp = direct_fused.plan_packing(7, 12, 5, 3)
+    assert g > 1, "this test must exercise multi-problem packing"
+    sys = jax.vmap(lambda *xs: assemble.condense(*xs, 1e-2, None))(*arrs)
+    lam_ref = direct.btd_solve(sys.S, sys.gamma)
+    res, _, _ = direct_fused.solve_direct_fused_batched(*arrs, rho=1e-2)
+    scale = float(jnp.max(jnp.abs(lam_ref)))
+    assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-5
+
+
+def test_solver_dispatch_fused_direct():
+    """solve/solve_batched accept pcg_backend='fused' with method='direct'
+    and agree with the 'jax' direct path."""
+    spec = ProblemSpec(4, 2, 10)
+    blocks = random_blocks(spec, seed=3)
+    opts = SolverOptions(rho=1e-2, method="direct")
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="fused")
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.dz_x), np.asarray(ref.dz_x),
+                               rtol=1e-4, atol=1e-5)
+    assert int(got.iters) == 0 and bool(got.converged)
+
+    pro = [random_blocks(spec, seed=20 + i) for i in range(3)]
+    batch = type(blocks)(
+        *(np.stack([np.asarray(p[f]) for p in pro]) for f in range(7))
+    )
+    refb = solve_batched(spec, batch, opts, pcg_backend="jax")
+    gotb = solve_batched(spec, batch, opts, pcg_backend="fused")
+    np.testing.assert_allclose(np.asarray(gotb.lam), np.asarray(refb.lam),
+                               rtol=1e-4, atol=1e-5)
+    assert [int(i) for i in gotb.iters] == [0, 0, 0]
+
+
+def test_direct_still_rejects_pallas_backend():
+    spec = ProblemSpec(4, 2, 10)
+    blocks = random_blocks(spec, seed=3)
+    with pytest.raises(ValueError, match="direct"):
+        solve(spec, blocks, SolverOptions(rho=1e-2, method="direct"),
+              pcg_backend="pallas")
+
+
+def test_sequence_rejects_direct_method():
+    """solve_sequence must refuse method='direct' loudly (a warm-start chain
+    has nothing to carry for an exact solver), not silently run PCG."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.mpc import solve_sequence
+
+    spec = ProblemSpec(4, 2, 10)
+    blocks = random_blocks(spec, seed=3)
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (3,) + a.shape)
+                      for a in blocks))
+    with pytest.raises(ValueError, match="solve_batched"):
+        solve_sequence(spec, seq, SolverOptions(rho=1e-2, method="direct"))
+
+
+def test_plan_packing_raises_over_budget():
+    with pytest.raises(ValueError, match="VMEM budget"):
+        direct_fused.plan_packing(1, 4096, 14, 7)
+    assert not direct_fused.fits_vmem(4096, 14, 7)
+    assert direct_fused.fits_vmem(50, 14, 7)
+
+
+def test_default_backend_direct_on_cpu_is_jax():
+    from gato_tpu.solver import default_pcg_backend
+
+    assert default_pcg_backend(method="direct") == "jax"

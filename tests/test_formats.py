@@ -70,3 +70,29 @@ def test_interleave_dz_layout():
         interleave_dz(spec, dz_x, dz_u),
         np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.float32),
     )
+
+
+def test_pack_kkt_sparse_matches_raw_csr():
+    """scipy.sparse ingestion (pack_kkt_sparse) equals the raw-CSR path."""
+    import scipy.sparse as sp
+
+    from gato_tpu.formats import pack_kkt, pack_kkt_sparse
+    from gato_tpu.problem import ProblemSpec
+    from gato_tpu.testing import blocks_to_csr, random_blocks
+
+    spec = ProblemSpec(4, 2, 6)
+    p = blocks_to_csr(spec, random_blocks(spec, seed=5))
+    G = sp.csr_matrix((p.G_val, p.G_col, p.G_row))
+    C = sp.csr_matrix((p.C_val, p.C_col, p.C_row))
+    ref = pack_kkt(spec, p.G_row, p.G_col, p.G_val,
+                   p.C_row, p.C_col, p.C_val, p.g, p.c)
+    got = pack_kkt_sparse(spec, G, C, p.g, p.c)
+    for a, b in zip(ref, got):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # COO input is converted via tocsr
+    got2 = pack_kkt_sparse(spec, G.tocoo(), C.tocoo(), p.g, p.c)
+    for a, b in zip(ref, got2):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    with pytest.raises(TypeError, match="scipy.sparse"):
+        pack_kkt_sparse(spec, object(), C, p.g, p.c)
