@@ -129,7 +129,8 @@ def pcg_sharded(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("mesh", "axis_name", "poly_degree", "preconditioner"),
+    static_argnames=("mesh", "axis_name", "poly_degree", "preconditioner",
+                     "method"),
 )
 def _solve_batched_dp_core(
     Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
@@ -137,11 +138,18 @@ def _solve_batched_dp_core(
     axis_name: str,
     poly_degree: int,
     preconditioner: str,
+    method: str = "pcg",
 ):
-    from ..kernels import fused_solve
+    from ..kernels import direct_fused, fused_solve
     from ..pcg import PCGResult
 
     def body(Ql, Rl, Al, Bl, ql, rl, cl, l0, rho_, tol_, mi_):
+        if method == "direct":
+            # Exact per-shard solves via the fused cyclic-reduction kernel
+            # (kernels/direct_fused.py); tol/max_iters/lam0 are unused.
+            return direct_fused.solve_direct_fused_batched(
+                Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
+            )
         return fused_solve.solve_fused_batched(
             Ql, Rl, Al, Bl, ql, rl, cl, l0,
             rho=rho_, exit_tol=tol_, max_iters=mi_,
@@ -175,9 +183,12 @@ def solve_batched_dp(
     poly_degree: int = 1,
     preconditioner: str = "symmetric_stair",
     axis_name: str = "dp",
+    method: str = "pcg",
 ):
     """Data-parallel batched solves: the problem batch shards across the mesh
     and every device runs the whole-solve fused kernel on its local shard.
+    ``method='direct'`` runs the fused cyclic-reduction kernel per shard
+    instead of PCG — exact batched solves across the mesh.
 
     The natural multi-chip deployment for MPC farms / batched QP serving:
     problems are independent, so there is NO cross-device communication at
@@ -192,6 +203,10 @@ def solve_batched_dp(
     the mesh axis size.  Returns (PCGResult, dz_x, dz_u) with the batch axis
     sharded over ``axis_name``.
     """
+    if method not in ("pcg", "direct"):
+        raise ValueError(
+            f"solve_batched_dp supports method in ('pcg', 'direct'); "
+            f"got {method!r}")
     Bn = q.shape[0]
     n = mesh.shape[axis_name]
     if Bn % n:
@@ -205,7 +220,7 @@ def solve_batched_dp(
         jnp.asarray(rho, dt), jnp.asarray(exit_tol, dt),
         jnp.asarray(max_iters, jnp.int32),
         mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
-        preconditioner=preconditioner,
+        preconditioner=preconditioner, method=method,
     )
 
 

@@ -142,3 +142,37 @@ def test_solve_batched_dp_rejects_ragged():
     mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
     with pytest.raises(ValueError, match="divisible"):
         solve_batched_dp(mesh, *batch, rho=1e-2)
+
+
+def test_solve_batched_dp_direct():
+    """Data-parallel EXACT solves: method='direct' runs the fused cyclic-
+    reduction kernel per shard (interpret on CPU) — results match the
+    single-chip direct oracle, iters are 0 by definition."""
+    from jax.sharding import Mesh
+
+    from gato_tpu.parallel.sharded import solve_batched_dp
+
+    spec = ProblemSpec(4, 2, 10)
+    n_dev = 4
+    B = 8
+    problems = [random_blocks(spec, seed=400 + i) for i in range(B)]
+    batch = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                              for p in problems]))
+                        for f in range(7)))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    res, dz_x, dz_u = solve_batched_dp(mesh, *batch, rho=1e-2,
+                                       method="direct")
+    for i in range(B):
+        ref = solve(spec, problems[i],
+                    SolverOptions(rho=1e-2, method="direct"),
+                    pcg_backend="jax")
+        assert int(np.asarray(res.iters)[i]) == 0
+        np.testing.assert_allclose(np.asarray(res.lam)[i],
+                                   np.asarray(ref.lam), rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dz_x)[i],
+                                   np.asarray(ref.dz_x), rtol=1e-4, atol=1e-4)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="method"):
+        solve_batched_dp(mesh, *batch, rho=1e-2, method="thomas")
