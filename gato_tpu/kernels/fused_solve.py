@@ -151,17 +151,35 @@ def _gj_inv(M, n: int, sp: int):
     Zero pivots (padded lanes) are clamped to 1; padded lanes then produce the
     identity, which downstream products with zero blocks turn back into zeros.
     No pivoting otherwise — inputs are SPD (see blocktri.block_inv).
+
+    Pivot-row normalization is EXPLICIT (norm = row * 1/piv, select-written
+    into the pivot row), matching block_inv's division-based update.  The
+    earlier one-FMA trick — subtracting (column_i - e_i) times the normalized
+    row, which normalizes and eliminates in a single update — computes the
+    new pivot row as row - (piv-1)*(row/piv): catastrophic cancellation with
+    relative error ~eps*|piv|, i.e. up to ~1e-3 at the |piv|~1e4 pivots of
+    ill-conditioned condensed systems (measured: it cost the fused direct
+    solver 200x residual accuracy vs the XLA path on a tiny-rho problem).
     """
     dt = M[0].dtype
     Mc = list(M)
     Xc = [jnp.broadcast_to(_row_onehot(b, sp, dt), Mc[0].shape)
           for b in range(n)]
+    rows = jax.lax.broadcasted_iota(jnp.int32, (sp, 1), 0)
     for i in range(n):
         piv = Mc[i][i : i + 1, :]
         finv = 1.0 / jnp.where(piv != 0, piv, 1.0)
-        fm = Mc[i] - _row_onehot(i, sp, dt)
-        Mc = [Mc[b] - fm * (Mc[b][i : i + 1, :] * finv) for b in range(n)]
-        Xc = [Xc[b] - fm * (Xc[b][i : i + 1, :] * finv) for b in range(n)]
+        # Pivot column with the pivot row zeroed exactly (multiplicative
+        # mask), so elimination leaves row i untouched for the select below.
+        f = Mc[i] * (1.0 - _row_onehot(i, sp, dt))
+        pivot_row = (rows == i)
+
+        def upd(Cb, f=f, finv=finv, pivot_row=pivot_row):
+            norm = Cb[i : i + 1, :] * finv
+            return jnp.where(pivot_row, norm, Cb - f * norm)
+
+        Mc = [upd(Mc[b]) for b in range(n)]
+        Xc = [upd(Xc[b]) for b in range(n)]
     return Xc
 
 

@@ -237,6 +237,11 @@ def _resolve_backend(
     gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
     backend compatible with the options and problem size."""
     if pcg_backend is None:
+        if jnp.dtype(options.dtype) != jnp.float32:
+            # The Mosaic kernels are f32-only; non-f32 compute (the f64
+            # end-to-end mode) auto-selects the pure-XLA path.  An explicit
+            # kernel request with f64 inputs fails in the kernel instead.
+            return "jax"
         backend = default_pcg_backend(batched, spec=spec,
                                       method=options.method)
         if backend == "pallas" and options.method != "pcg":

@@ -129,3 +129,25 @@ def test_default_backend_direct_on_cpu_is_jax():
     from gato_tpu.solver import default_pcg_backend
 
     assert default_pcg_backend(method="direct") == "jax"
+
+
+def test_fused_direct_ill_conditioned():
+    """Nearly-singular Hessian blocks (tiny rho): the no-pivot CR stays
+    accurate because every reduced system is SPD (Schur complements of SPD
+    systems) — same justification as blocktri.block_inv, checked against the
+    f64 dense oracle at f32-appropriate tolerance."""
+    from gato_tpu.testing import dense_oracle
+
+    spec = ProblemSpec(6, 3, 12)
+    blocks = random_blocks(spec, seed=2)
+    # Scale Q down so rho dominates conditioning.
+    blocks = type(blocks)(
+        Q=np.asarray(blocks.Q) * 1e-3, R=blocks.R, A=blocks.A, B=blocks.B,
+        q=blocks.q, r=blocks.r, c=blocks.c,
+    )
+    rho = 1e-5
+    res = solve(spec, blocks, SolverOptions(rho=rho, method="direct"),
+                pcg_backend="fused")
+    lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
+    err = np.max(np.abs(res.lam_flat() - lam_ref)) / np.max(np.abs(lam_ref))
+    assert err < 1e-3, err

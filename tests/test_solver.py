@@ -135,3 +135,18 @@ def test_float64_dtype():
         lam_ref, _ = dense_oracle(spec, blocks, rho=1e-3)
         np.testing.assert_allclose(res.lam_flat(), lam_ref,
                                    rtol=1e-10, atol=1e-12)
+
+
+def test_f64_auto_selects_jax_backend(monkeypatch):
+    """Auto-selection must route non-f32 compute to the pure-XLA path: the
+    Mosaic kernels are f32-only, and on TPU the auto default would otherwise
+    hand f64 arrays to a kernel that cannot lower them."""
+    from gato_tpu import solver as solver_mod
+    from gato_tpu.solver import _resolve_backend
+
+    monkeypatch.setattr(solver_mod, "default_pcg_backend",
+                        lambda *a, **k: "fused")  # simulate a TPU default
+    opts64 = SolverOptions(dtype="float64")
+    assert _resolve_backend(None, opts64, batched=False) == "jax"
+    opts32 = SolverOptions()
+    assert _resolve_backend(None, opts32, batched=False) == "fused"
