@@ -19,15 +19,17 @@ In this layout every dense operation is lane-parallel across all g*K knots:
   * matrix-vector   (M x)[a]   : sum_b M[b] * x[b]        -> n FMAs
   * matrix-product  (M N)[:,b] : sum_e M[e] * N[e][b]     -> n^2 FMAs
   * transpose       M^T[:,b]   : stack_a M[a][b]          -> n^2 row-slices
-  * Gauss-Jordan    step i     : M[b] -= (M[i]-e_i)(M[i,b]/piv)  -> see below
+  * Gauss-Jordan    step i     : eliminate with the zeroed pivot column,
+                                 select-write the normalized pivot row
   * neighbor access (k +- 1)   : lane roll
 
-The Gauss-Jordan single-update trick: subtracting (column_i - e_i) times the
-normalized pivot row performs elimination AND pivot-row normalization in one
-FMA per column — s(2s+2) vector ops per inverse instead of XLA's relayouted
-scatter updates.  Pivots on zero-padded lanes are clamped to 1 so pads stay
-finite; every padded quantity then flows to zero through products with the
-structural zero blocks (same invariant as pcg_pallas.py).
+The Gauss-Jordan update is an FMA + select per column per pivot — a few
+s(2s+2)-scale vector ops per inverse instead of XLA's relayouted scatter
+updates, with EXPLICIT pivot-row normalization (see _gj_inv for why the
+one-FMA shortcut is numerically unacceptable).  Pivots on zero-padded lanes
+are clamped to 1 so pads stay finite; every padded quantity then flows to
+zero through products with the structural zero blocks (same invariant as
+pcg_pallas.py).
 
 Alignment convention: interval quantities (A_k, B_k, R_k, r_k, and derived
 phi_k+1 terms) live on lane k of their segment; a roll by +1 moves them to
