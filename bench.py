@@ -306,6 +306,63 @@ def bench_batch(spec, options, backend, batch=256, *, T=12):
     }
 
 
+def bench_mpc_farm(spec, options, T=128, B=16, reps=7):
+    """MPC FARM: B warm-started dependent streams in lockstep
+    (mpc.solve_sequence_batched) — T steps, each ONE fused lane-packed kernel
+    call advancing all B streams; sequence-length differencing as in
+    bench_mpc_sequence."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.mpc import solve_sequence_batched
+    from gato_tpu.testing import random_blocks
+
+    rng = np.random.default_rng(3)
+
+    def make_seq(length):
+        base = [random_blocks(spec, seed=50 + b) for b in range(B)]
+        stack = KKTBlocks(*(np.stack([np.asarray(p[f]) for p in base])
+                            for f in range(7)))
+        qs = np.asarray(stack.q)[None] + 0.01 * rng.normal(
+            size=(length,) + stack.q.shape).astype(np.float32).cumsum(axis=0)
+        qsc = (1.0 + 1e-4 * rng.normal(size=(length, 1, 1, 1, 1))).astype(
+            np.float32)
+        seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (length,) + a.shape)
+                          for a in stack))._replace(
+            q=jnp.asarray(qs), Q=jnp.asarray(np.asarray(stack.Q)[None] * qsc))
+        seq = KKTBlocks(*(jax.device_put(a) for a in seq))
+        float(jnp.sum(seq.q))
+        return seq
+
+    seq1, seq2 = make_seq(T), make_seq(2 * T)
+    res = solve_sequence_batched(spec, seq1, options)
+    float(jnp.sum(res.lam))
+    float(jnp.sum(solve_sequence_batched(spec, seq2, options).lam))
+    it = np.asarray(res.iters)
+
+    def timed(seq, i):
+        s2 = seq._replace(q=seq.q * (1.0 + 1e-6 * (i + 1)))
+        t0 = time.perf_counter()
+        float(jnp.sum(solve_sequence_batched(spec, s2, options).lam))
+        return (time.perf_counter() - t0) * 1e3
+
+    estimates = []
+    for k in range(2):
+        t1 = float(np.median([timed(seq1, 10 * k + i) for i in range(reps)]))
+        t2 = float(np.median([timed(seq2, 10 * k + i) for i in range(reps)]))
+        estimates.append(max((t2 - t1) / T, 1e-4))
+    ms_step = float(np.median(estimates))
+    return {
+        "T": T,
+        "B": B,
+        "ms_per_step": round(ms_step, 6),
+        "us_per_solve": round(1e3 * ms_step / B, 4),
+        "solves_per_sec": round(B / (ms_step / 1e3), 1),
+        "reps_ms": [round(e, 6) for e in estimates],
+        "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+        "iters_first_mean": float(it[0].mean()),
+        "iters_rest_mean": float(it[1:].mean()),
+    }
+
+
 def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
     """BASELINE config 3: warm-start MPC-style repeated solves as ONE
     on-device lax.scan (gato_tpu.mpc.solve_sequence), differencing sequence
@@ -521,6 +578,8 @@ def main():
         # needs a much longer sequence to rise above transport jitter.
         C["iiwa_mpc_sequence_fused"] = bench_mpc_sequence(iiwa, opts, T=1024)
         _log(f"mpc sequence (fused): {C['iiwa_mpc_sequence_fused']}")
+        C["iiwa_mpc_farm_16"] = bench_mpc_farm(iiwa, opts, T=256, B=16)
+        _log(f"mpc farm: {C['iiwa_mpc_farm_16']}")
 
     pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
     candidates = [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])]

@@ -17,7 +17,7 @@ from .api import infer_spec, linsys_solve
 from .diff import kkt_solve
 from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt, pack_kkt_sparse
-from .mpc import solve_sequence
+from .mpc import solve_sequence, solve_sequence_batched
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, solve, solve_batched
 
@@ -29,6 +29,7 @@ __all__ = [
     "solve",
     "solve_batched",
     "solve_sequence",
+    "solve_sequence_batched",
     "btd_solve",
     "kkt_solve",
     "SolveResult",

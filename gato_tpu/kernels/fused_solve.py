@@ -574,64 +574,89 @@ def solve_fused_batched(
     return res, dz_x, dz_u
 
 
-def solve_fused_sequence(
-    Q, R, A, B, q, r, c,           # leading T axis on every array
+def solve_fused_sequence_batched(
+    Q, R, A, B, q, r, c,           # leading (T, B) axes on every array
     lam0, rhos, exit_tol, max_iters, *,
     poly_degree: int = 1, preconditioner: str = "symmetric_stair",
     interpret: bool = False,
 ):
-    """T dependent warm-started solves, each a fused kernel call, with ALL
-    relayouts hoisted out of the sequential chain: the T steps' inputs are
-    packed into lane layout in one vectorized pass BEFORE the scan, the
-    lambda carry stays packed between steps (no unpack->repack on the
-    critical path), and outputs unpack once after the scan.
+    """T dependent warm-started solves over a batch of B problems in
+    lockstep (an MPC FARM: each problem carries its own warm start across
+    the sequence), with ALL relayouts hoisted out of the sequential chain:
+    the T steps' inputs are packed into the lane layout in one vectorized
+    pass BEFORE the scan, the lambda carries stay packed between steps (no
+    unpack->repack on the critical path), and outputs unpack once after the
+    scan.  B=1 is the single-sequence case (mpc.solve_sequence).
 
-    Used by mpc.solve_sequence (pcg_backend='fused').  Returns
-    (lam (T,K,s), dz_x (T,K,s), dz_u (T,K-1,c), iters (T,), conv (T,),
-    eta (T,))."""
+    Returns (lam (T,B,K,s), dz_x (T,B,K,s), dz_u (T,B,K-1,c),
+    iters (T,B), conv (T,B), eta (T,B))."""
     if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
         raise ValueError(
             f"unknown preconditioner {preconditioner!r}; valid: "
             "'symmetric_stair', 'block_jacobi', 'jacobi'"
         )
-    T, K, s, _ = Q.shape
+    T, Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
-    K_sub, g, L, n_groups, sp = plan_packing(1, K, s, cdim)
-    assert g == 1 and n_groups == 1
+    K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
     interpret = interpret or jax.default_backend() != "tpu"
 
-    pm = jax.vmap(lambda M: _pack_mat(M[None], K_sub=K_sub, g=1, L=L,
-                                      n_groups=1, sp=sp)[0])
-    pv = jax.vmap(lambda x: _pack_vec(x[None], K_sub=K_sub, g=1, L=L,
-                                      n_groups=1, sp=sp)[0])
-    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)   # (T, m, sp, L)
-    qb, rb, cb = pv(q), pv(r), pv(c)              # (T, sp, L)
-    lb0 = pv(lam0[None])[0]                       # (sp, L)
+    pm = jax.vmap(functools.partial(_pack_mat, K_sub=K_sub, g=g, L=L,
+                                    n_groups=n_groups, sp=sp))
+    pv = jax.vmap(functools.partial(_pack_vec, K_sub=K_sub, g=g, L=L,
+                                    n_groups=n_groups, sp=sp))
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)   # (T, n_groups, m, sp, L)
+    qb, rb, cb = pv(q), pv(r), pv(c)              # (T, n_groups, sp, L)
+    lb0 = _pack_vec(lam0, K_sub=K_sub, g=g, L=L, n_groups=n_groups, sp=sp)
 
     call = functools.partial(
-        _call_fused, s=s, c=cdim, K_sub=K_sub, g=1, L=L, sp=sp, n_groups=1,
-        flops_scale=K, poly_degree=poly_degree, precond=preconditioner,
-        interpret=interpret, unroll=4,
+        _call_fused, s=s, c=cdim, K_sub=K_sub, g=g, L=L, sp=sp,
+        n_groups=n_groups, flops_scale=Bn * K, poly_degree=poly_degree,
+        precond=preconditioner, interpret=interpret,
+        unroll=4 if g == 1 else 1,
     )
 
     def step(lam_carry, xs):
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
         lam_p, dzx_p, dzu_p, iters, conv, eta = call(
             rho_t, exit_tol, max_iters,
-            Qt[None], Rt[None], At[None], Bt[None],
-            qt[None], rt[None], ct[None], lam_carry[None],
+            Qt, Rt, At, Bt, qt, rt, ct, lam_carry,
         )
-        out = (lam_p[0], dzx_p[0], dzu_p[0],
-               iters[0, 0, 0], conv[0, 0, 0], eta[0, 0, 0])
-        return lam_p[0], out
+        return lam_p, (lam_p, dzx_p, dzu_p, iters, conv, eta)
 
     _, (lam_p, dzx_p, dzu_p, iters, conv, eta) = jax.lax.scan(
         step, lb0, (Qb, Rb, Ab, Bb, qb, rb, cb, rhos)
     )
 
-    up = jax.vmap(lambda x, n: _unpack_vec(x[None], 1, K, n, K_sub, 1)[0],
+    up = jax.vmap(lambda x, n: _unpack_vec(x, Bn, K, n, K_sub, g),
                   in_axes=(0, None))
-    lam = up(lam_p, s)
+    lam = up(lam_p, s)                           # (T, B, K, s)
     dz_x = up(dzx_p, s)
-    dz_u = up(dzu_p, cdim)[:, : K - 1, :]
-    return lam, dz_x, dz_u, iters, conv != 0, eta
+    dz_u = up(dzu_p, cdim)[:, :, : K - 1, :]
+
+    def per_problem(x):                          # (T, n_groups, 8, L) -> (T, B)
+        v = x[:, :, 0, : g * K_sub].reshape(T, n_groups * g, K_sub)
+        return v[:, :Bn, 0]
+
+    return (lam, dz_x, dz_u, per_problem(iters), per_problem(conv) != 0,
+            per_problem(eta))
+
+
+def solve_fused_sequence(
+    Q, R, A, B, q, r, c,           # leading T axis on every array
+    lam0, rhos, exit_tol, max_iters, *,
+    poly_degree: int = 1, preconditioner: str = "symmetric_stair",
+    interpret: bool = False,
+):
+    """Single-problem sequence: the B=1 case of
+    :func:`solve_fused_sequence_batched` (used by mpc.solve_sequence).
+    Returns (lam (T,K,s), dz_x (T,K,s), dz_u (T,K-1,c), iters (T,),
+    conv (T,), eta (T,))."""
+    lam, dz_x, dz_u, iters, conv, eta = solve_fused_sequence_batched(
+        Q[:, None], R[:, None], A[:, None], B[:, None],
+        q[:, None], r[:, None], c[:, None],
+        lam0[None], rhos, exit_tol, max_iters,
+        poly_degree=poly_degree, preconditioner=preconditioner,
+        interpret=interpret,
+    )
+    return (lam[:, 0], dz_x[:, 0], dz_u[:, 0],
+            iters[:, 0], conv[:, 0], eta[:, 0])

@@ -96,6 +96,132 @@ def _solve_sequence_core(
     return outs
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("preconditioner", "pcg_backend", "poly_degree"),
+)
+def _solve_sequence_batched_core(
+    Q, R, A, B, q, r, c,        # leading (T, Bn) axes on every array
+    lam0, rhos, exit_tol, max_iters,
+    preconditioner: Preconditioner,
+    pcg_backend: str,
+    poly_degree: int = 1,
+):
+    if pcg_backend == "fused":
+        from .kernels import fused_solve
+
+        out = fused_solve.solve_fused_sequence_batched(
+            Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
+            poly_degree=poly_degree, preconditioner=preconditioner.value,
+        )
+        lam, dz_x, dz_u, iters, conv, eta = out
+        return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
+                           converged=conv, eta=eta)
+
+    def step(lam_carry, xs):
+        Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
+        sys = jax.vmap(
+            lambda *a: assemble.condense(*a, rho_t, preconditioner)
+        )(Qt, Rt, At, Bt, qt, rt, ct)
+        if pcg_backend == "pallas":
+            from .kernels import pcg_pallas, pcg_streamed
+
+            if pcg_pallas.fits_vmem(qt.shape[1], qt.shape[2]):
+                res = pcg_pallas.pcg_fused_batched(
+                    sys.S, sys.Pinv, sys.gamma, lam_carry,
+                    exit_tol=exit_tol, max_iters=max_iters,
+                    poly_degree=poly_degree,
+                )
+            else:
+                res = pcg_streamed.pcg_streamed_batched(
+                    sys.S, sys.Pinv, sys.gamma, lam_carry,
+                    exit_tol=exit_tol, max_iters=max_iters,
+                    poly_degree=poly_degree,
+                )
+        else:
+            res = jax.vmap(
+                lambda S, P, g0, l: pcg_mod.pcg(
+                    S, P, g0, l, exit_tol=exit_tol, max_iters=max_iters,
+                    poly_degree=poly_degree,
+                )
+            )(sys.S, sys.Pinv, sys.gamma, lam_carry)
+        dz_x, dz_u = jax.vmap(recover.recover_dz)(
+            sys.Qinv, sys.Rinv, At, Bt, qt, rt, res.lam
+        )
+        out = SolveResult(lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+                          iters=res.iters, converged=res.converged,
+                          eta=res.eta)
+        return res.lam, out
+
+    _, outs = jax.lax.scan(step, lam0, (Q, R, A, B, q, r, c, rhos))
+    return outs
+
+
+def solve_sequence_batched(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+    rhos: Optional[jnp.ndarray] = None,
+    pcg_backend: Optional[str] = None,
+) -> SolveResult:
+    """Solve a BATCH of dependent KKT sequences in lockstep — an MPC farm.
+
+    ``blocks`` carries leading (T, B) axes on every array: B independent
+    MPC/SQP problem streams, each of T dependent steps.  Every stream
+    carries its own warm start across the sequence (``result.lam[t, b]``
+    warm-starts step t+1 of stream b), and on TPU every step is ONE fused
+    lane-packed kernel call advancing all B streams at once — the serving
+    deployment for fleets of controllers.  No reference equivalent (the
+    CUDA solver handles one problem per call and its warm start is
+    inoperative, gato_pcg.cuh:296-304).
+
+    Args mirror :func:`solve_sequence`: ``rhos`` is per-step (T,),
+    ``lam0`` is (B, K, s) (zeros by default).  Returns a SolveResult with
+    leading (T, B) axes.
+    """
+    if options.method != "pcg":
+        raise ValueError(
+            "solve_sequence_batched is a warm-started PCG chain; method="
+            f"{options.method!r} has no warm start to carry — use "
+            "solve_batched for independent exact solves"
+        )
+    dtype = jnp.dtype(options.dtype)
+    b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
+    T, Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2], b.Q.shape[3]
+    if (K, s) != (spec.knot_points, spec.state_size):
+        raise ValueError(
+            f"sequence blocks Q shape {b.Q.shape} does not match {spec}")
+
+    if lam0 is None:
+        lam0 = _cached_const(0, dtype, (Bn, K, s))
+    else:
+        lam0 = jnp.asarray(lam0, dtype=dtype).reshape(Bn, K, s)
+    if rhos is None:
+        rhos = _cached_const(options.rho, dtype, (T,))
+    else:
+        rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
+
+    if pcg_backend is None:
+        backend = default_pcg_backend(batched=True, spec=spec)
+    elif pcg_backend in ("jax", "pallas", "fused"):
+        backend = pcg_backend
+    else:
+        raise ValueError(
+            f"solve_sequence_batched supports pcg_backend in (None, 'jax', "
+            f"'pallas', 'fused'); got {pcg_backend!r}"
+        )
+    return _solve_sequence_batched_core(
+        b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
+        lam0, rhos,
+        _cached_const(options.exit_tol, dtype),
+        _cached_const(options.max_iters, jnp.int32),
+        options.preconditioner,
+        backend,
+        options.precond_poly_degree,
+    )
+
+
 def solve_sequence(
     spec: ProblemSpec,
     blocks: KKTBlocks,

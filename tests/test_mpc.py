@@ -67,3 +67,54 @@ def test_sequence_per_step_rho():
         lam_ref, _ = dense_oracle(spec, blocks, rho=rho)
         np.testing.assert_allclose(np.asarray(res.lam[t]).reshape(-1), lam_ref,
                                    rtol=2e-3, atol=2e-3, err_msg=f"step {t}")
+
+
+def test_sequence_batched_matches_independent_sequences():
+    """solve_sequence_batched (T, B) == B independent solve_sequence runs:
+    exact per-stream iteration parity and matching solutions, on both the
+    jax path and the lane-packed fused kernel path."""
+    from gato_tpu.mpc import solve_sequence_batched
+
+    spec = ProblemSpec(4, 2, 12)
+    T, B = 4, 3
+    streams = []
+    for b in range(B):
+        steps = [random_blocks(spec, seed=700 + 10 * b + t) for t in range(T)]
+        streams.append(KKTBlocks(*(np.stack([np.asarray(s[f]) for s in steps])
+                                   for f in range(7))))
+    batched = KKTBlocks(*(np.stack([np.asarray(streams[b][f]) for b in range(B)],
+                                   axis=1) for f in range(7)))
+    opts = SolverOptions(exit_tol=1e-10, max_iters=400, rho=0.01)
+
+    refs = [solve_sequence(spec, streams[b], opts, pcg_backend="jax")
+            for b in range(B)]
+    for backend in ("jax", "fused"):
+        res = solve_sequence_batched(spec, batched, opts, pcg_backend=backend)
+        assert res.lam.shape == (T, B, 12, 4)
+        for b in range(B):
+            assert [int(i) for i in np.asarray(res.iters)[:, b]] == \
+                [int(i) for i in np.asarray(refs[b].iters)], (backend, b)
+            np.testing.assert_allclose(np.asarray(res.lam[:, b]),
+                                       np.asarray(refs[b].lam),
+                                       rtol=1e-4, atol=1e-4,
+                                       err_msg=f"{backend}/{b}")
+            np.testing.assert_allclose(np.asarray(res.dz_u[:, b]),
+                                       np.asarray(refs[b].dz_u),
+                                       rtol=1e-4, atol=1e-4)
+
+
+def test_sequence_batched_rejects_direct_and_unknown():
+    import pytest
+
+    from gato_tpu.mpc import solve_sequence_batched
+
+    spec = ProblemSpec(4, 2, 12)
+    blocks = random_blocks(spec, seed=1)
+    seq = KKTBlocks(*(np.broadcast_to(np.asarray(a), (2, 3) + np.asarray(a).shape).copy()
+                      for a in blocks))
+    with pytest.raises(ValueError, match="solve_batched"):
+        solve_sequence_batched(spec, seq,
+                               SolverOptions(rho=1e-2, method="direct"))
+    with pytest.raises(ValueError, match="supports pcg_backend"):
+        solve_sequence_batched(spec, seq, SolverOptions(rho=1e-2),
+                               pcg_backend="nope")
