@@ -58,3 +58,26 @@ def test_solutions_match_dense_oracle(spec, rho):
                                    rtol=2e-3, atol=2e-3, err_msg=be)
         np.testing.assert_allclose(res.dz_flat(), dz_ref,
                                    rtol=2e-3, atol=2e-3, err_msg=be)
+
+
+@pytest.mark.parametrize("spec,rho", [
+    (ProblemSpec(2, 1, 5), 1e-3),
+    (ProblemSpec(5, 4, 7), 1e-2),
+    (ProblemSpec(3, 2, 64), 1e-4),
+    (ProblemSpec(1, 1, 4), 1e-3),
+])
+def test_direct_backends_match_dense_oracle(spec, rho):
+    """method='direct' on both backends (XLA path, fused cyclic-reduction
+    kernel) against the f64 dense saddle-point oracle — the exact-solver
+    analog of the PCG sweep above."""
+    blocks = random_blocks(spec, seed=17)
+    opts = SolverOptions(rho=rho, method="direct")
+    lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
+    scale = max(float(np.max(np.abs(lam_ref))), 1.0)
+    for be in ("jax", "fused"):
+        res = solve(spec, blocks, opts, pcg_backend=be)
+        assert int(res.iters) == 0 and bool(res.converged)
+        np.testing.assert_allclose(res.lam_flat() / scale, lam_ref / scale,
+                                   rtol=2e-4, atol=2e-4, err_msg=be)
+        np.testing.assert_allclose(res.dz_flat(), dz_ref,
+                                   rtol=2e-3, atol=2e-3, err_msg=be)
