@@ -224,6 +224,79 @@ def solve_batched_dp(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "poly_degree", "preconditioner"),
+)
+def _solve_sequence_batched_dp_core(
+    Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
+    mesh: Mesh,
+    axis_name: str,
+    poly_degree: int,
+    preconditioner: str,
+):
+    from ..kernels import fused_solve
+
+    def body(Ql, Rl, Al, Bl, ql, rl, cl, l0, rhos_, tol_, mi_):
+        return fused_solve.solve_fused_sequence_batched(
+            Ql, Rl, Al, Bl, ql, rl, cl, l0, rhos_, tol_, mi_,
+            poly_degree=poly_degree, preconditioner=preconditioner,
+        )
+
+    run = jax.shard_map(
+        body,
+        mesh=mesh,
+        # Sequence arrays carry (T, B, ...): the stream axis B (axis 1)
+        # shards; T stays replicated in time (the scan is per device).
+        in_specs=(P(None, axis_name),) * 7 + (P(axis_name), P(), P(), P()),
+        out_specs=(P(None, axis_name),) * 6,
+        check_vma=False,  # embarrassingly parallel (see _solve_batched_dp_core)
+    )
+    return run(Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters)
+
+
+def solve_sequence_batched_dp(
+    mesh: Mesh,
+    Q, R, A, B, q, r, c,          # leading (T, B) axes on every array
+    lam0=None,
+    rhos=None,
+    *,
+    rho=0.0,
+    exit_tol=1e-6,
+    max_iters=100,
+    poly_degree: int = 1,
+    preconditioner: str = "symmetric_stair",
+    axis_name: str = "dp",
+):
+    """An MPC farm sharded across the mesh: B warm-started streams split over
+    ``mesh[axis_name]``, each device scanning its local shard of streams with
+    the lane-packed fused kernel (mpc.solve_sequence_batched semantics) —
+    zero cross-device communication, the fleet-serving deployment at
+    chips x streams x steps scale.
+
+    Arrays carry leading (T, B) axes; B must divide by the mesh axis size.
+    ``rhos`` is per-step (T,), ``lam0`` is (B, K, s) (zeros by default).
+    Returns (lam, dz_x, dz_u, iters, converged, eta) with (T, B) leading
+    axes, stream-sharded over ``axis_name``."""
+    T, Bn = q.shape[0], q.shape[1]
+    n = mesh.shape[axis_name]
+    if Bn % n:
+        raise ValueError(
+            f"stream count {Bn} not divisible by mesh axis {axis_name}={n}")
+    dt = q.dtype
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q[0])
+    if rhos is None:
+        rhos = jnp.full((T,), rho, dt)
+    return _solve_sequence_batched_dp_core(
+        Q, R, A, B, q, r, c, lam0,
+        jnp.asarray(rhos, dt), jnp.asarray(exit_tol, dt),
+        jnp.asarray(max_iters, jnp.int32),
+        mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
+        preconditioner=preconditioner,
+    )
+
+
 def solve_sharded(
     mesh: Mesh,
     Q, R, A, B, q, r, c,

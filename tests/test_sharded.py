@@ -176,3 +176,39 @@ def test_solve_batched_dp_direct():
 
     with pytest.raises(ValueError, match="method"):
         solve_batched_dp(mesh, *batch, rho=1e-2, method="thomas")
+
+
+def test_solve_sequence_batched_dp():
+    """MPC farm sharded over the mesh: each device scans its local streams
+    with the fused kernel; matches the single-mesh farm exactly."""
+    from jax.sharding import Mesh
+
+    from gato_tpu.mpc import solve_sequence_batched
+    from gato_tpu.parallel.sharded import solve_sequence_batched_dp
+
+    spec = ProblemSpec(4, 2, 10)
+    T, B, n_dev = 3, 8, 4
+    streams = []
+    for b in range(B):
+        steps = [random_blocks(spec, seed=800 + 10 * b + t) for t in range(T)]
+        streams.append(KKTBlocks(*(np.stack([np.asarray(s[f]) for s in steps])
+                                   for f in range(7))))
+    batched = KKTBlocks(*(jnp.asarray(
+        np.stack([np.asarray(streams[b][f]) for b in range(B)], axis=1))
+        for f in range(7)))
+    mesh = Mesh(np.array(jax.devices()[:n_dev]), ("dp",))
+    lam, dz_x, dz_u, iters, conv, eta = solve_sequence_batched_dp(
+        mesh, *batched, rho=1e-2, exit_tol=1e-8, max_iters=300)
+    ref = solve_sequence_batched(spec, batched,
+                                 SolverOptions(rho=1e-2, exit_tol=1e-8,
+                                               max_iters=300),
+                                 pcg_backend="fused")
+    assert np.asarray(iters).tolist() == np.asarray(ref.iters).tolist()
+    np.testing.assert_allclose(np.asarray(lam), np.asarray(ref.lam),
+                               rtol=1e-5, atol=1e-6)
+
+    import pytest
+
+    with pytest.raises(ValueError, match="divisible"):
+        solve_sequence_batched_dp(
+            Mesh(np.array(jax.devices()[:3]), ("dp",)), *batched, rho=1e-2)
