@@ -53,7 +53,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..pcg import PCGResult
-from .pcg_pallas import _LANE, _SUBLANE, _round_up
+from .pcg_pallas import _LANE, _SUBLANE, _round_up, plan_lane_groups
 from .fused_solve import (
     _condense_cols,
     _gj_inv,
@@ -100,19 +100,14 @@ def fits_vmem(K: int, s: int, c: int) -> bool:
 def plan_packing(B: int, K: int, s: int, c: int):
     """Same contract as fused_solve.plan_packing, with the CR budget."""
     sp, K_sub, max_lanes = _lane_budget(K, s, c)
-    if _round_up(K_sub, _LANE) > max_lanes:
-        raise ValueError(
-            f"trajectory K={K} (s={s}, c={c}) needs "
-            f"{_round_up(K_sub, _LANE)} lanes but only {max_lanes} fit the "
-            f"{_VMEM_BUDGET_BYTES >> 20} MB VMEM budget of the fused direct "
-            "kernel; use method='direct' with pcg_backend=None/'jax' (XLA "
-            "path) for horizons this long"
-        )
-    g = max(1, min(B, max_lanes // K_sub))
-    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
-        g -= 1
-    L = _round_up(g * K_sub, _LANE)
-    n_groups = -(-B // g)
+    g, L, n_groups = plan_lane_groups(
+        B, K_sub, max_lanes,
+        f"trajectory K={K} (s={s}, c={c}) needs "
+        f"{_round_up(K_sub, _LANE)} lanes but only {max_lanes} fit the "
+        f"{_VMEM_BUDGET_BYTES >> 20} MB VMEM budget of the fused direct "
+        "kernel; use method='direct' with pcg_backend=None/'jax' (XLA "
+        "path) for horizons this long",
+    )
     return K_sub, g, L, n_groups, sp
 
 

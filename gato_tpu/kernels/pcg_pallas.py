@@ -104,6 +104,23 @@ def fits_vmem(K: int, s: int) -> bool:
     return lanes <= _max_lanes(_bytes_per_lane(s, sp))
 
 
+def plan_lane_groups(B: int, K_sub: int, max_lanes: int,
+                     over_budget_msg: str):
+    """Shared packing search for every lane-packed kernel: choose g problems
+    per program, the lane width L = round_up(g*K_sub, 128), and the grid
+    size, under a ``max_lanes`` VMEM-derived budget.  Raises ValueError with
+    the caller-supplied message when even one problem at minimum tile width
+    busts the budget (callers gate with their fits_vmem first)."""
+    if _round_up(K_sub, _LANE) > max_lanes:
+        raise ValueError(over_budget_msg)
+    g = max(1, min(B, max_lanes // K_sub))
+    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
+        g -= 1
+    L = _round_up(g * K_sub, _LANE)
+    n_groups = -(-B // g)
+    return g, L, n_groups
+
+
 def plan_packing(B: int, K: int, s: int):
     """Choose (K_sub, g, L, n_groups): problems-per-program and lane width.
 
@@ -115,19 +132,13 @@ def plan_packing(B: int, K: int, s: int):
     sp = _round_up(s, _SUBLANE)
     K_sub = _round_up(K, _SUBLANE)
     max_lanes = _max_lanes(_bytes_per_lane(s, sp))
-    if _round_up(K_sub, _LANE) > max_lanes:
-        # Even one problem at the minimum lane-tile width busts the budget.
-        raise ValueError(
-            f"trajectory K={K} (s={s}) needs {_round_up(K_sub, _LANE)} lanes "
-            f"but only {max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM "
-            "budget; use the HBM-streamed path (kernels/pcg_streamed.py) for "
-            "horizons this long"
-        )
-    g = max(1, min(B, int(max_lanes) // K_sub))
-    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
-        g -= 1
-    L = _round_up(g * K_sub, _LANE)
-    n_groups = -(-B // g)
+    g, L, n_groups = plan_lane_groups(
+        B, K_sub, int(max_lanes),
+        f"trajectory K={K} (s={s}) needs {_round_up(K_sub, _LANE)} lanes "
+        f"but only {max_lanes} fit the {_VMEM_BUDGET_BYTES >> 20} MB VMEM "
+        "budget; use the HBM-streamed path (kernels/pcg_streamed.py) for "
+        "horizons this long",
+    )
     return K_sub, g, L, n_groups, sp
 
 

@@ -37,69 +37,6 @@ from .solver import SolveResult, _cached_const, default_pcg_backend
     jax.jit,
     static_argnames=("preconditioner", "pcg_backend", "poly_degree"),
 )
-def _solve_sequence_core(
-    Q, R, A, B, q, r, c,        # leading T axis on every array
-    lam0, rhos, exit_tol, max_iters,
-    preconditioner: Preconditioner,
-    pcg_backend: str,
-    poly_degree: int = 1,
-):
-    if pcg_backend == "fused":
-        # Whole per-step solve (condense + PCG + recover) in one Pallas
-        # program, warm-started from the carry — the fastest MPC path on
-        # TPU.  All lane-layout relayouts are hoisted out of the sequential
-        # chain (inputs packed once before the scan, lambda carried packed).
-        from .kernels import fused_solve
-
-        lam, dz_x, dz_u, iters, conv, eta = fused_solve.solve_fused_sequence(
-            Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
-            poly_degree=poly_degree, preconditioner=preconditioner.value,
-        )
-        return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
-                           converged=conv, eta=eta)
-
-    def step(lam_carry, xs):
-        Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
-        sys = assemble.condense(Qt, Rt, At, Bt, qt, rt, ct, rho_t,
-                                preconditioner)
-        if pcg_backend == "pallas":
-            from .kernels import pcg_pallas, pcg_streamed
-
-            if pcg_pallas.fits_vmem(qt.shape[0], qt.shape[1]):
-                res = pcg_pallas.pcg_fused(
-                    sys.S, sys.Pinv, sys.gamma, lam_carry,
-                    exit_tol=exit_tol, max_iters=max_iters,
-                    poly_degree=poly_degree,
-                )
-            else:
-                # Over the VMEM budget: HBM-streamed kernel, same as
-                # solver._solve_core's dispatch.
-                res = pcg_streamed.pcg_streamed(
-                    sys.S, sys.Pinv, sys.gamma, lam_carry,
-                    exit_tol=exit_tol, max_iters=max_iters,
-                    poly_degree=poly_degree,
-                )
-        else:
-            res = pcg_mod.pcg(
-                sys.S, sys.Pinv, sys.gamma, lam_carry,
-                exit_tol=exit_tol, max_iters=max_iters,
-                poly_degree=poly_degree,
-            )
-        dz_x, dz_u = recover.recover_dz(sys.Qinv, sys.Rinv, At, Bt, qt, rt,
-                                        res.lam)
-        out = SolveResult(lam=res.lam, dz_x=dz_x, dz_u=dz_u,
-                          iters=res.iters, converged=res.converged,
-                          eta=res.eta)
-        return res.lam, out
-
-    _, outs = jax.lax.scan(step, lam0, (Q, R, A, B, q, r, c, rhos))
-    return outs
-
-
-@functools.partial(
-    jax.jit,
-    static_argnames=("preconditioner", "pcg_backend", "poly_degree"),
-)
 def _solve_sequence_batched_core(
     Q, R, A, B, q, r, c,        # leading (T, Bn) axes on every array
     lam0, rhos, exit_tol, max_iters,
@@ -203,7 +140,8 @@ def solve_sequence_batched(
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
     if pcg_backend is None:
-        backend = default_pcg_backend(batched=True, spec=spec)
+        backend = default_pcg_backend(batched=True, spec=spec,
+                                      dtype=options.dtype)
     elif pcg_backend in ("jax", "pallas", "fused"):
         backend = pcg_backend
     else:
@@ -271,7 +209,7 @@ def solve_sequence(
     # the per-step fused whole-solve kernel (warm-started from the carry).
     # Explicit requests that can't be honored raise — no silent degradation.
     if pcg_backend is None:
-        backend = default_pcg_backend(spec=spec)
+        backend = default_pcg_backend(spec=spec, dtype=options.dtype)
     elif pcg_backend in ("jax", "pallas", "fused"):
         backend = pcg_backend
     else:
@@ -279,12 +217,20 @@ def solve_sequence(
             f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas', "
             f"'fused'); got {pcg_backend!r}"
         )
-    return _solve_sequence_core(
-        b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
-        lam0, rhos,
+    # The single sequence is the B=1 case of the batched core (one code path
+    # to maintain; the fused kernel wrapper makes the same delegation).
+    res = _solve_sequence_batched_core(
+        b.Q[:, None], b.R[:, None], b.A[:, None], b.B[:, None],
+        b.q[:, None], b.r[:, None], b.c[:, None],
+        lam0[None], rhos,
         _cached_const(options.exit_tol, dtype),
         _cached_const(options.max_iters, jnp.int32),
         options.preconditioner,
         backend,
         options.precond_poly_degree,
+    )
+    return SolveResult(
+        lam=res.lam[:, 0], dz_x=res.dz_x[:, 0], dz_u=res.dz_u[:, 0],
+        iters=res.iters[:, 0], converged=res.converged[:, 0],
+        eta=res.eta[:, 0],
     )

@@ -38,6 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .. import assemble, recover
 from ..pcg import PCGResult, pcg
 from ..problem import Preconditioner
+from ..solver import _cached_const
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
@@ -215,10 +216,13 @@ def solve_batched_dp(
     if lam0 is None:
         lam0 = jnp.zeros_like(q)
     dt = q.dtype
+    # _cached_const: fresh per-call device_put of scalars costs a ~30 ms
+    # round trip on remote-attached TPUs (CLAUDE.md) — fatal in the repeated
+    # serving-loop deployment this entry point targets.
     return _solve_batched_dp_core(
         Q, R, A, B, q, r, c, lam0,
-        jnp.asarray(rho, dt), jnp.asarray(exit_tol, dt),
-        jnp.asarray(max_iters, jnp.int32),
+        _cached_const(rho, dt), _cached_const(exit_tol, dt),
+        _cached_const(max_iters, jnp.int32),
         mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
         preconditioner=preconditioner, method=method,
     )
@@ -287,11 +291,14 @@ def solve_sequence_batched_dp(
     if lam0 is None:
         lam0 = jnp.zeros_like(q[0])
     if rhos is None:
-        rhos = jnp.full((T,), rho, dt)
+        rhos = _cached_const(rho, dt, (T,))
+    else:
+        rhos = jnp.asarray(rhos, dt)
+    # _cached_const: see solve_batched_dp.
     return _solve_sequence_batched_dp_core(
         Q, R, A, B, q, r, c, lam0,
-        jnp.asarray(rhos, dt), jnp.asarray(exit_tol, dt),
-        jnp.asarray(max_iters, jnp.int32),
+        rhos, _cached_const(exit_tol, dt),
+        _cached_const(max_iters, jnp.int32),
         mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
         preconditioner=preconditioner,
     )

@@ -181,7 +181,7 @@ VALID_PCG_BACKENDS = ("jax", "pallas", "fused")
 
 def default_pcg_backend(
     batched: bool = False, spec: Optional[ProblemSpec] = None,
-    method: str = "pcg",
+    method: str = "pcg", dtype="float32",
 ) -> str:
     """Backend auto-selection.
 
@@ -200,6 +200,12 @@ def default_pcg_backend(
       capacity decision (gato_utils.cuh:829-854) — and 'jax' for direct.
     """
     del batched  # the fused kernels pack lanes well at any batch size
+    if jnp.dtype(dtype) != jnp.float32:
+        # The Mosaic kernels are f32-only; non-f32 compute (the f64
+        # end-to-end mode) runs the pure-XLA path.  This lives here so EVERY
+        # auto-selector (solve, solve_batched, the MPC sequences) inherits
+        # it; an explicit kernel request with f64 inputs fails in the kernel.
+        return "jax"
     try:
         platform = jax.devices()[0].platform
     except Exception:
@@ -237,13 +243,9 @@ def _resolve_backend(
     gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
     backend compatible with the options and problem size."""
     if pcg_backend is None:
-        if jnp.dtype(options.dtype) != jnp.float32:
-            # The Mosaic kernels are f32-only; non-f32 compute (the f64
-            # end-to-end mode) auto-selects the pure-XLA path.  An explicit
-            # kernel request with f64 inputs fails in the kernel instead.
-            return "jax"
         backend = default_pcg_backend(batched, spec=spec,
-                                      method=options.method)
+                                      method=options.method,
+                                      dtype=options.dtype)
         if backend == "pallas" and options.method != "pcg":
             backend = "jax"
         return backend

@@ -140,13 +140,17 @@ def test_float64_dtype():
 def test_f64_auto_selects_jax_backend(monkeypatch):
     """Auto-selection must route non-f32 compute to the pure-XLA path: the
     Mosaic kernels are f32-only, and on TPU the auto default would otherwise
-    hand f64 arrays to a kernel that cannot lower them."""
-    from gato_tpu import solver as solver_mod
-    from gato_tpu.solver import _resolve_backend
+    hand f64 arrays to a kernel that cannot lower them.  The check lives in
+    default_pcg_backend so every auto-selector (solve, solve_batched, and
+    the MPC sequence entry points) inherits it."""
+    import jax as jax_mod
 
-    monkeypatch.setattr(solver_mod, "default_pcg_backend",
-                        lambda *a, **k: "fused")  # simulate a TPU default
-    opts64 = SolverOptions(dtype="float64")
-    assert _resolve_backend(None, opts64, batched=False) == "jax"
-    opts32 = SolverOptions()
-    assert _resolve_backend(None, opts32, batched=False) == "fused"
+    from gato_tpu.solver import default_pcg_backend
+
+    class _FakeTPU:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax_mod, "devices", lambda *a: [_FakeTPU()])
+    assert default_pcg_backend(dtype="float64") == "jax"
+    assert default_pcg_backend(dtype="float32") == "fused"
+    assert default_pcg_backend(method="direct", dtype="float64") == "jax"
