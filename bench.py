@@ -63,93 +63,18 @@ def _log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
-def measure_rtt_ms(reps: int = 10) -> float:
-    """Transport round trip: time to fetch a 4-byte result to the host."""
-    f = jax.jit(lambda x: jnp.sum(x))
-    float(f(jnp.ones((8, 128))))
-    ts = []
-    for i in range(reps):
-        x = jnp.full((8, 128), float(i + 1))
-        t0 = time.perf_counter()
-        float(f(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts)) * 1e3
+from gato_tpu.timing import chain_time, measure_rtt_ms, perturb  # noqa: E402
 
 
-# --------------------------------------------------------------------------
-# Chain timing core
-
-
-def _chain_fn(step_fn, q0, length):
-    """One jitted scan of `length` chained cold solves.
-
-    step_fn(q0, lam_carry, t) -> array whose sum fences the whole step."""
-
-    @jax.jit
-    def chain(q):
-        def body(carry, t):
-            out = step_fn(q, carry, t)
-            return out, None
-
-        out, _ = jax.lax.scan(
-            body, jnp.zeros_like(q0), jnp.arange(length, dtype=jnp.float32)
-        )
-        return jnp.sum(out)
-
-    return chain
-
-
-def _timed(chain, q0, rep):
-    q = q0 * (1.0 + 1e-6 * (rep + 1))
-    t0 = time.perf_counter()
-    float(chain(q))  # scalar fetch = the only reliable fence here
-    return (time.perf_counter() - t0) * 1e3
-
-
-def scan_chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
-                    min_diff_ms: float = 8.0, label: str = ""):
-    """Per-step device time in ms, via T-vs-2T chain differencing.
-
-    Runs ``n_independent`` full repetitions (fresh timing loops) and returns
-    (median_ms, {"reps_ms": [...], "spread_ms": ..., "T": ...}).  If the
-    pilot difference is below ``min_diff_ms`` (noise territory), T is doubled
-    once and the measurement redone."""
-    for attempt in range(2):
-        c1 = _chain_fn(step_fn, q0, T)
-        c2 = _chain_fn(step_fn, q0, 2 * T)
-        float(c1(q0))  # compile + first run
-        float(c2(q0))
-        estimates = []
-        diffs = []
-        for k in range(n_independent):
-            t1 = float(np.median([_timed(c1, q0, 10 * k + r) for r in range(reps)]))
-            t2 = float(np.median([_timed(c2, q0, 10 * k + r) for r in range(reps)]))
-            diffs.append(t2 - t1)
-            estimates.append(max((t2 - t1) / T, 1e-5))
-        if float(np.median(diffs)) >= min_diff_ms or attempt == 1:
-            ms = float(np.median(estimates))
-            info = {
-                "reps_ms": [round(e, 6) for e in estimates],
-                "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
-                "T": T,
-                "chain_diff_ms": round(float(np.median(diffs)), 3),
-            }
-            if float(np.median(diffs)) < min_diff_ms:
-                info["noise_warning"] = "chain difference below noise floor"
-            return ms, info
-        _log(f"  [{label}] chain diff {np.median(diffs):.2f} ms < {min_diff_ms} ms"
-             f" at T={T}; doubling T")
-        T *= 2
-    raise AssertionError("unreachable")
+def scan_chain_time(step_fn, q0, T, reps=7, n_independent=2,
+                    min_diff_ms=8.0, label=""):
+    """bench-local wrapper: gato_tpu.timing.chain_time with stderr logging."""
+    return chain_time(step_fn, q0, T, reps=reps, n_independent=n_independent,
+                      min_diff_ms=min_diff_ms, label=label, log=_log)
 
 
 def _perturb(blocks, q0, lam_carry, t):
-    """Fresh problem data each step: breaks both the execution cache and
-    XLA's loop-invariant hoisting of the condensation."""
-    scale = 1.0 + 1e-6 * jnp.cos(t) + 1e-7 * jnp.tanh(jnp.sum(lam_carry))
-    Q = blocks.Q * scale
-    q = q0 * (1.0 + 1e-6 * jnp.sin(t))
-    return Q, q
+    return perturb(blocks, q0, lam_carry, t)
 
 
 # --------------------------------------------------------------------------

@@ -643,9 +643,10 @@ def solve_fused_sequence(
     interpret: bool = False,
 ):
     """Single-problem sequence: the B=1 case of
-    :func:`solve_fused_sequence_batched` (used by mpc.solve_sequence).
-    Returns (lam (T,K,s), dz_x (T,K,s), dz_u (T,K-1,c), iters (T,),
-    conv (T,), eta (T,))."""
+    :func:`solve_fused_sequence_batched` (kept as a direct kernel-level
+    entry point; mpc.solve_sequence reaches the batched core through
+    mpc._solve_sequence_batched_core).  Returns (lam (T,K,s), dz_x (T,K,s),
+    dz_u (T,K-1,c), iters (T,), conv (T,), eta (T,))."""
     lam, dz_x, dz_u, iters, conv, eta = solve_fused_sequence_batched(
         Q[:, None], R[:, None], A[:, None], B[:, None],
         q[:, None], r[:, None], c[:, None],

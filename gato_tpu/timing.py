@@ -1,0 +1,178 @@
+"""Trustworthy device timing for solver workloads.
+
+Library form of the benchmark methodology bench.py uses (the TPU analog of
+the reference's cudaEvent testiters loop, gpu_library.cu:166-198), exposed so
+users can measure THEIR problems without rediscovering the traps of remote-
+attached accelerators:
+
+* runtimes serve repeat executions of bit-identical program+inputs from a
+  cache (under-reporting by >100x);
+* ``jax.block_until_ready`` can return before device execution completes on
+  some transports — the only reliable fence is fetching a scalar reduction
+  of the result;
+* a single dispatch round trip can cost ~30 ms, dwarfing a ~20 us solve;
+* XLA hoists loop-invariant work (e.g. the whole condensation when only the
+  rhs changes per step) out of timing loops, silently under-reporting any
+  path it can see into.
+
+:func:`chain_time` answers all four at once: it times a chain of T solves
+INSIDE one jitted ``lax.scan`` whose per-step problem data is perturbed
+(breaking both the execution cache and invariant hoisting), fences with a
+scalar fetch, and differences two chain lengths (T vs 2T) so the transport
+cost cancels exactly.  :func:`time_solve` wraps it for one (spec, blocks,
+options) at the public solver surface.
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .formats import KKTBlocks
+from .problem import ProblemSpec, SolverOptions
+
+
+def measure_rtt_ms(reps: int = 10) -> float:
+    """Transport round trip: median time to fetch a 4-byte result."""
+    f = jax.jit(lambda x: jnp.sum(x))
+    float(f(jnp.ones((8, 128))))
+    ts = []
+    for i in range(reps):
+        x = jnp.full((8, 128), float(i + 1))
+        t0 = time.perf_counter()
+        float(f(x))
+        ts.append(time.perf_counter() - t0)
+    return float(np.median(ts)) * 1e3
+
+
+def _chain_fn(step_fn, q0, length):
+    """One jitted scan of ``length`` chained cold solves.
+
+    step_fn(q0, lam_carry, t) -> array whose sum fences the whole step."""
+
+    @jax.jit
+    def chain(q):
+        def body(carry, t):
+            out = step_fn(q, carry, t)
+            return out, None
+
+        out, _ = jax.lax.scan(
+            body, jnp.zeros_like(q0), jnp.arange(length, dtype=jnp.float32)
+        )
+        return jnp.sum(out)
+
+    return chain
+
+
+def _timed(chain, q0, rep):
+    q = q0 * (1.0 + 1e-6 * (rep + 1))
+    t0 = time.perf_counter()
+    float(chain(q))  # scalar fetch = the only reliable fence here
+    return (time.perf_counter() - t0) * 1e3
+
+
+def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
+               min_diff_ms: float = 8.0, label: str = "",
+               log=None):
+    """Per-step device time in ms, via T-vs-2T chain differencing.
+
+    ``step_fn(q0, lam_carry, t)`` must run one full solve whose inputs
+    depend on ``t`` and ``lam_carry`` (see :func:`time_solve` for a correct
+    perturbation) and return an array that data-depends on every output to
+    keep.  Runs ``n_independent`` full repetitions and returns
+    (median_ms, info_dict with reps/spread/T).  If the pilot difference is
+    below ``min_diff_ms`` (noise territory), T is doubled once and the
+    measurement redone."""
+    for attempt in range(2):
+        c1 = _chain_fn(step_fn, q0, T)
+        c2 = _chain_fn(step_fn, q0, 2 * T)
+        float(c1(q0))  # compile + first run
+        float(c2(q0))
+        estimates = []
+        diffs = []
+        for k in range(n_independent):
+            t1 = float(np.median([_timed(c1, q0, 10 * k + r) for r in range(reps)]))
+            t2 = float(np.median([_timed(c2, q0, 10 * k + r) for r in range(reps)]))
+            diffs.append(t2 - t1)
+            estimates.append(max((t2 - t1) / T, 1e-5))
+        if float(np.median(diffs)) >= min_diff_ms or attempt == 1:
+            ms = float(np.median(estimates))
+            info = {
+                "reps_ms": [round(e, 6) for e in estimates],
+                "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+                "T": T,
+                "chain_diff_ms": round(float(np.median(diffs)), 3),
+            }
+            if float(np.median(diffs)) < min_diff_ms:
+                info["noise_warning"] = "chain difference below noise floor"
+            return ms, info
+        if log is not None:
+            log(f"  [{label}] chain diff {np.median(diffs):.2f} ms < "
+                f"{min_diff_ms} ms at T={T}; doubling T")
+        T *= 2
+    raise AssertionError("unreachable")
+
+
+def perturb(blocks: KKTBlocks, q0, lam_carry, t):
+    """Fresh problem data each chain step: breaks the execution cache AND
+    XLA's loop-invariant hoisting of the condensation (perturbing only the
+    rhs q lets XLA hoist the whole S/Pinv assembly out of the scan,
+    under-reporting XLA-path configs ~3x — measured)."""
+    scale = 1.0 + 1e-6 * jnp.cos(t) + 1e-7 * jnp.tanh(jnp.sum(lam_carry))
+    Q = blocks.Q * scale
+    q = q0 * (1.0 + 1e-6 * jnp.sin(t))
+    return Q, q
+
+
+def time_solve(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    options: SolverOptions = SolverOptions(),
+    pcg_backend: Optional[str] = None,
+    *,
+    T: int = 64,
+    **chain_kwargs,
+):
+    """Honest per-solve device latency for one problem configuration.
+
+    Returns (avg_ms, info): the median per-solve device time over chained
+    cold solves (every step a genuinely fresh problem — Q and q perturbed),
+    plus the measurement detail.  ``blocks`` may carry a leading batch axis
+    (then solve_batched semantics apply and avg_ms is per BATCH; divide by
+    the batch size for per-solve)."""
+    from .solver import (_resolve_backend, _solve_batched_core, _solve_core,
+                         solve)
+
+    del solve  # imported for the docstring reference only
+    dtype = jnp.dtype(options.dtype)
+    b = KKTBlocks(*(jax.device_put(jnp.asarray(a, dtype=dtype))
+                    for a in blocks))
+    batched = b.Q.ndim == 4
+    backend = _resolve_backend(pcg_backend, options, batched=batched,
+                               spec=spec)
+    core = functools.partial(
+        (_solve_batched_core if batched else _solve_core).__wrapped__,
+        preconditioner=options.preconditioner,
+        pcg_backend=backend,
+        method=options.method,
+        poly_degree=options.precond_poly_degree,
+    )
+    rho = jnp.asarray(options.rho, dtype)
+    tol = jnp.asarray(options.exit_tol, dtype)
+    mi = jnp.asarray(options.max_iters, jnp.int32)
+    zero_lam = jnp.zeros_like(b.q)
+    float(jnp.sum(b.q))  # fence staging
+
+    def step(q0, lam_carry, t):
+        Q, q = perturb(b, q0, lam_carry, t)
+        res = core(Q, b.R, b.A, b.B, q, b.r, b.c, zero_lam, rho, tol, mi)
+        # Touch dz too, so no stage is dead-code eliminated on XLA paths.
+        return res.lam + res.dz_x + 1e-20 * jnp.sum(res.dz_u)
+
+    return chain_time(step, b.q, T, label=f"{backend}/{options.method}",
+                      **chain_kwargs)

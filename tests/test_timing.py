@@ -1,0 +1,52 @@
+"""gato_tpu.timing: the library form of the bench methodology (smoke-level —
+real latency numbers need hardware; here we check the machinery: chaining,
+differencing, perturbation, and the solver-surface wrapper)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from gato_tpu.problem import ProblemSpec, SolverOptions
+from gato_tpu.testing import random_blocks
+from gato_tpu.timing import chain_time, measure_rtt_ms, perturb, time_solve
+
+
+def test_measure_rtt_runs():
+    assert measure_rtt_ms(reps=2) > 0
+
+
+def test_perturb_changes_q_and_Q():
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=0)
+    b = type(blocks)(*(jnp.asarray(np.asarray(a)) for a in blocks))
+    Q1, q1 = perturb(b, b.q, jnp.ones_like(b.q), jnp.float32(1.0))
+    Q2, q2 = perturb(b, b.q, jnp.ones_like(b.q), jnp.float32(2.0))
+    # Both the operator and the rhs must vary with t (hoisting breaker).
+    assert float(jnp.max(jnp.abs(Q1 - Q2))) > 0
+    assert float(jnp.max(jnp.abs(q1 - q2))) > 0
+
+
+def test_time_solve_single_and_batched():
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=1)
+    ms, info = time_solve(spec, blocks, SolverOptions(rho=1e-3), T=4,
+                          reps=2, n_independent=2, min_diff_ms=0.0)
+    assert ms > 0 and info["T"] in (4, 8) and len(info["reps_ms"]) == 2
+
+    batch = type(blocks)(*(np.stack([np.asarray(a)] * 3) for a in blocks))
+    ms_b, info_b = time_solve(spec, batch, SolverOptions(rho=1e-3), T=4,
+                              reps=2, n_independent=2, min_diff_ms=0.0)
+    assert ms_b > 0
+
+
+def test_chain_time_doubles_on_noise():
+    calls = []
+
+    def step(q0, lam_carry, t):
+        return q0 * (1.0 + 0.0 * t) + lam_carry * 0.0
+
+    q0 = jnp.ones((4, 2))
+    ms, info = chain_time(step, q0, T=2, reps=2, n_independent=2,
+                          min_diff_ms=1e9, log=calls.append)
+    # Impossible noise floor: T doubled once, warning recorded, log called.
+    assert info["T"] == 4 and "noise_warning" in info and calls
