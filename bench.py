@@ -49,7 +49,6 @@ Full details go to BENCH_DETAIL.json and stderr.
 
 from __future__ import annotations
 
-import functools
 import json
 import sys
 import time
@@ -98,38 +97,21 @@ def _staged_blocks(spec, seed=7, batch=None):
 
 
 def bench_single(spec, options, backend, *, T=64):
-    """Per-solve device latency via an in-scan cold-solve chain."""
-    from gato_tpu.solver import _solve_core
+    """Per-solve device latency via gato_tpu.timing.time_solve (the library
+    form of this harness's chain methodology — one implementation of the
+    staging/perturbation/anti-DCE step to keep in sync)."""
+    from gato_tpu.solver import solve
+    from gato_tpu.timing import time_solve
 
     blocks = _staged_blocks(spec)
-    core = functools.partial(
-        _solve_core.__wrapped__,
-        preconditioner=options.preconditioner,
-        pcg_backend=backend or "jax",
-        method=options.method,
-        poly_degree=options.precond_poly_degree,
+    ms, info = time_solve(
+        spec, blocks, options, pcg_backend=backend or "jax", T=T,
+        label=f"single/{backend or options.method}/K={spec.knot_points}",
+        log=_log,
     )
-    dt = blocks.q.dtype
-    rho = jnp.asarray(options.rho, dt)
-    tol = jnp.asarray(options.exit_tol, dt)
-    mi = jnp.asarray(options.max_iters, jnp.int32)
-    zero_lam = jnp.zeros_like(blocks.q)
-
-    def step(q0, lam_carry, t):
-        Q, q = _perturb(blocks, q0, lam_carry, t)
-        res = core(Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
-                   blocks.c, zero_lam, rho, tol, mi)
-        # Touch dz too: returning only lam lets XLA dead-code-eliminate the
-        # recovery stage on the jax/pallas paths while the opaque fused
-        # kernel always runs it — an asymmetric comparison otherwise.
-        return res.lam + res.dz_x + 1e-20 * jnp.sum(res.dz_u)
-
-    label = f"single/{backend or options.method}/K={spec.knot_points}"
-    ms, info = scan_chain_time(step, blocks.q, T, label=label)
 
     # One plain solve for iteration count / convergence reporting.
-    res = core(blocks.Q, blocks.R, blocks.A, blocks.B, blocks.q, blocks.r,
-               blocks.c, zero_lam, rho, tol, mi)
+    res = solve(spec, blocks, options, pcg_backend=backend or "jax")
     float(jnp.sum(res.lam))
     return {
         "avg_ms_device": round(ms, 6),
@@ -194,34 +176,17 @@ def bench_split(spec, options, *, T=64):
 
 
 def bench_batch(spec, options, backend, batch=256, *, T=12):
-    """Batch throughput via in-scan chaining of whole-batch solves (same
-    methodology as bench_single — the round-1 batch-size-differencing method
-    disagreed with it by 2.7x because two ~29 ms synced medians differenced
-    to ~0.5 ms sit inside transport jitter)."""
-    from gato_tpu.solver import _solve_batched_core
+    """Batch throughput via gato_tpu.timing.time_solve over a leading batch
+    axis (same chain methodology as bench_single — the round-1 batch-size-
+    differencing method disagreed with it by 2.7x because two ~29 ms synced
+    medians differenced to ~0.5 ms sit inside transport jitter)."""
+    from gato_tpu.timing import time_solve
 
     blocks = _staged_blocks(spec, seed=1000, batch=batch)
-    core = functools.partial(
-        _solve_batched_core.__wrapped__,
-        preconditioner=options.preconditioner,
-        pcg_backend=backend or "jax",
-        method=options.method,
+    ms, info = time_solve(
+        spec, blocks, options, pcg_backend=backend or "jax", T=T,
+        label=f"batch{batch}/{backend or options.method}", log=_log,
     )
-    dt = blocks.q.dtype
-    rho = jnp.asarray(options.rho, dt)
-    tol = jnp.asarray(options.exit_tol, dt)
-    mi = jnp.asarray(options.max_iters, jnp.int32)
-    zero_lam = jnp.zeros_like(blocks.q)
-
-    def step(q0, lam_carry, t):
-        Q, q = _perturb(blocks, q0, lam_carry, t)
-        res = core(Q, blocks.R, blocks.A, blocks.B, q, blocks.r,
-                   blocks.c, zero_lam, rho, tol, mi)
-        # Touch dz (see bench_single): keep the recovery stage live.
-        return res.lam + res.dz_x + 1e-20 * jnp.sum(res.dz_u)
-
-    ms, info = scan_chain_time(step, blocks.q, T,
-                               label=f"batch{batch}/{backend or options.method}")
     return {
         "batch": batch,
         "ms_per_batch": round(ms, 4),

@@ -145,10 +145,8 @@ def time_solve(
     plus the measurement detail.  ``blocks`` may carry a leading batch axis
     (then solve_batched semantics apply and avg_ms is per BATCH; divide by
     the batch size for per-solve)."""
-    from .solver import (_resolve_backend, _solve_batched_core, _solve_core,
-                         solve)
+    from .solver import _resolve_backend, _solve_batched_core, _solve_core
 
-    del solve  # imported for the docstring reference only
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jax.device_put(jnp.asarray(a, dtype=dtype))
                     for a in blocks))
@@ -174,5 +172,5 @@ def time_solve(
         # Touch dz too, so no stage is dead-code eliminated on XLA paths.
         return res.lam + res.dz_x + 1e-20 * jnp.sum(res.dz_u)
 
-    return chain_time(step, b.q, T, label=f"{backend}/{options.method}",
-                      **chain_kwargs)
+    label = chain_kwargs.pop("label", f"{backend}/{options.method}")
+    return chain_time(step, b.q, T, label=label, **chain_kwargs)

@@ -154,3 +154,49 @@ def test_f64_auto_selects_jax_backend(monkeypatch):
     assert default_pcg_backend(dtype="float64") == "jax"
     assert default_pcg_backend(dtype="float32") == "fused"
     assert default_pcg_backend(method="direct", dtype="float64") == "jax"
+
+
+def test_auto_selectors_forward_dtype(monkeypatch):
+    """Every auto-selection call site must pass options.dtype through to
+    default_pcg_backend — dropping the kwarg anywhere would silently hand
+    f64 arrays to the f32-only kernels on TPU while all CPU tests keep
+    passing (CPU auto-selects 'jax' regardless)."""
+    import jax
+    import jax.numpy as jnp
+
+    from gato_tpu import solver as solver_mod
+    from gato_tpu.solver import _resolve_backend
+
+    seen = []
+
+    def recorder(*a, **k):
+        seen.append(k.get("dtype"))
+        return "jax"
+
+    monkeypatch.setattr(solver_mod, "default_pcg_backend", recorder)
+    opts = SolverOptions(dtype="float64")
+    _resolve_backend(None, opts, batched=False)
+    assert seen[-1] == "float64"
+
+    # The MPC entry points import the symbol from solver at module load, so
+    # patch their reference too.
+    from gato_tpu import mpc as mpc_mod
+    from gato_tpu.formats import KKTBlocks
+
+    monkeypatch.setattr(mpc_mod, "default_pcg_backend", recorder)
+    spec = ProblemSpec(2, 1, 4)
+    blocks = random_blocks(spec, seed=0)
+    with jax.enable_x64(True):
+        seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(np.asarray(a)),
+                                           (2,) + np.asarray(a).shape)
+                          for a in blocks))
+        mpc_mod.solve_sequence(spec, seq, SolverOptions(dtype="float64",
+                                                        rho=1e-2))
+        assert seen[-1] == "float64"
+        farm = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(np.asarray(a)),
+                                            (2, 3) + np.asarray(a).shape)
+                           for a in blocks))
+        mpc_mod.solve_sequence_batched(spec, farm,
+                                       SolverOptions(dtype="float64",
+                                                     rho=1e-2))
+        assert seen[-1] == "float64"
