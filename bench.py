@@ -295,12 +295,21 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
         return (time.perf_counter() - t0) * 1e3
 
     estimates = []
-    for k in range(2):
+    # Noise guard (same philosophy as timing.chain_time's min_diff doubling):
+    # a T-vs-2T difference that lands inside the ~1-2 ms synced-call jitter
+    # produces estimates with spread ~ the value itself — observed once as a
+    # 4x under-report.  Run extra repetition loops until the spread tightens
+    # or the attempt budget runs out (then flag the number).
+    for k in range(4):
         t1 = float(np.median([timed(seq1, 10 * k + i) for i in range(reps)]))
         t2 = float(np.median([timed(seq2, 10 * k + i) for i in range(reps)]))
         estimates.append(max((t2 - t1) / T, 1e-4))
+        if k >= 1:
+            med = float(np.median(estimates))
+            if float(np.max(estimates) - np.min(estimates)) < 0.5 * med:
+                break
     ms_per_solve = float(np.median(estimates))
-    return {
+    out = {
         "T": T,
         "ms_per_solve": round(ms_per_solve, 6),
         "ms_per_sequence": round(ms_per_solve * T, 4),
@@ -309,6 +318,9 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
         "iters_first": iters_per_step[0],
         "iters_rest_mean": float(np.mean(iters_per_step[1:])),
     }
+    if float(np.max(estimates) - np.min(estimates)) >= 0.5 * ms_per_solve:
+        out["noise_warning"] = "sequence difference inside transport jitter"
+    return out
 
 
 # --------------------------------------------------------------------------
