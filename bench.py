@@ -294,20 +294,23 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
                                      pcg_backend=pcg_backend).lam))
         return (time.perf_counter() - t0) * 1e3
 
-    estimates = []
-    # Noise guard (same philosophy as timing.chain_time's min_diff doubling):
-    # a T-vs-2T difference that lands inside the ~1-2 ms synced-call jitter
-    # produces estimates with spread ~ the value itself — observed once as a
-    # 4x under-report.  Run extra repetition loops until the spread tightens
-    # or the attempt budget runs out (then flag the number).
+    # Noise guard (same philosophy as timing.chain_time's min_diff check):
+    # the decision must use the RAW T-vs-2T differences, not the clamped
+    # per-solve estimates — negative diffs clamp to a floor with zero spread,
+    # which would wave a pure-jitter measurement straight through (observed:
+    # a 4x under-report at healthy T, and a floor-clamped result at small T).
+    min_diff_ms = 8.0
+    diffs = []
     for k in range(4):
         t1 = float(np.median([timed(seq1, 10 * k + i) for i in range(reps)]))
         t2 = float(np.median([timed(seq2, 10 * k + i) for i in range(reps)]))
-        estimates.append(max((t2 - t1) / T, 1e-4))
+        diffs.append(t2 - t1)
         if k >= 1:
-            med = float(np.median(estimates))
-            if float(np.max(estimates) - np.min(estimates)) < 0.5 * med:
+            med = float(np.median(diffs))
+            if (med >= min_diff_ms
+                    and float(np.max(diffs) - np.min(diffs)) < 0.5 * med):
                 break
+    estimates = [max(d / T, 1e-4) for d in diffs]
     ms_per_solve = float(np.median(estimates))
     out = {
         "T": T,
@@ -315,11 +318,13 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
         "ms_per_sequence": round(ms_per_solve * T, 4),
         "reps_ms": [round(e, 6) for e in estimates],
         "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+        "chain_diff_ms": round(float(np.median(diffs)), 3),
         "iters_first": iters_per_step[0],
         "iters_rest_mean": float(np.mean(iters_per_step[1:])),
     }
-    if float(np.max(estimates) - np.min(estimates)) >= 0.5 * ms_per_solve:
-        out["noise_warning"] = "sequence difference inside transport jitter"
+    if float(np.median(diffs)) < min_diff_ms:
+        out["noise_warning"] = (
+            "sequence difference below noise floor; increase T")
     return out
 
 
