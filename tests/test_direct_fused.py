@@ -151,3 +151,25 @@ def test_fused_direct_ill_conditioned():
     lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
     err = np.max(np.abs(res.lam_flat() - lam_ref)) / np.max(np.abs(lam_ref))
     assert err < 1e-3, err
+
+
+def test_power_of_two_segments_no_pad_lanes():
+    """K equal to a power of two makes K_sub == K: NO pad lanes inside the
+    segment, so every cross-segment roll lands on a REAL lane of the
+    neighboring problem — correctness rests entirely on the structural-zero
+    induction (L zero at row 0, U zero at the last row, per level)."""
+    s, c, K = 3, 2, 16
+    spec = ProblemSpec(s, c, K)
+    K_sub, g, L, n_groups, sp = direct_fused.plan_packing(6, K, s, c)
+    assert K_sub == K and g > 1, (K_sub, g)
+
+    pro = [random_blocks(spec, seed=60 + i) for i in range(6)]
+    arrs = [
+        jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+        for f in range(7)
+    ]
+    sys = jax.vmap(lambda *xs: assemble.condense(*xs, 1e-2, None))(*arrs)
+    lam_ref = direct.btd_solve(sys.S, sys.gamma)
+    res, _, _ = direct_fused.solve_direct_fused_batched(*arrs, rho=1e-2)
+    scale = float(jnp.max(jnp.abs(lam_ref)))
+    assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-5
