@@ -173,3 +173,23 @@ def test_power_of_two_segments_no_pad_lanes():
     res, _, _ = direct_fused.solve_direct_fused_batched(*arrs, rho=1e-2)
     scale = float(jnp.max(jnp.abs(lam_ref)))
     assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-5
+
+
+def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
+    """On TPU, a horizon past the direct kernel's VMEM budget must
+    auto-select the XLA path ('jax'), while PCG at the same horizon routes
+    to the HBM-streamed tier ('pallas') — the check_sms-style capacity
+    decisions at the solver level."""
+    import jax as jax_mod
+
+    from gato_tpu.solver import default_pcg_backend
+
+    class _FakeTPU:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax_mod, "devices", lambda *a: [_FakeTPU()])
+    long_spec = ProblemSpec(14, 7, 4096)
+    assert default_pcg_backend(spec=long_spec, method="direct") == "jax"
+    assert default_pcg_backend(spec=long_spec, method="pcg") == "pallas"
+    short_spec = ProblemSpec(14, 7, 50)
+    assert default_pcg_backend(spec=short_spec, method="direct") == "fused"
