@@ -234,13 +234,24 @@ def bench_mpc_farm(spec, options, T=128, B=16, reps=7):
         float(jnp.sum(solve_sequence_batched(spec, s2, options).lam))
         return (time.perf_counter() - t0) * 1e3
 
-    estimates = []
-    for k in range(2):
+    # Same raw-diff noise gate as bench_mpc_sequence: decide on the raw
+    # T-vs-2T chain differences, never the floor-clamped per-step estimates
+    # (a negative/jitter diff clamps to 1e-4 with zero spread and would pass
+    # silently — the exact failure mode commit 04b1206 fixed there).
+    min_diff_ms = 8.0
+    diffs = []
+    for k in range(4):
         t1 = float(np.median([timed(seq1, 10 * k + i) for i in range(reps)]))
         t2 = float(np.median([timed(seq2, 10 * k + i) for i in range(reps)]))
-        estimates.append(max((t2 - t1) / T, 1e-4))
+        diffs.append(t2 - t1)
+        if k >= 1:
+            med = float(np.median(diffs))
+            if (med >= min_diff_ms
+                    and float(np.max(diffs) - np.min(diffs)) < 0.5 * med):
+                break
+    estimates = [max(d / T, 1e-4) for d in diffs]
     ms_step = float(np.median(estimates))
-    return {
+    out = {
         "T": T,
         "B": B,
         "ms_per_step": round(ms_step, 6),
@@ -248,9 +259,14 @@ def bench_mpc_farm(spec, options, T=128, B=16, reps=7):
         "solves_per_sec": round(B / (ms_step / 1e3), 1),
         "reps_ms": [round(e, 6) for e in estimates],
         "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+        "chain_diff_ms": round(float(np.median(diffs)), 3),
         "iters_first_mean": float(it[0].mean()),
         "iters_rest_mean": float(it[1:].mean()),
     }
+    if float(np.median(diffs)) < min_diff_ms:
+        out["noise_warning"] = (
+            "sequence difference below noise floor; increase T")
+    return out
 
 
 def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):

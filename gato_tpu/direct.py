@@ -35,6 +35,23 @@ from .blocktri import block_inv
 
 _PRECISION = jax.lax.Precision.HIGHEST
 
+# Residual acceptance for ``method='direct'``: the solver is exact up to
+# floating point, so ``converged`` is DERIVED from the computed residual
+# rather than asserted — sqrt(eta) <= RTOL * sqrt(1 + ||gamma||^2).  Healthy
+# f32 solves land at ~1e-6 relative residual (measured, v5e property sweep);
+# 1e-3 leaves two orders of headroom for ill-conditioned-but-solvable systems
+# while a singular/garbage input (residual O(1) or NaN) fails it.  The
+# reference has no analog (its only failure signal is process exit,
+# gato_defines.h:42-51).
+DIRECT_CONV_RTOL = 1e-3
+
+
+def residual_converged(eta, gamma_sq):
+    """``converged`` flag for exact solves: eta (squared residual norm) is
+    accepted when it is small relative to 1 + ||gamma||^2.  NaN residuals
+    (singular pivots on the XLA path) compare False."""
+    return eta <= DIRECT_CONV_RTOL**2 * (1.0 + gamma_sq)
+
 
 def _mm(a, b):
     return jnp.einsum("...ab,...bc->...ac", a, b, precision=_PRECISION)

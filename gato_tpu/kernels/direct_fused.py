@@ -199,7 +199,7 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
 def _direct_kernel(
     rho_ref,                                      # SMEM scalar
     Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,
-    lam_out, dzx_out, dzu_out, eta_out,
+    lam_out, dzx_out, dzu_out, eta_out, gnorm_out,
     *, s: int, c: int, K_sub: int, g: int, sp: int,
 ):
     dt = q_ref.dtype
@@ -233,6 +233,10 @@ def _direct_kernel(
     dzx_out[0] = dzx
     dzu_out[0] = dzu
     eta_out[0] = jnp.broadcast_to(lanes(eta), eta_out.shape[1:])
+    # ||gamma||^2 per problem, for the residual-based converged flag
+    # (direct.residual_converged) computed by the wrapper.
+    gnorm_out[0] = jnp.broadcast_to(lanes(seg_sum(gamma * gamma)),
+                                    gnorm_out.shape[1:])
 
 
 def solve_direct_fused_batched(
@@ -243,9 +247,10 @@ def solve_direct_fused_batched(
     fused TPU kernels.
 
     Args follow formats.KKTBlocks with a leading batch axis.  Returns
-    (PCGResult with batch axis — iters = 0, converged = True, eta = squared
-    true residual — , dz_x (B,K,s), dz_u (B,K-1,c)), matching the contract of
-    the XLA direct path (solver._direct_result)."""
+    (PCGResult with batch axis — iters = 0, eta = squared true residual,
+    converged derived from eta (direct.residual_converged) — , dz_x (B,K,s),
+    dz_u (B,K-1,c)), matching the contract of the XLA direct path
+    (solver._direct_result)."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
     dt = q.dtype
@@ -275,7 +280,7 @@ def solve_direct_fused_batched(
         transcendentals=0,
     )
 
-    lam_p, dzx_p, dzu_p, eta = pl.pallas_call(
+    lam_p, dzx_p, dzu_p, eta, gnorm = pl.pallas_call(
         functools.partial(_direct_kernel, s=s, c=cdim, K_sub=K_sub, g=g,
                           sp=sp),
         grid=(n_groups,),
@@ -284,11 +289,12 @@ def solve_direct_fused_batched(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
             jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
+            jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
         ),
         in_specs=[smem,
                   mat_spec(s), mat_spec(cdim), mat_spec(s), mat_spec(cdim),
                   vec_spec, vec_spec, vec_spec],
-        out_specs=(vec_spec, vec_spec, vec_spec, aux_spec),
+        out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec),
         cost_estimate=cost,
         interpret=interpret,
     )(
@@ -303,10 +309,13 @@ def solve_direct_fused_batched(
     def per_problem(x):
         return x[:, 0, : g * K_sub].reshape(n_groups * g, K_sub)[:Bn, 0]
 
+    from ..direct import residual_converged
+
+    eta_b = per_problem(eta)
     res = PCGResult(
         lam=lam,
         iters=jnp.zeros((Bn,), jnp.int32),
-        converged=jnp.ones((Bn,), bool),
-        eta=per_problem(eta),
+        converged=residual_converged(eta_b, per_problem(gnorm)),
+        eta=eta_b,
     )
     return res, dz_x, dz_u

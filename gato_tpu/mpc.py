@@ -30,7 +30,8 @@ import jax.numpy as jnp
 from . import assemble, pcg as pcg_mod, recover
 from .formats import KKTBlocks
 from .problem import Preconditioner, ProblemSpec, SolverOptions
-from .solver import SolveResult, _cached_const, default_pcg_backend
+from .solver import (SolveResult, _cached_const, default_pcg_backend,
+                     _reject_non_f32_kernels)
 
 
 @functools.partial(
@@ -143,6 +144,7 @@ def solve_sequence_batched(
         backend = default_pcg_backend(batched=True, spec=spec,
                                       dtype=options.dtype)
     elif pcg_backend in ("jax", "pallas", "fused"):
+        _reject_non_f32_kernels(pcg_backend, options.dtype)
         backend = pcg_backend
     else:
         raise ValueError(
@@ -211,6 +213,7 @@ def solve_sequence(
     if pcg_backend is None:
         backend = default_pcg_backend(spec=spec, dtype=options.dtype)
     elif pcg_backend in ("jax", "pallas", "fused"):
+        _reject_non_f32_kernels(pcg_backend, options.dtype)
         backend = pcg_backend
     else:
         raise ValueError(

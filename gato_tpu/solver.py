@@ -54,7 +54,9 @@ class SolveResult(NamedTuple):
 
 def _direct_result(sys, batched: bool):
     """Exact solve of S lam = gamma (direct.py).  iters=0 by definition; eta
-    reports the squared true residual norm of the returned solution."""
+    reports the squared true residual norm of the returned solution, and
+    ``converged`` is derived from it (direct.residual_converged) — a
+    singular/garbage system reports False instead of an unconditional True."""
     from . import direct
 
     lam = direct.btd_solve_auto(sys.S, sys.gamma)
@@ -62,11 +64,12 @@ def _direct_result(sys, batched: bool):
     resid = sys.gamma - mv(sys.S, lam)
     axes = tuple(range(resid.ndim - 2, resid.ndim))
     eta = jnp.sum(resid * resid, axis=axes)
+    gamma_sq = jnp.sum(sys.gamma * sys.gamma, axis=axes)
     shape = resid.shape[:-2]
     return pcg_mod.PCGResult(
         lam=lam,
         iters=jnp.zeros(shape, jnp.int32),
-        converged=jnp.ones(shape, bool),
+        converged=direct.residual_converged(eta, gamma_sq),
         eta=eta,
     )
 
@@ -179,6 +182,19 @@ def _cached_const(value, dtype, shape=None):
 VALID_PCG_BACKENDS = ("jax", "pallas", "fused")
 
 
+def _reject_non_f32_kernels(pcg_backend: Optional[str], dtype) -> None:
+    """Surface-level rejection of explicit kernel backends with non-f32
+    dtypes: the Mosaic kernels lower float32 only, and without this check an
+    explicit 'fused'/'pallas' + dtype='float64' request dies much later in an
+    opaque Mosaic lowering error (auto-selection already routes f64 to 'jax'
+    in default_pcg_backend)."""
+    if pcg_backend in ("pallas", "fused") and jnp.dtype(dtype) != jnp.float32:
+        raise ValueError(
+            f"pcg_backend={pcg_backend!r} runs float32-only Mosaic kernels; "
+            f"dtype={dtype!r} needs pcg_backend None (auto) or 'jax'"
+        )
+
+
 def default_pcg_backend(
     batched: bool = False, spec: Optional[ProblemSpec] = None,
     method: str = "pcg", dtype="float32",
@@ -259,6 +275,7 @@ def _resolve_backend(
             "method='direct' runs no PCG; pcg_backend must be None, 'jax', "
             "or 'fused' (the whole-solve cyclic-reduction kernel)"
         )
+    _reject_non_f32_kernels(pcg_backend, options.dtype)
     return pcg_backend
 
 

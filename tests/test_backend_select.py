@@ -258,3 +258,30 @@ def test_solve_debug_matches_solve_at_poly_degree_2():
     assert int(dbg.result.iters) == int(ref.iters)
     np.testing.assert_allclose(np.asarray(dbg.result.lam), np.asarray(ref.lam),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_explicit_kernel_backend_rejects_f64():
+    """Explicit 'fused'/'pallas' + non-f32 dtype must raise at the surface
+    (the Mosaic kernels are f32-only; auto-selection already routes f64 to
+    'jax') instead of dying later in an opaque Mosaic lowering error."""
+    from gato_tpu.mpc import solve_sequence, solve_sequence_batched
+
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=3)
+    opts = SolverOptions(dtype="float64")
+    for be in ("fused", "pallas"):
+        with pytest.raises(ValueError, match="float32-only"):
+            solve(spec, blocks, opts, pcg_backend=be)
+    # Auto and explicit 'jax' still work.
+    import jax
+    with jax.enable_x64(True):
+        assert solve(spec, blocks, opts).lam.dtype == jnp.float64
+
+    seq = KKTBlocks(*(np.broadcast_to(np.asarray(a), (3,) + np.shape(a))
+                      for a in blocks))
+    with pytest.raises(ValueError, match="float32-only"):
+        solve_sequence(spec, seq, opts, pcg_backend="fused")
+    seqb = KKTBlocks(*(np.broadcast_to(np.asarray(a), (3, 2) + np.shape(a))
+                       for a in blocks))
+    with pytest.raises(ValueError, match="float32-only"):
+        solve_sequence_batched(spec, seqb, opts, pcg_backend="pallas")

@@ -153,3 +153,38 @@ def test_method_direct_uses_cr_dispatch(monkeypatch):
                 pcg_backend="jax")
     lam_ref, _ = dense_oracle(spec, blocks, rho=1e-2)
     np.testing.assert_allclose(res.lam_flat(), lam_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_direct_converged_is_residual_derived():
+    """A singular condensed system must report converged=False on BOTH direct
+    backends (VERDICT: the flag was unconditionally True).  Construction: the
+    condensed S is congruent to blocks C_k = B_k R_k^{-1} B_k^T + Qinv_k
+    (Thomas pivots), so R_{K-2} = -I, B_{K-2} = I, Q_{K-1} = I makes the last
+    pivot exactly zero while every Q/R stays invertible (condensation clean).
+    """
+    s, c, K = 2, 2, 3
+    spec = ProblemSpec(s, c, K)
+    eye = np.eye(s, dtype=np.float32)
+    blocks = KKTBlocks(
+        Q=np.stack([eye, eye, eye]),
+        R=np.stack([np.eye(c, dtype=np.float32),
+                    -np.eye(c, dtype=np.float32)]),
+        A=np.stack([eye, eye]),
+        B=np.stack([np.zeros((s, c), np.float32), eye[:, :c]]),
+        q=np.arange(K * s, dtype=np.float32).reshape(K, s) + 1.0,
+        r=np.ones((K - 1, c), np.float32),
+        c=np.ones((K, s), np.float32),
+    )
+    opts = SolverOptions(rho=0.0, method="direct")
+    res_jax = solve(spec, blocks, opts, pcg_backend="jax")
+    assert not bool(res_jax.converged)
+    res_fused = solve(spec, blocks, opts, pcg_backend="fused")
+    assert not bool(res_fused.converged)
+
+    # Healthy counterpart (R flipped positive definite): converged on both,
+    # and tiny relative residual.
+    good = blocks._replace(R=np.stack([np.eye(c, dtype=np.float32)] * 2))
+    for be in ("jax", "fused"):
+        res = solve(spec, good, opts, pcg_backend=be)
+        assert bool(res.converged), be
+        assert float(res.eta) < 1e-6, be
