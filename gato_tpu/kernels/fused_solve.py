@@ -53,7 +53,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..pcg import PCGResult
-from .pcg_pallas import _LANE, _SUBLANE, _round_up, plan_lane_groups
+from .pcg_pallas import (_LANE, _SUBLANE, _round_up, plan_lane_groups,
+                         make_reducers as _make_reducers, pcg_loop)
 
 # The fused kernel holds the full condensation working set per program.  The
 # estimate below over-counts simultaneous liveness (Mosaic reuses buffers), so
@@ -270,35 +271,6 @@ def _condense_cols(Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho,
     return Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right
 
 
-def _make_reducers(g: int, K_sub: int, L: int, dt):
-    """Per-problem segment reduction / lane broadcast for the packed layout.
-
-    g == 1 degenerates to whole-tile sums; g > 1 rides the MXU via a constant
-    0/1 segment matrix (see pcg_pallas module docstring)."""
-    i32 = jnp.int32
-    if g == 1:
-        def seg_sum(z):
-            row = jnp.sum(z, axis=0, keepdims=True)
-            return jnp.sum(row, axis=1, keepdims=True)
-
-        def lanes(per):
-            return jnp.broadcast_to(per, (1, L))
-    else:
-        lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
-        prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
-        seg = (lane_seg == prob_ids).astype(dt)
-
-        def seg_sum(z):
-            row = jnp.sum(z, axis=0, keepdims=True)
-            return jax.lax.dot_general(row, seg, (((1,), (0,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-
-        def lanes(per):
-            return jax.lax.dot_general(per, seg, (((1,), (1,)), ((), ())),
-                                       preferred_element_type=jnp.float32)
-    return seg_sum, lanes
-
-
 def _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, *, s: int, c: int, sp: int):
     """dz recovery (recover.recover_dz) on column stacks; returns (dzx, dzu)."""
     lam_next = _roll_m1(lam)  # lam_{k+1} at lane k; cross-boundary wrap is
@@ -369,11 +341,8 @@ def _fused_kernel(
             # off-diagonal phi, so P_left/P_right vanish there structurally.
             apply_Pmat = None
 
-    # ---- PCG (pcg_pallas semantics) ---------------------------------------
+    # ---- PCG: the shared in-kernel loop (pcg_pallas.pcg_loop) -------------
     seg_sum, lanes = _make_reducers(g, K_sub, L, dt)
-
-    def dot(a, b):
-        return seg_sum(a * b)
 
     def btd_mv(left, main, right, x):
         xm = _roll_p1(x)
@@ -387,58 +356,10 @@ def _fused_kernel(
     else:
         mvP = apply_Pmat
 
-    def apply_P(rv):
-        # Polynomial composition (SolverOptions.precond_poly_degree), Horner
-        # form — identical formula to pcg.apply_P so iteration counts match.
-        y = mvP(rv)
-        for _ in range(poly_degree - 1):
-            y = y + mvP(rv - mvS(y))
-        return y
-
-    r0 = gamma - mvS(lam0)
-    rt0 = apply_P(r0)
-    eta0 = dot(r0, rt0)
-
-    def cond(st):
-        it, conv = st[4], st[6]
-        return jnp.logical_and(it < max_iters, jnp.sum(conv) < g)
-
-    def one_iter(st):
-        # Self-gated masked iteration: no-op past per-problem convergence or
-        # past max_iters, which makes it safe to unroll several iterations
-        # per while trip at identical iteration counts (measured rationale:
-        # pcg_pallas._pcg_kernel.one_iter).
-        lam, rr, p, eta, it, n_iters, conv = st
-        upsilon = mvS(p)
-        nu = dot(p, upsilon)
-        alpha = jnp.where(nu != 0, eta / nu, 0.0)
-        alpha_l = lanes(alpha)
-        lam_n = lam + alpha_l * p
-        r_n = rr - alpha_l * upsilon
-        r_tilde = apply_P(r_n)
-        eta_new = dot(r_n, r_tilde)
-        conv_now = jnp.abs(eta_new) < exit_tol
-        beta = jnp.where(eta != 0, eta_new / eta, 0.0)
-        p_n = r_tilde + lanes(beta) * p
-
-        live = jnp.logical_and(conv == 0, it < max_iters)
-        live_l = lanes(live.astype(dt))
-        lam = live_l * lam_n + (1.0 - live_l) * lam
-        rr = live_l * r_n + (1.0 - live_l) * rr
-        p = live_l * p_n + (1.0 - live_l) * p
-        eta = jnp.where(live, eta_new, eta)
-        n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
-        conv = jnp.maximum(conv, jnp.logical_and(live, conv_now).astype(i32))
-        return (lam, rr, p, eta, it + 1, n_iters, conv)
-
-    def body(st):
-        for _ in range(unroll):
-            st = one_iter(st)
-        return st
-
-    init = (lam0, r0, rt0, eta0, jnp.zeros((), i32),
-            jnp.full((1, g), max_iters, i32), jnp.zeros((1, g), i32))
-    lam, rr, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
+    lam, eta, n_iters, conv = pcg_loop(
+        mvS, mvP, gamma, lam0, exit_tol, max_iters, seg_sum, lanes, g,
+        poly_degree=poly_degree, unroll=unroll,
+    )
 
     dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)
 

@@ -1,0 +1,616 @@
+"""Long-horizon kernel tier: whole solves for K past the fused kernel's VMEM
+residency, in the lane-packed layout end to end.
+
+This is the TPU answer to the reference's ``parallelPCG_fixed`` regime
+(gato_pcg.cuh:17-268): when the problem exceeds on-chip residency, the GPU
+keeps the WHOLE PCG loop inside one cooperative kernel and re-streams S/Pinv
+tiles from global memory every iteration.  The earlier streamed tier here
+(kernels/pcg_streamed.py) kerneled only the matvec and left the loop,
+condensation, and recovery in XLA — measured at K=1024 it beat pure XLA by
+only 1.9% (VERDICT round 1).  This module closes that cliff with three
+observations:
+
+1. **TPU VMEM is ~16 MB, not the GPU's ~100 KB/SM** — the IIWA operators at
+   K=1024 are only 5.5 MB.  What forced the old 4 MB budget was Pallas's
+   grid double-buffering, not the hardware: passing S/Pinv through
+   ``pl.ANY`` (HBM) and DMA-ing them ONCE into single-buffered VMEM scratch
+   (``_pcg_xl``) extends full-speed residency to K ~ 2000 at IIWA width.
+2. **Condensation must not fall back to XLA** at long K (batched (14,14)
+   Gauss-Jordan runs at ~11% lane occupancy there — the disease that
+   motivated fused_solve.py).  ``_condense_kernel`` runs the lane-packed
+   condensation GRIDDED over lane chunks, carrying the one-lane cross-chunk
+   dependency (phi / th_int / thinv / g_int at the chunk's last lane)
+   through a tiny VMEM scratch between sequentially-executed grid steps.
+   The next-neighbor term of the symmetric stair is recovered from symmetry
+   (Pinv_(k,k+1) = Pinv_(k+1,k)^T): the kernel emits P_left^T at its own
+   lane and the caller shifts it one lane left in XLA.
+3. **Past XL residency, stream the loop, not the dispatch**: ``_pcg_stream``
+   keeps the entire PCG loop in ONE kernel with all vectors VMEM-resident
+   and double-buffered chunk DMA of the operator tiles per matvec — the
+   true analog of the reference's strided cooperative kernel, with the DMA
+   prefetch playing the role of its global-memory re-streaming.  Per
+   iteration the traffic is 2 operator passes (~0.5 FLOP/byte): HBM-bound
+   by construction, so the roofline is the bandwidth line.
+
+Iteration counts match pcg.pcg EXACTLY (the loop is pcg_pallas.pcg_loop —
+the same shared body as the resident kernels; tests enforce).
+
+Layout (shared with pcg_pallas/fused_solve, g=1 per problem):
+
+    inputs    : (B, n_cols, sp, Kp)   [column stacks, K on lanes]
+    operators : (B, 3, s, sp, Kp)     [slot, block col, block row, lanes]
+    vectors   : (B, sp, Kp)
+
+with Kp = n_chunks * Lc (lane-tile chunks; zero padding doubles as the
+trajectory-end boundary condition, exactly as in pcg_streamed.plan_chunks).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..pcg import PCGResult
+from .pcg_pallas import (_LANE, _SUBLANE, _round_up, _pcg_kernel,
+                         make_reducers, pcg_loop)
+from .fused_solve import (
+    _gj_inv,
+    _mat_mat,
+    _mat_matT,
+    _mat_vec,
+    _matT_vec,
+    _pack_mat,
+    _pack_vec,
+    _row_onehot,
+    _roll_p1,
+    _transpose,
+    _unpack_vec,
+)
+
+# Per-chunk budget for the gridded condense/recover kernels (blocks are
+# double-buffered by the Pallas pipeline, intermediates are not; the constant
+# absorbs the slack, validated on-device like fused_solve's budget).
+_CHUNK_BUDGET_BYTES = 5 * 1024 * 1024
+# Resident-XL PCG: single-buffered manual-DMA operators + loop vectors.
+_XL_BUDGET_BYTES = 12 * 1024 * 1024
+# Streamed-loop PCG: resident vectors + 2 operator tiles.
+_STREAM_BUDGET_BYTES = 12 * 1024 * 1024
+
+
+class LongKPlan(NamedTuple):
+    sp: int        # padded block rows
+    Kp: int        # padded lane length = n_chunks * Lc
+    Lc: int        # chunk lane width (multiple of 128)
+    n_chunks: int
+
+
+def plan_longk(K: int, s: int, c: int) -> LongKPlan:
+    """Chunking plan: smallest chunk count whose width fits the condense
+    working set, then the minimal tile-aligned Kp (pcg_streamed.plan_chunks
+    convention, so padding never doubles the array)."""
+    sp = _round_up(s, _SUBLANE)
+    # Condense working set per lane (f32 words): inputs (2s+2c+3 cols,
+    # double-buffered), outputs (7s+c+1 cols, double-buffered), GJ and
+    # product intermediates (~7s+c single).
+    words = sp * (25 * s + 7 * c + 18)
+    Lc_max = max(_LANE, (_CHUNK_BUDGET_BYTES // (4 * words)) // _LANE * _LANE)
+    Kp0 = _round_up(K, _LANE)
+    n_chunks = -(-Kp0 // Lc_max)
+    Lc = _round_up(-(-Kp0 // n_chunks), _LANE)
+    return LongKPlan(sp=sp, Kp=Lc * n_chunks, Lc=Lc, n_chunks=n_chunks)
+
+
+def _vec_words(sp: int) -> int:
+    # PCG loop vectors per lane: lam/r/p/eta carries, gamma, lam0, upsilon,
+    # r_tilde, plus in/out pipeline blocks — ~14 (sp,) columns.
+    return 14 * sp
+
+
+def fits_xl(K: int, s: int, c: int) -> bool:
+    """True iff S+Pinv and the loop vectors fit VMEM single-buffered — the
+    resident-XL regime (full-speed PCG, no per-iteration HBM traffic)."""
+    plan = plan_longk(K, s, c)
+    bytes_per_lane = (2 * 3 * s * plan.sp + _vec_words(plan.sp)) * 4
+    return plan.Kp * bytes_per_lane <= _XL_BUDGET_BYTES
+
+
+def fits_vmem(K: int, s: int, c: int) -> bool:
+    """True iff the streamed-loop tier can run: vectors resident + 2 DMA
+    tiles.  Past this (K in the tens of thousands at IIWA width) the solver
+    falls back to the XLA-loop streamed matvec (kernels/pcg_streamed.py),
+    which has no residency requirement at all."""
+    plan = plan_longk(K, s, c)
+    vec_bytes = _vec_words(plan.sp) * 4 * plan.Kp
+    tile_bytes = 2 * 3 * s * plan.sp * plan.Lc * 4
+    return vec_bytes + tile_bytes <= _STREAM_BUDGET_BYTES
+
+
+# --------------------------------------------------------------------------
+# Condensation, gridded over lane chunks with a carry.
+
+
+def _condense_kernel(
+    rho_ref,                                             # SMEM scalar
+    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,     # (1, ncols, sp, Lc)
+    S_out, P_out, gam_out, Qinv_out, Rinv_out,
+    carry,                                               # VMEM (sp, 3s+1)
+    *, s: int, c: int, sp: int, precond: str,
+):
+    """One lane chunk of the Schur condensation (assemble.condense formulas
+    on column stacks — identical primitives to fused_solve._condense_cols).
+
+    Grid is (B, n_chunks) with chunks innermost: TPU grid steps execute
+    sequentially, so the ``carry`` scratch written at chunk ch is exactly
+    what chunk ch+1 reads — the one-lane dependency (phi_k / th_int / thinv
+    / g_int at lane ch*Lc-1) crosses the chunk boundary through it.  Chunk 0
+    substitutes zeros (the trajectory-start boundary), which also resets the
+    carry between problems of the batch grid axis.
+    """
+    dt = q_ref.dtype
+    rho = rho_ref[0]
+    ch = pl.program_id(1)
+    L = q_ref.shape[-1]
+
+    qv = q_ref[0]
+    rv = r_ref[0]
+    cv = c_ref[0]
+
+    Qc = [Q_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
+    Rc = [R_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
+    Ac = [A_ref[0, b] for b in range(s)]
+    Bc = [B_ref[0, b] for b in range(c)]
+
+    Qinv = _gj_inv(Qc, s, sp)          # knot lanes
+    Rinv = _gj_inv(Rc, c, sp)          # interval lanes
+    phi = _mat_mat(Ac, Qinv, s)        # interval lane k: phi_{k+1} = A_k Qinv_k
+    BR = _mat_mat(Bc, Rinv, c)
+    th_int = [
+        a + b
+        for a, b in zip(_mat_matT(phi, Ac, s, s), _mat_matT(BR, Bc, s, c))
+    ]
+    g_int = _mat_vec(phi, qv, s) + _mat_vec(BR, rv, c)
+
+    # Cross-chunk roll: in-chunk lane roll with lane 0 patched from the
+    # carry (zeros at chunk 0).  Carry columns: [0:s] th_int, [s:2s] phi,
+    # [2s:3s] thinv, [3s] g_int — each the previous chunk's LAST lane.
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sp, L), 1) == 0
+    first = ch == 0
+
+    def roll_in(x, idx):
+        prev = jnp.where(first, 0.0, carry[:, idx : idx + 1])
+        return jnp.where(lane0, prev, _roll_p1(x))
+
+    theta = [roll_in(th_int[b], b) + Qinv[b] for b in range(s)]
+    gamma = roll_in(g_int, 3 * s) + _mat_vec(Qinv, qv, s) - cv
+    S_left = [roll_in(phi[b], s + b) for b in range(s)]
+    phiT = _transpose(phi, s, sp)      # S_right: at knot lane k, phi_{k+1}^T
+
+    # Preconditioner (assemble._preconditioner formulas).  The stair's
+    # NEXT-neighbor block can't be formed under a sequential carry; by
+    # symmetry Pinv_(k,k+1) = Pinv_(k+1,k)^T, so slot 2 is emitted as
+    # P_left^T AT ITS OWN LANE and the caller shifts it one lane left
+    # (solve_longk_batched).
+    zero = jnp.zeros((sp, L), dt)
+    if precond == "jacobi":
+        thdinv = [
+            1.0 / jnp.where(theta[b][b : b + 1, :] != 0,
+                            theta[b][b : b + 1, :], 1.0)
+            for b in range(s)
+        ]
+        P_main = [_row_onehot(b, sp, dt) * thdinv[b] for b in range(s)]
+        P_left = [zero] * s
+        PLT = [zero] * s
+        thinv = [zero] * s             # carry slot unused in this mode
+    else:
+        thinv = _gj_inv(theta, s, sp)
+        P_main = thinv
+        if precond == "block_jacobi":
+            P_left = [zero] * s
+            PLT = [zero] * s
+        else:
+            thinv_prev = [roll_in(thinv[b], 2 * s + b) for b in range(s)]
+            P_left = [
+                -x for x in
+                _mat_mat(_mat_mat(thinv, S_left, s), thinv_prev, s)
+            ]
+            PLT = _transpose(P_left, s, sp)
+
+    for b in range(s):
+        S_out[0, 0, b] = S_left[b]
+        S_out[0, 1, b] = theta[b]
+        S_out[0, 2, b] = phiT[b]
+        P_out[0, 0, b] = P_left[b]
+        P_out[0, 1, b] = P_main[b]
+        P_out[0, 2, b] = PLT[b]
+        Qinv_out[0, b] = Qinv[b]
+    for b in range(c):
+        Rinv_out[0, b] = Rinv[b]
+    gam_out[0] = gamma
+
+    # Write the carry LAST (chunk ch+1 reads what this chunk's lane L-1 had).
+    for b in range(s):
+        carry[:, b : b + 1] = th_int[b][:, L - 1 : L]
+        carry[:, s + b : s + b + 1] = phi[b][:, L - 1 : L]
+        carry[:, 2 * s + b : 2 * s + b + 1] = thinv[b][:, L - 1 : L]
+    carry[:, 3 * s : 3 * s + 1] = g_int[:, L - 1 : L]
+
+
+def _condense_call(rho, Qb, Rb, Ab, Bb, qb, rb, cb, *,
+                   s, c, sp, Kp, Lc, n_chunks, precond, interpret):
+    Bn = qb.shape[0]
+    dt = qb.dtype
+
+    def mat_in(ncols):
+        return pl.BlockSpec((1, ncols, sp, Lc), lambda b, ch: (b, 0, 0, ch),
+                            memory_space=pltpu.VMEM)
+
+    def mat_out(ncols):
+        return pl.BlockSpec((1, ncols, sp, Lc), lambda b, ch: (b, 0, 0, ch),
+                            memory_space=pltpu.VMEM)
+
+    op_out = pl.BlockSpec((1, 3, s, sp, Lc), lambda b, ch: (b, 0, 0, 0, ch),
+                          memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, sp, Lc), lambda b, ch: (b, 0, ch),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * Kp * sp * s * (12 * s + 6 * c)),
+        bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4 * 2),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        functools.partial(_condense_kernel, s=s, c=c, sp=sp, precond=precond),
+        grid=(Bn, n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, 3, s, sp, Kp), dt),   # S
+            jax.ShapeDtypeStruct((Bn, 3, s, sp, Kp), dt),   # Pinv (slot 2 pre-shift)
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),         # gamma
+            jax.ShapeDtypeStruct((Bn, s, sp, Kp), dt),      # Qinv
+            jax.ShapeDtypeStruct((Bn, c, sp, Kp), dt),      # Rinv
+        ),
+        in_specs=[smem, mat_in(s), mat_in(c), mat_in(s), mat_in(c),
+                  vec, vec, vec],
+        out_specs=(op_out, op_out, vec, mat_out(s), mat_out(c)),
+        scratch_shapes=[pltpu.VMEM((sp, 3 * s + 1), dt)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(jnp.asarray(rho, dt).reshape(1), Qb, Rb, Ab, Bb, qb, rb, cb)
+
+
+# --------------------------------------------------------------------------
+# PCG tiers.
+
+
+def _aux_tail(lanes, lam, eta, n_iters, conv, lam_out, it_out, cv_out,
+              eta_out):
+    i32 = jnp.int32
+    lam_out[0] = lam
+    shape = it_out.shape[1:]
+    dt = lam.dtype
+    it_out[0] = jnp.broadcast_to(lanes(n_iters.astype(dt)), shape).astype(i32)
+    cv_out[0] = jnp.broadcast_to(lanes(conv.astype(dt)), shape).astype(i32)
+    eta_out[0] = jnp.broadcast_to(lanes(jnp.abs(eta)), shape)
+
+
+def _pcg_xl_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
+                 s, sp, Kp, poly_degree, interpret):
+    """Resident-XL: grid over problems; each program DMAs its S/Pinv from
+    HBM into SINGLE-buffered VMEM scratch once, then runs the resident
+    PCG kernel body (pcg_pallas._pcg_kernel, g=1) on it.  Manual DMA exists
+    precisely to opt out of the pipeline's double buffering — at these sizes
+    2x the operators is the difference between resident and not."""
+    Bn = gamb.shape[0]
+    dt = gamb.dtype
+
+    def kernel(tol_ref, maxit_ref, S_hbm, P_hbm, gam_ref, lam0_ref,
+               lam_out, it_out, cv_out, eta_out, S_vm, P_vm, sems):
+        b = pl.program_id(0)
+        cS = pltpu.make_async_copy(S_hbm.at[b], S_vm, sems.at[0])
+        cP = pltpu.make_async_copy(P_hbm.at[b], P_vm, sems.at[1])
+        cS.start()
+        cP.start()
+        cS.wait()
+        cP.wait()
+        _pcg_kernel(
+            tol_ref, maxit_ref, S_vm, P_vm, gam_ref.at[0], lam0_ref.at[0],
+            lam_out.at[0], it_out.at[0], cv_out.at[0], eta_out.at[0],
+            s=s, K_sub=Kp, g=1, poly_degree=poly_degree, unroll=4,
+        )
+
+    vec = pl.BlockSpec((1, sp, Kp), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    aux = pl.BlockSpec((1, _SUBLANE, Kp), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * 2 * 2 * 3 * s * sp * Kp * 50),
+        bytes_accessed=int((Sb.size + Pb.size + 6 * gamb.size) * 4),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Bn,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), dt),
+        ),
+        in_specs=[smem, smem, hbm, hbm, vec, vec],
+        out_specs=(vec, aux, aux, aux),
+        scratch_shapes=[
+            pltpu.VMEM((3, s, sp, Kp), dt),
+            pltpu.VMEM((3, s, sp, Kp), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        jnp.asarray(exit_tol, dt).reshape(1),
+        jnp.asarray(max_iters, jnp.int32).reshape(1),
+        Sb, Pb, gamb, lb,
+    )
+
+
+def _pcg_stream_kernel(
+    tol_ref, maxit_ref, S_hbm, P_hbm, gam_ref, lam0_ref,
+    lam_out, it_out, cv_out, eta_out, tiles, sems,
+    *, s: int, sp: int, Lc: int, n_chunks: int, Kp: int, poly_degree: int,
+):
+    """The whole PCG loop in one kernel with the operators HBM-streamed:
+    vectors stay VMEM-resident across all iterations; each matvec walks the
+    chunked operator (n_chunks, 3, s, sp, Lc) with double-buffered DMA —
+    tile ch+1 is in flight while tile ch multiplies.  Role of the
+    reference's parallelPCG_fixed re-streaming (gato_pcg.cuh:82-84,120-122,
+    182-184), with DMA prefetch instead of cache hope."""
+    b = pl.program_id(0)
+    gam = gam_ref[0]
+    lam0 = lam0_ref[0]
+    dt = gam.dtype
+    lane = jax.lax.broadcasted_iota(jnp.int32, (sp, Lc), 1)
+    zcol = jnp.zeros((sp, 1), dt)
+
+    def mv(M_hbm, x):
+        def dma(ci, slot):
+            return pltpu.make_async_copy(
+                M_hbm.at[b, ci], tiles.at[slot], sems.at[slot]
+            )
+
+        dma(0, 0).start()
+        parts = []
+        for ci in range(n_chunks):
+            if ci + 1 < n_chunks:
+                dma(ci + 1, (ci + 1) % 2).start()
+            dma(ci, ci % 2).wait()
+            M = tiles[ci % 2]                       # (3, s, sp, Lc)
+            xc = x[:, ci * Lc : (ci + 1) * Lc]
+            xm = pltpu.roll(xc, shift=1, axis=1)
+            xp = pltpu.roll(xc, shift=Lc - 1, axis=1)
+            pcol = x[:, ci * Lc - 1 : ci * Lc] if ci > 0 else zcol
+            ncol = (x[:, (ci + 1) * Lc : (ci + 1) * Lc + 1]
+                    if ci + 1 < n_chunks else zcol)
+            xm = jnp.where(lane == 0, pcol, xm)
+            xp = jnp.where(lane == Lc - 1, ncol, xp)
+            y = jnp.zeros((sp, Lc), dt)
+            for j, h in ((0, xm), (1, xc), (2, xp)):
+                for col in range(s):
+                    y = y + M[j, col] * h[col : col + 1, :]
+            parts.append(y)
+        return jnp.concatenate(parts, axis=1)
+
+    seg_sum, lanes = make_reducers(1, Kp, Kp, dt)
+    lam, eta, n_iters, conv = pcg_loop(
+        functools.partial(mv, S_hbm), functools.partial(mv, P_hbm),
+        gam, lam0, tol_ref[0], maxit_ref[0], seg_sum, lanes, 1,
+        poly_degree=poly_degree, unroll=1,
+    )
+    _aux_tail(lanes, lam, eta, n_iters, conv, lam_out, it_out, cv_out,
+              eta_out)
+
+
+def _pcg_stream_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
+                     s, sp, Kp, Lc, n_chunks, poly_degree, interpret):
+    Bn = gamb.shape[0]
+    dt = gamb.dtype
+    # Chunk-major operator layout so every DMA tile is contiguous.
+    Sc = Sb.reshape(Bn, 3, s, sp, n_chunks, Lc).transpose(0, 4, 1, 2, 3, 5)
+    Pc = Pb.reshape(Bn, 3, s, sp, n_chunks, Lc).transpose(0, 4, 1, 2, 3, 5)
+
+    vec = pl.BlockSpec((1, sp, Kp), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    aux = pl.BlockSpec((1, _SUBLANE, Kp), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * 2 * 2 * 3 * s * sp * Kp * 50),
+        bytes_accessed=int((Sc.size + Pc.size) * 4 * 50),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        functools.partial(_pcg_stream_kernel, s=s, sp=sp, Lc=Lc,
+                          n_chunks=n_chunks, Kp=Kp, poly_degree=poly_degree),
+        grid=(Bn,),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32),
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), dt),
+        ),
+        in_specs=[smem, smem, hbm, hbm, vec, vec],
+        out_specs=(vec, aux, aux, aux),
+        scratch_shapes=[
+            pltpu.VMEM((2, 3, s, sp, Lc), dt),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        jnp.asarray(exit_tol, dt).reshape(1),
+        jnp.asarray(max_iters, jnp.int32).reshape(1),
+        Sc, Pc, gamb, lb,
+    )
+
+
+# --------------------------------------------------------------------------
+# Recovery, gridded over lane chunks (lane-local given the shifted lambda).
+
+
+def _recover_kernel(Qinv_ref, Rinv_ref, A_ref, B_ref, q_ref, r_ref,
+                    lam_ref, lamn_ref, dzx_out, dzu_out,
+                    *, s: int, c: int, sp: int):
+    """dz recovery (recover.recover_dz formulas) on one lane chunk.  The
+    only neighbor term, lambda_{k+1}, arrives pre-shifted (``lamn_ref``,
+    shifted in XLA by the caller) so every lane is independent."""
+    lam = lam_ref[0]
+    lam_next = lamn_ref[0]
+    Qinv = [Qinv_ref[0, b] for b in range(s)]
+    Rinv = [Rinv_ref[0, b] for b in range(c)]
+    Ac = [A_ref[0, b] for b in range(s)]
+    Bc = [B_ref[0, b] for b in range(c)]
+    at_l = _matT_vec(Ac, lam_next, s, sp)
+    bt_l = _matT_vec(Bc, lam_next, c, sp)
+    dzx_out[0] = _mat_vec(Qinv, q_ref[0] - lam - at_l, s)
+    dzu_out[0] = _mat_vec(Rinv, r_ref[0] - bt_l, c)
+
+
+def _recover_call(Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb, *,
+                  s, c, sp, Kp, Lc, n_chunks, interpret):
+    Bn = qb.shape[0]
+    dt = qb.dtype
+
+    def mat(ncols):
+        return pl.BlockSpec((1, ncols, sp, Lc), lambda b, ch: (b, 0, 0, ch),
+                            memory_space=pltpu.VMEM)
+
+    vec = pl.BlockSpec((1, sp, Lc), lambda b, ch: (b, 0, ch),
+                       memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_recover_kernel, s=s, c=c, sp=sp),
+        grid=(Bn, n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),
+        ),
+        in_specs=[mat(s), mat(c), mat(s), mat(c), vec, vec, vec, vec],
+        out_specs=(vec, vec),
+        interpret=interpret,
+    )(Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb)
+
+
+# --------------------------------------------------------------------------
+# Orchestration.
+
+
+def _shift_left_lane(x):
+    """x[..., k] <- x[..., k+1], zero-filled at the end (NOT a roll: the
+    last lane must see the boundary zero, not the first lane's value)."""
+    return jnp.concatenate(
+        [x[..., 1:], jnp.zeros_like(x[..., :1])], axis=-1
+    )
+
+
+def solve_longk_batched(
+    Q, R, A, B, q, r, c, lam0=None, *,
+    rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
+    preconditioner: str = "symmetric_stair",
+    interpret: bool = False, force_tier: "str | None" = None,
+    chunk_lanes: "int | None" = None,
+):
+    """Whole batched solve (condense + PCG + recover) for long horizons, all
+    stages in lane-packed Pallas kernels.
+
+    Args follow formats.KKTBlocks with a leading batch axis; returns
+    (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)) — the same
+    contract as fused_solve.solve_fused_batched, one tier up in K.
+
+    ``force_tier`` ('xl' | 'stream') and ``chunk_lanes`` exist for tests:
+    production calls leave them None and get the fits_xl decision and the
+    budget-derived chunk width.
+    """
+    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {preconditioner!r}; valid: "
+            "'symmetric_stair', 'block_jacobi', 'jacobi'"
+        )
+    Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    dt = q.dtype
+    plan = plan_longk(K, s, cdim)
+    sp, Kp, Lc, n_chunks = plan
+    if chunk_lanes is not None:
+        Lc = chunk_lanes
+        n_chunks = -(-_round_up(K, _LANE) // Lc)
+        Kp = Lc * n_chunks
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q)
+
+    pm = functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
+    qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
+
+    Sb, Pb, gamb, Qinvb, Rinvb = _condense_call(
+        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        precond=preconditioner, interpret=interpret,
+    )
+    # Finish the stair: slot 2 was emitted as P_left^T at its own lane;
+    # Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane to the left.
+    Pb = Pb.at[:, 2].set(_shift_left_lane(Pb[:, 2]))
+
+    tier = force_tier or ("xl" if fits_xl(K, s, cdim) else "stream")
+    if tier == "xl":
+        lamb, iters, conv, eta = _pcg_xl_call(
+            Sb, Pb, gamb, lb, exit_tol, max_iters,
+            s=s, sp=sp, Kp=Kp, poly_degree=poly_degree, interpret=interpret,
+        )
+    else:
+        lamb, iters, conv, eta = _pcg_stream_call(
+            Sb, Pb, gamb, lb, exit_tol, max_iters,
+            s=s, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+            poly_degree=poly_degree, interpret=interpret,
+        )
+
+    lamnb = _shift_left_lane(lamb)
+    dzxb, dzub = _recover_call(
+        Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb,
+        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        interpret=interpret,
+    )
+
+    lam = _unpack_vec(lamb, Bn, K, s, Kp, 1)
+    dz_x = _unpack_vec(dzxb, Bn, K, s, Kp, 1)
+    dz_u = _unpack_vec(dzub, Bn, K, cdim, Kp, 1)[:, : K - 1, :]
+
+    res = PCGResult(
+        lam=lam,
+        iters=iters[:, 0, 0],
+        converged=conv[:, 0, 0] != 0,
+        eta=eta[:, 0, 0],
+    )
+    return res, dz_x, dz_u
+
+
+def solve_longk(Q, R, A, B, q, r, c, lam0=None, **kw):
+    """Single-problem wrapper (the B=1 case of solve_longk_batched)."""
+    res, dz_x, dz_u = solve_longk_batched(
+        Q[None], R[None], A[None], B[None], q[None], r[None], c[None],
+        None if lam0 is None else lam0[None], **kw,
+    )
+    return (
+        PCGResult(lam=res.lam[0], iters=res.iters[0],
+                  converged=res.converged[0], eta=res.eta[0]),
+        dz_x[0], dz_u[0],
+    )

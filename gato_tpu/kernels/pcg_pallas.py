@@ -192,27 +192,16 @@ def _matvec_lanes(M: jnp.ndarray, x: jnp.ndarray, s: int) -> jnp.ndarray:
     return y
 
 
-def _pcg_kernel(
-    tol_ref, maxit_ref,                     # SMEM scalars
-    S_ref, P_ref, gam_ref, lam0_ref,        # VMEM tensors
-    lam_out, iters_out, conv_out, eta_out,  # outputs
-    *, s: int, K_sub: int, g: int, poly_degree: int = 1, unroll: int = 1,
-):
-    S = S_ref[:]
-    P = P_ref[:]
-    gam = gam_ref[:]
-    lam0 = lam0_ref[:]
-    exit_tol = tol_ref[0]
-    max_iters = maxit_ref[0]
-    L = gam.shape[-1]
+def make_reducers(g: int, K_sub: int, L: int, dt):
+    """Per-problem segment reduction / lane broadcast for the packed layout.
+
+    g == 1 degenerates to whole-tile two-step sums (Mosaic cannot legalize
+    multi-axis keepdims); g > 1 rides the MXU via a constant 0/1 segment
+    matrix Seg[l, j] = 1 iff lane l belongs to problem j (module docstring).
+    Shared by every lane-packed kernel (fused_solve/direct_fused/longk
+    re-export this as their reducer factory)."""
     i32 = jnp.int32
-
-    mv = functools.partial(_matvec_lanes, s=s)
-
     if g == 1:
-        # Single problem per program: per-problem reductions degenerate to
-        # whole-tile sums and lane broadcasts — no MXU segment matmuls needed
-        # (two-step reduction: Mosaic cannot legalize multi-axis keepdims).
         def seg_sum(z):
             row = jnp.sum(z, axis=0, keepdims=True)              # (1, L)
             return jnp.sum(row, axis=1, keepdims=True)           # (1, 1)
@@ -220,11 +209,10 @@ def _pcg_kernel(
         def lanes(per):
             return jnp.broadcast_to(per, (1, L))
     else:
-        # Constant 0/1 segment matrix: Seg[l, j] = 1 iff lane l belongs to
-        # problem j of this group.  Built from iota; hoisted by the compiler.
+        # Built from iota; hoisted by the compiler.
         lane_seg = jax.lax.broadcasted_iota(i32, (L, g), 0) // K_sub
         prob_ids = jax.lax.broadcasted_iota(i32, (L, g), 1)
-        seg = (lane_seg == prob_ids).astype(gam.dtype)  # (L, g)
+        seg = (lane_seg == prob_ids).astype(dt)  # (L, g)
 
         def seg_sum(z):
             """(sp, L) -> per-problem sums (1, g), via one MXU pass."""
@@ -244,6 +232,22 @@ def _pcg_kernel(
                 per, seg, (((1,), (1,)), ((), ())),
                 preferred_element_type=jnp.float32,
             )
+    return seg_sum, lanes
+
+
+def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
+             *, poly_degree: int = 1, unroll: int = 1):
+    """The in-kernel PCG loop on packed (sp, L) values, generic over the
+    operator executors: ``mvS``/``mvP`` apply S and the preconditioner to a
+    packed vector (VMEM-resident rolls here; HBM-streamed chunk DMA in
+    kernels/longk.py — the same injection seam as pcg.pcg's ``matvec``).
+
+    Numerics are identical to pcg.pcg (same update order, same exit test,
+    same iteration-count semantics, per-problem masked freezing), so callers
+    inherit the exact-iteration-parity invariant.  Returns
+    (lam, eta, n_iters, conv) with per-problem (1, g) scalars."""
+    dt = gam.dtype
+    i32 = jnp.int32
 
     def dot(a, b):
         return seg_sum(a * b)  # (1, g)
@@ -251,14 +255,14 @@ def _pcg_kernel(
     def apply_P(rv):
         # Polynomial composition (SolverOptions.precond_poly_degree), Horner
         # form — identical formula to pcg.apply_P so iteration counts match.
-        y = mv(P, rv)
+        y = mvP(rv)
         for _ in range(poly_degree - 1):
-            y = y + mv(P, rv - mv(S, y))
+            y = y + mvP(rv - mvS(y))
         return y
 
     # r0 = gamma - S lam0 (cold start: lam0 = 0 -> r0 = gamma, like the
     # reference's unconditional reset, gato_pcg.cuh:296-304; warm start real).
-    r = gam - mv(S, lam0)
+    r = gam - mvS(lam0)
     r_tilde = apply_P(r)
     p = r_tilde
     eta = dot(r, r_tilde)  # (1, g)
@@ -283,7 +287,7 @@ def _pcg_kernel(
         headline); at g>1 unrolling loses slightly (masked overshoot across
         the group's ragged convergence), hence the g-dependent auto rule."""
         lam, r, p, eta, it, n_iters, conv = st
-        upsilon = mv(S, p)
+        upsilon = mvS(p)
         nu = dot(p, upsilon)
         alpha = jnp.where(nu != 0, eta / nu, 0.0)          # (1, g)
         alpha_l = lanes(alpha)
@@ -296,7 +300,7 @@ def _pcg_kernel(
         p_n = r_tilde + lanes(beta) * p
 
         live = jnp.logical_and(conv == 0, it < max_iters)  # (1, g)
-        live_l = lanes(live.astype(gam.dtype))             # (1, L) 1.0/0.0
+        live_l = lanes(live.astype(dt))                    # (1, L) 1.0/0.0
         lam = live_l * lam_n + (1.0 - live_l) * lam
         r = live_l * r_n + (1.0 - live_l) * r
         p = live_l * p_n + (1.0 - live_l) * p
@@ -317,6 +321,29 @@ def _pcg_kernel(
         jnp.zeros((1, g), i32),
     )
     lam, r, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
+    return lam, eta, n_iters, conv
+
+
+def _pcg_kernel(
+    tol_ref, maxit_ref,                     # SMEM scalars
+    S_ref, P_ref, gam_ref, lam0_ref,        # VMEM tensors
+    lam_out, iters_out, conv_out, eta_out,  # outputs
+    *, s: int, K_sub: int, g: int, poly_degree: int = 1, unroll: int = 1,
+):
+    S = S_ref[:]
+    P = P_ref[:]
+    gam = gam_ref[:]
+    lam0 = lam0_ref[:]
+    L = gam.shape[-1]
+    i32 = jnp.int32
+
+    mv = functools.partial(_matvec_lanes, s=s)
+    seg_sum, lanes = make_reducers(g, K_sub, L, gam.dtype)
+    lam, eta, n_iters, conv = pcg_loop(
+        functools.partial(mv, S), functools.partial(mv, P),
+        gam, lam0, tol_ref[0], maxit_ref[0], seg_sum, lanes, g,
+        poly_degree=poly_degree, unroll=unroll,
+    )
 
     lam_out[:] = lam
     out_shape = iters_out.shape  # (8, L)

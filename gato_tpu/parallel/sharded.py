@@ -35,6 +35,9 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
 from .. import assemble, recover
 from ..pcg import PCGResult, pcg
 from ..problem import Preconditioner
@@ -81,6 +84,61 @@ def _sharded_dot(axis_name: str):
     return dot
 
 
+# ---- Kernel-tier per-shard execution --------------------------------------
+#
+# The einsum matvec above leaves each shard's inner loop at jax-path speeds —
+# exactly the tiny-minor-dim relayout disease the lane-packed kernels exist
+# to avoid (fused_solve.py docstring).  The kernel tier packs each LOCAL
+# shard into the (3, s, sp, Lp) lane layout ONCE per solve, runs the same
+# pcg.pcg loop on packed (sp, Lp) vectors, and executes each matvec as a
+# Pallas kernel; only the two boundary COLUMNS (O(s) floats) cross the ICI
+# per matvec via ppermute — the same wire traffic as the einsum path, with
+# the on-chip work at kernel-tier layout.
+
+
+def _mv_halo_kernel(M_ref, x_ref, lcol_ref, rcol_ref, y_ref,
+                    *, s: int, Kl: int):
+    """y = btd_matvec on one packed shard; the halo lanes come from the
+    neighbor devices' boundary columns (zeros at the mesh edge = the global
+    trajectory boundary, matching _sharded_halo_stack's edge handling)."""
+    x = x_ref[:]
+    L = x.shape[-1]
+    lane = jax.lax.broadcasted_iota(jnp.int32, x.shape, 1)
+    xm = pltpu.roll(x, shift=1, axis=1)
+    xp = pltpu.roll(x, shift=L - 1, axis=1)
+    xm = jnp.where(lane == 0, lcol_ref[:], xm)
+    xp = jnp.where(lane == Kl - 1, rcol_ref[:], xp)
+    y = jnp.zeros_like(x)
+    for j, h in ((0, xm), (1, x), (2, xp)):
+        for b in range(s):
+            y = y + M_ref[j, b] * h[b : b + 1, :]
+    y_ref[:] = y
+
+
+def _packed_matvec(axis_name: str, s: int, Kl: int, interpret: bool):
+    vmem = pl.BlockSpec(memory_space=pltpu.VMEM)
+
+    def matvec(Mp: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        n = lax.axis_size(axis_name)
+        sp, Lp = x.shape
+        # Boundary columns to/from the neighbors (bandwidth-1 comm, O(s)).
+        from_left = lax.ppermute(
+            x[:, Kl - 1 : Kl], axis_name, [(i, i + 1) for i in range(n - 1)]
+        )
+        from_right = lax.ppermute(
+            x[:, 0:1], axis_name, [(i, i - 1) for i in range(1, n)]
+        )
+        return pl.pallas_call(
+            functools.partial(_mv_halo_kernel, s=s, Kl=Kl),
+            out_shape=jax.ShapeDtypeStruct((sp, Lp), x.dtype),
+            in_specs=[vmem, vmem, vmem, vmem],
+            out_specs=vmem,
+            interpret=interpret,
+        )(Mp, x, from_left, from_right)
+
+    return matvec
+
+
 def pcg_sharded(
     mesh: Mesh,
     S: jnp.ndarray,
@@ -92,6 +150,7 @@ def pcg_sharded(
     max_iters=100,
     poly_degree: int = 1,
     axis_name: str = "knot",
+    use_kernel: Optional[bool] = None,
 ) -> PCGResult:
     """PCG with the knot axis sharded over ``mesh[axis_name]``.
 
@@ -99,29 +158,64 @@ def pcg_sharded(
     eta) are replicated — every device computes identical values because all
     decisions flow from psum'd scalars, the exact analog of every CUDA block
     reading the same atomicAdd'd eta after a grid barrier.
+
+    ``use_kernel`` selects the per-shard executor: True packs each local
+    shard into the lane layout and runs Pallas matvecs (the kernel tier —
+    default on TPU); False keeps the einsum matvec (the portable oracle —
+    default elsewhere, where interpret-mode kernels would only add overhead).
+    Both run the SAME pcg.pcg loop and must agree on iteration counts.
     """
     K = gamma.shape[0]
+    s = gamma.shape[1]
     n = mesh.shape[axis_name]
     if K % n:
         raise ValueError(f"knot_points={K} not divisible by mesh axis {axis_name}={n}")
+    Kl = K // n
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
 
-    matvec = _sharded_matvec(axis_name)
     dot = _sharded_dot(axis_name)
 
-    @functools.partial(
-        jax.shard_map,
+    if use_kernel:
+        from ..kernels.pcg_streamed import _pack_operator, _pack_vec
+        from ..kernels.pcg_pallas import _SUBLANE, _LANE, _round_up
+
+        sp = _round_up(s, _SUBLANE)
+        Lp = _round_up(Kl, _LANE)
+        interpret = jax.default_backend() != "tpu"
+        mv = _packed_matvec(axis_name, s, Kl, interpret)
+
+        def body(S_l, Pinv_l, gamma_l, lam0_l):
+            Sp = _pack_operator(S_l, Lp, sp)
+            Pp = _pack_operator(Pinv_l, Lp, sp)
+            gp = _pack_vec(gamma_l, Lp, sp)
+            lp = _pack_vec(lam0_l, Lp, sp)
+            res = pcg(Sp, Pp, gp, lp, exit_tol=exit_tol,
+                      max_iters=max_iters, matvec=mv, dot=dot,
+                      poly_degree=poly_degree)
+            return PCGResult(lam=res.lam[:s, :Kl].T, iters=res.iters,
+                             converged=res.converged, eta=res.eta)
+    else:
+        matvec = _sharded_matvec(axis_name)
+
+        def body(S_l, Pinv_l, gamma_l, lam0_l):
+            return pcg(
+                S_l, Pinv_l, gamma_l, lam0_l,
+                exit_tol=exit_tol, max_iters=max_iters,
+                matvec=matvec, dot=dot, poly_degree=poly_degree,
+            )
+
+    run = jax.shard_map(
+        body,
         mesh=mesh,
         in_specs=(P(axis_name), P(axis_name), P(axis_name), P(axis_name)),
         out_specs=PCGResult(
             lam=P(axis_name), iters=P(), converged=P(), eta=P()
         ),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation (the
+        # same reason the dp cores skip the check); the einsum path keeps it.
+        check_vma=not use_kernel,
     )
-    def run(S_l, Pinv_l, gamma_l, lam0_l):
-        return pcg(
-            S_l, Pinv_l, gamma_l, lam0_l,
-            exit_tol=exit_tol, max_iters=max_iters,
-            matvec=matvec, dot=dot, poly_degree=poly_degree,
-        )
 
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
@@ -304,6 +398,40 @@ def solve_sequence_batched_dp(
     )
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "preconditioner", "poly_degree",
+                     "use_kernel"),
+)
+def _solve_sharded_core(
+    Q, Rp, Ap, Bp, q, rp, c, lam0, rho, exit_tol, max_iters,
+    mesh: Mesh,
+    axis_name: str,
+    preconditioner: Preconditioner,
+    poly_degree: int,
+    use_kernel: Optional[bool],
+):
+    """ONE jitted program for the whole knot-sharded solve: condensation and
+    recovery under XLA sharding propagation (inputs arrive knot-sharded; the
+    one-row neighbor collectives are inserted by the partitioner), the PCG
+    loop under shard_map, zero host hops between stages.  Module-level jit
+    with (mesh, axis, preconditioner) static: an MPC/serving loop that varies
+    rho/tol/lam0 retraces NOTHING — the round-1 version rebuilt its jits per
+    call (three dispatches, full retrace each time)."""
+    sys = assemble.condense(
+        Q, Rp[:-1], Ap[:-1], Bp[:-1], q, rp[:-1], c, rho, preconditioner
+    )
+    res = pcg_sharded(
+        mesh, sys.S, sys.Pinv, sys.gamma, lam0,
+        exit_tol=exit_tol, max_iters=max_iters, poly_degree=poly_degree,
+        axis_name=axis_name, use_kernel=use_kernel,
+    )
+    dz_x, dz_u = recover.recover_dz(
+        sys.Qinv, sys.Rinv, Ap[:-1], Bp[:-1], q, rp[:-1], res.lam
+    )
+    return res, dz_x, dz_u
+
+
 def solve_sharded(
     mesh: Mesh,
     Q, R, A, B, q, r, c,
@@ -315,14 +443,16 @@ def solve_sharded(
     preconditioner: Preconditioner = Preconditioner.SYMMETRIC_STAIR,
     poly_degree: int = 1,
     axis_name: str = "knot",
+    use_kernel: Optional[bool] = None,
 ):
     """Full solve with the knot axis sharded across the mesh.
 
-    Condensation/recovery run under jit with knot-sharded inputs (XLA inserts
-    the neighbor collectives); the PCG loop runs under shard_map.  Interval
-    arrays (R, A, B, r: K-1 entries) are padded by one zero row to K so every
-    array shards evenly; the pad never contributes (zero blocks).
-    """
+    Interval arrays (R, A, B, r: K-1 entries) are padded by one zero row to
+    K so every array shards evenly; the pad never contributes (zero blocks).
+    The wrapper only stages inputs (device_put with the knot sharding) and
+    calls the single jitted core; repeated calls with new data/scalars hit
+    the jit cache.  ``use_kernel`` selects the per-shard PCG executor (see
+    pcg_sharded)."""
     K, s = q.shape
     n = mesh.shape[axis_name]
     if K % n:
@@ -333,42 +463,17 @@ def solve_sharded(
     def pad1(x):
         return jnp.concatenate([x, jnp.zeros_like(x[:1])], axis=0)
 
-    @functools.partial(jax.jit, static_argnames=("precond",))
-    def _condense(Qp, Rp, Ap, Bp, qp, rp, cp, rho_, precond):
-        # Unpad the interval arrays for the (K-1)-shaped math; XLA keeps the
-        # sharded layouts and inserts halo permutes where theta_k touches k-1.
-        return assemble.condense(
-            Qp, Rp[:-1], Ap[:-1], Bp[:-1], qp, rp[:-1], cp, rho_, precond
-        )
-
-    Qd = jax.device_put(Q, knot_sharded)
-    Rd = jax.device_put(pad1(jnp.asarray(R)), knot_sharded)
-    Ad = jax.device_put(pad1(jnp.asarray(A)), knot_sharded)
-    Bd = jax.device_put(pad1(jnp.asarray(B)), knot_sharded)
-    qd = jax.device_put(q, knot_sharded)
-    rd = jax.device_put(pad1(jnp.asarray(r)), knot_sharded)
-    cd = jax.device_put(c, knot_sharded)
-
-    sys = _condense(Qd, Rd, Ad, Bd, qd, rd, cd,
-                    jnp.asarray(rho, Qd.dtype), preconditioner)
-
-    S = jax.device_put(sys.S, knot_sharded)
-    Pinv = jax.device_put(sys.Pinv, knot_sharded)
-    gamma = jax.device_put(sys.gamma, knot_sharded)
+    dt = jnp.asarray(Q).dtype
+    put = functools.partial(jax.device_put, device=knot_sharded)
     if lam0 is None:
-        lam0 = jnp.zeros_like(gamma)
-    lam0 = jax.device_put(jnp.asarray(lam0), knot_sharded)
-
-    res = pcg_sharded(
-        mesh, S, Pinv, gamma, lam0,
-        exit_tol=exit_tol, max_iters=max_iters, poly_degree=poly_degree,
-        axis_name=axis_name,
+        lam0 = jnp.zeros_like(jnp.asarray(q))
+    return _solve_sharded_core(
+        put(jnp.asarray(Q)), put(pad1(jnp.asarray(R))),
+        put(pad1(jnp.asarray(A))), put(pad1(jnp.asarray(B))),
+        put(jnp.asarray(q)), put(pad1(jnp.asarray(r))), put(jnp.asarray(c)),
+        put(jnp.asarray(lam0)),
+        _cached_const(rho, dt) if not isinstance(rho, jnp.ndarray) else rho,
+        _cached_const(exit_tol, dt), _cached_const(max_iters, jnp.int32),
+        mesh=mesh, axis_name=axis_name, preconditioner=preconditioner,
+        poly_degree=poly_degree, use_kernel=use_kernel,
     )
-
-    @jax.jit
-    def _recover(Qinv, Rinv, Ap, Bp, qp, rp, lam):
-        return recover.recover_dz(Qinv, Rinv[:-1], Ap[:-1], Bp[:-1], qp,
-                                  rp[:-1], lam)
-
-    dz_x, dz_u = _recover(sys.Qinv, pad1(sys.Rinv), Ad, Bd, qd, rd, res.lam)
-    return res, dz_x, dz_u

@@ -112,6 +112,24 @@ def _solve_core(
             iters=res.iters[0], converged=res.converged[0] != 0,
             eta=res.eta[0],
         )
+    if pcg_backend == "pallas" and method == "pcg":
+        from .kernels import longk, pcg_pallas
+
+        if (not pcg_pallas.fits_vmem(q.shape[0], q.shape[1])
+                and longk.fits_vmem(q.shape[0], q.shape[1], r.shape[1])):
+            # Long-horizon whole-solve tier: condensation, the PCG loop
+            # (resident-XL or HBM-streamed per fits_xl), and recovery all in
+            # lane-packed kernels (kernels/longk.py) — the role of the
+            # reference's parallelPCG_fixed regime (gato_pcg.cuh:17-268).
+            res, dz_x, dz_u = longk.solve_longk(
+                Q, R, A, B, q, r, c, lam0,
+                rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree, preconditioner=preconditioner.value,
+            )
+            return SolveResult(
+                lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+                iters=res.iters, converged=res.converged, eta=res.eta,
+            )
     precond = None if method == "direct" else preconditioner
     sys = assemble.condense(Q, R, A, B, q, r, c, rho, precond)
     if method == "direct":
@@ -356,6 +374,21 @@ def _solve_batched_core(
             lam=res.lam, dz_x=dz_x, dz_u=dz_u,
             iters=res.iters, converged=res.converged, eta=res.eta,
         )
+    if pcg_backend == "pallas" and method == "pcg":
+        from .kernels import longk, pcg_pallas
+
+        if (not pcg_pallas.fits_vmem(q.shape[1], q.shape[2])
+                and longk.fits_vmem(q.shape[1], q.shape[2], r.shape[2])):
+            # Long-horizon whole-solve tier (see _solve_core).
+            res, dz_x, dz_u = longk.solve_longk_batched(
+                Q, R, A, B, q, r, c, lam0,
+                rho=rho, exit_tol=exit_tol, max_iters=max_iters,
+                poly_degree=poly_degree, preconditioner=preconditioner.value,
+            )
+            return SolveResult(
+                lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+                iters=res.iters, converged=res.converged, eta=res.eta,
+            )
     precond = None if method == "direct" else preconditioner
     sys = jax.vmap(
         lambda *xs: assemble.condense(*xs, rho, precond)

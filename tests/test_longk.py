@@ -1,0 +1,149 @@
+"""Long-horizon whole-solve tier (kernels/longk.py): chunked condensation
+with the sequential-grid carry, resident-XL and streamed-loop PCG, packed
+recovery — all vs the pure-path oracle with EXACT iteration parity.
+
+Shapes are kept small and ``chunk_lanes`` is forced to 128 so several chunks
+(and therefore every cross-chunk carry/halo path) are exercised at CPU
+interpret-mode speed; the real-TPU shapes run through bench.py/verify."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gato_tpu import assemble, pcg as pcg_mod
+from gato_tpu.problem import Preconditioner, ProblemSpec, SolverOptions
+from gato_tpu.recover import recover_dz
+from gato_tpu.kernels import longk
+from gato_tpu.testing import random_blocks
+
+SPEC = ProblemSpec(3, 2, 200)
+RHO = 1e-3
+
+
+def _arrs(spec, seed):
+    return [jnp.asarray(np.asarray(a), jnp.float32)
+            for a in random_blocks(spec, seed=seed)]
+
+
+@pytest.mark.parametrize("tier", ["xl", "stream"])
+def test_tier_parity_vs_oracle(tier):
+    """Both PCG tiers: iteration counts EXACT vs pcg.pcg, solution and
+    recovered dz to f32 round-off."""
+    Q, R, A, B, q, r, cc = _arrs(SPEC, seed=7)
+    sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
+    ref = pcg_mod.pcg(sys.S, sys.Pinv, sys.gamma, exit_tol=1e-8,
+                      max_iters=300)
+    dzx_ref, dzu_ref = recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, ref.lam)
+
+    res, dzx, dzu = longk.solve_longk(
+        Q, R, A, B, q, r, cc, rho=RHO, exit_tol=1e-8, max_iters=300,
+        force_tier=tier, chunk_lanes=128,
+    )
+    assert int(res.iters) == int(ref.iters)
+    assert bool(res.converged)
+    scale = float(jnp.max(jnp.abs(ref.lam)))
+    assert float(jnp.max(jnp.abs(res.lam - ref.lam))) / scale < 5e-4
+    sx = float(jnp.max(jnp.abs(dzx_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzx - dzx_ref))) / sx < 5e-4
+    su = float(jnp.max(jnp.abs(dzu_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzu - dzu_ref))) / su < 5e-4
+
+
+@pytest.mark.parametrize("kind,name", [
+    (Preconditioner.BLOCK_JACOBI, "block_jacobi"),
+    (Preconditioner.JACOBI, "jacobi"),
+])
+def test_preconditioner_parity(kind, name):
+    Q, R, A, B, q, r, cc = _arrs(SPEC, seed=9)
+    sys = assemble.condense(Q, R, A, B, q, r, cc, RHO, kind)
+    ref = pcg_mod.pcg(sys.S, sys.Pinv, sys.gamma, exit_tol=1e-8,
+                      max_iters=500)
+    res, _, _ = longk.solve_longk(
+        Q, R, A, B, q, r, cc, rho=RHO, exit_tol=1e-8, max_iters=500,
+        preconditioner=name, chunk_lanes=128,
+    )
+    assert int(res.iters) == int(ref.iters)
+    scale = float(jnp.max(jnp.abs(ref.lam)))
+    assert float(jnp.max(jnp.abs(res.lam - ref.lam))) / scale < 1e-3
+
+
+def test_batched_warm_start_poly_stream():
+    """Ragged batch + warm start + poly_degree=2 through the streamed-loop
+    tier: per-problem iteration counts must match the vmapped oracle."""
+    pro = [random_blocks(SPEC, seed=30 + i) for i in range(3)]
+    ab = [jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+          for f in range(7)]
+    K, s = SPEC.knot_points, SPEC.state_size
+    lam0 = jnp.asarray(
+        np.random.default_rng(0).normal(size=(3, K, s)) * 0.1, jnp.float32)
+    sysb = jax.vmap(
+        lambda *xs: assemble.condense(*xs, RHO,
+                                      Preconditioner.SYMMETRIC_STAIR)
+    )(*ab)
+    refb = jax.vmap(
+        lambda S, P, g0, l0: pcg_mod.pcg(S, P, g0, l0, exit_tol=1e-8,
+                                         max_iters=500, poly_degree=2)
+    )(sysb.S, sysb.Pinv, sysb.gamma, lam0)
+    resb, _, _ = longk.solve_longk_batched(
+        *ab, lam0, rho=RHO, exit_tol=1e-8, max_iters=500, poly_degree=2,
+        force_tier="stream", chunk_lanes=128,
+    )
+    assert [int(x) for x in resb.iters] == [int(x) for x in refb.iters]
+    scale = float(jnp.max(jnp.abs(refb.lam)))
+    assert float(jnp.max(jnp.abs(resb.lam - refb.lam))) / scale < 1e-3
+
+
+def test_condensed_operators_match_assemble():
+    """The chunked condense kernel (carry + P_right-by-symmetry shift) must
+    reproduce assemble.condense's S and Pinv blockwise — this pins the
+    cross-chunk carry and the stair's next-neighbor reconstruction directly,
+    not just through PCG behavior."""
+    import functools
+
+    from gato_tpu.kernels.fused_solve import _pack_mat, _pack_vec
+
+    spec = ProblemSpec(2, 2, 160)
+    Q, R, A, B, q, r, cc = _arrs(spec, seed=3)
+    s, cdim, K = 2, 2, 160
+    sys = assemble.condense(Q, R, A, B, q, r, cc, RHO,
+                            Preconditioner.SYMMETRIC_STAIR)
+
+    sp, Kp, Lc, n_chunks = 8, 256, 128, 2
+    pm = functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp, n_groups=1, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp, n_groups=1, sp=sp)
+    Sb, Pb, gamb, _, _ = longk._condense_call(
+        RHO, pm(Q[None]), pm(R[None]), pm(A[None]), pm(B[None]),
+        pv(q[None]), pv(r[None]), pv(cc[None]),
+        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        precond="symmetric_stair", interpret=True,
+    )
+    Pb = Pb.at[:, 2].set(longk._shift_left_lane(Pb[:, 2]))
+
+    def unpack_op(Mb):
+        # (1, 3, s, sp, Kp) -> (K, 3, s, s): slot, col b, row a, lane k.
+        M = np.asarray(Mb)[0][:, :, :s, :K]          # (3, s_col, s_row, K)
+        return np.transpose(M, (3, 0, 2, 1))
+
+    np.testing.assert_allclose(unpack_op(Sb), np.asarray(sys.S),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(unpack_op(Pb), np.asarray(sys.Pinv),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gamb)[0][:s, :K].T,
+                               np.asarray(sys.gamma), rtol=1e-5, atol=1e-5)
+
+
+def test_fits_tiers_are_ordered():
+    """Budget sanity at IIWA width: the fused kernel tops out below XL
+    residency, XL below the streamed loop, and everything reports False
+    before the XLA fallback regime."""
+    from gato_tpu.kernels import fused_solve
+
+    s, c = 14, 7
+    assert fused_solve.fits_vmem(500, s, c)
+    assert longk.fits_xl(1024, s, c)
+    assert longk.fits_vmem(1024, s, c)
+    assert not longk.fits_xl(4096, s, c)
+    assert longk.fits_vmem(4096, s, c)
+    assert not longk.fits_vmem(65536, s, c)

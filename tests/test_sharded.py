@@ -212,3 +212,37 @@ def test_solve_sequence_batched_dp():
     with pytest.raises(ValueError, match="divisible"):
         solve_sequence_batched_dp(
             Mesh(np.array(jax.devices()[:3]), ("dp",)), *batched, rho=1e-2)
+
+
+@pytest.mark.parametrize("n_dev", [2, 4])
+def test_pcg_sharded_kernel_tier_matches_einsum(n_dev):
+    """use_kernel=True (lane-packed Pallas matvec per shard, boundary-column
+    ppermute) must agree with the einsum path on iteration count and
+    solution — the same loop, two per-shard executors."""
+    spec = ProblemSpec(4, 2, 64)
+    blocks = random_blocks(spec, seed=21)
+    sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
+    a = pcg_sharded(_mesh(n_dev), sys.S, sys.Pinv, sys.gamma,
+                    exit_tol=1e-10, max_iters=300, use_kernel=False)
+    b = pcg_sharded(_mesh(n_dev), sys.S, sys.Pinv, sys.gamma,
+                    exit_tol=1e-10, max_iters=300, use_kernel=True)
+    assert bool(a.converged) and bool(b.converged)
+    assert int(a.iters) == int(b.iters)
+    np.testing.assert_allclose(np.asarray(b.lam), np.asarray(a.lam),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_solve_sharded_second_call_hits_jit_cache():
+    """The core is a single module-level jit (mesh/axis/precond static):
+    a serving loop that varies data and rho must not retrace."""
+    from gato_tpu.parallel.sharded import _solve_sharded_core
+
+    spec = ProblemSpec(4, 2, 32)
+    mesh = _mesh(4)
+    _solve_sharded_core._clear_cache()
+    for seed, rho in ((1, 0.01), (2, 0.02)):
+        blocks = random_blocks(spec, seed=seed)
+        res, dz_x, dz_u = solve_sharded(mesh, *blocks, rho=rho,
+                                        exit_tol=1e-8, max_iters=200)
+        assert bool(res.converged)
+    assert _solve_sharded_core._cache_size() == 1
