@@ -29,14 +29,17 @@ for d in (1, 2, 3):
     print(f"poly degree {d}: {int(res.iters)} PCG iterations")
 
 # --- horizons past VMEM residency -------------------------------------------
-# K=1024 at IIWA width exceeds the resident kernels' VMEM budget; the solver
-# automatically streams the operators from HBM (kernels/pcg_streamed.py) —
-# the same decision the reference's check_sms makes between its resident and
-# strided CUDA kernels.
+# K=1024 at IIWA width exceeds the fused kernel's VMEM budget; the solver
+# automatically switches to the long-horizon whole-solve tier
+# (kernels/longk.py): lane-packed chunked condensation, then the whole PCG
+# loop in one kernel (operators DMA'd once into VMEM while they fit;
+# re-streamed per iteration beyond ~K=2000), then packed recovery — the same
+# decision the reference's check_sms makes between its resident and strided
+# CUDA kernels, one tier richer.
 long_spec = ProblemSpec(14, 7, 1024)
 res = solve(long_spec, random_blocks(long_spec, seed=1),
             SolverOptions(rho=1e-2, exit_tol=1e-6, max_iters=300))
-print(f"K=1024 (streamed): {int(res.iters)} iterations, "
+print(f"K=1024 (long-horizon kernel tier): {int(res.iters)} iterations, "
       f"converged={bool(res.converged)}")
 
 # --- exact direct solve ------------------------------------------------------

@@ -16,3 +16,13 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# Persistent XLA compile cache: the suite is dominated by one-time CPU
+# compiles of interpret-mode kernels (measured: a 54 s test re-runs in 14 s
+# warm).  The cache lives inside the repo (gitignored) so it survives across
+# sessions on this machine; it is machine-specific, never committed.  The two
+# "Loading XLA:CPU AOT result ... prefer-no-scatter" E-lines on warm runs are
+# a cosmetic feature-string mismatch, not an error.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)

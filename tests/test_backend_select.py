@@ -180,10 +180,12 @@ def test_streamed_matvec_matches_btd():
         np.asarray(ref), rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_long_horizon_streamed_parity_and_fallback():
-    """K past the PCG kernel's VMEM budget: explicit 'pallas' routes to the
-    HBM-streamed kernel (the parallelPCG_fixed analog) with exact iteration
-    parity vs the 'jax' oracle; auto-selection also succeeds end-to-end."""
+    """GENUINE K=1024 through the long-horizon kernel tier (kernels/longk.py)
+    with exact iteration parity vs the 'jax' oracle (interpret mode: minutes;
+    the same path runs compiled on real TPU in bench.py every round, and
+    test_longk_dispatch_small_forced covers the dispatch logic fast)."""
     from gato_tpu.kernels import pcg_pallas
 
     spec = ProblemSpec(14, 7, 1024)
@@ -230,6 +232,7 @@ def test_fits_vmem_no_minimum_lane_false_positive():
         pcg_pallas.plan_packing(1, 8, 120)
 
 
+@pytest.mark.slow
 def test_sequence_pallas_streams_long_horizon():
     """solve_sequence with 'pallas' past the VMEM budget must route to the
     streamed kernel inside the scan (previously raised at trace time)."""
@@ -285,3 +288,58 @@ def test_explicit_kernel_backend_rejects_f64():
                        for a in blocks))
     with pytest.raises(ValueError, match="float32-only"):
         solve_sequence_batched(spec, seqb, opts, pcg_backend="pallas")
+
+
+def test_longk_dispatch_small_forced(monkeypatch):
+    """Solver-level long-horizon dispatch WITHOUT the K=1024 interpret cost:
+    shrink the resident budget so a small spec crosses the longk threshold,
+    then check explicit 'pallas' routes through kernels/longk.py with exact
+    iteration parity vs the oracle (the genuine-size equivalents carry
+    @slow; the compiled path runs on real TPU in bench.py every round)."""
+    from gato_tpu.kernels import longk, pcg_pallas
+
+    calls = {}
+    orig = longk.solve_longk
+
+    def spy(*a, **kw):
+        calls["longk"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(longk, "solve_longk", spy)
+    monkeypatch.setattr(pcg_pallas, "fits_vmem", lambda K, s: False)
+    spec = ProblemSpec(3, 2, 40)
+    blocks = random_blocks(spec, seed=4)
+    opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=300)
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="pallas")
+    assert calls.get("longk"), "dispatch did not reach the longk tier"
+    assert int(got.iters) == int(ref.iters)
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-3, atol=1e-4)
+
+
+def test_sequence_longk_dispatch_small_forced(monkeypatch):
+    """solve_sequence's per-step long-horizon routing, at small size (the
+    genuine K=1024 sequence carries @slow)."""
+    from gato_tpu.kernels import longk, pcg_pallas
+
+    calls = {}
+    orig = longk.solve_longk_batched
+
+    def spy(*a, **kw):
+        calls["longk"] = True
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(longk, "solve_longk_batched", spy)
+    monkeypatch.setattr(pcg_pallas, "fits_vmem", lambda K, s: False)
+    spec = ProblemSpec(3, 2, 48)
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (2,) + a.shape)
+                      for a in random_blocks(spec, seed=6)))
+    opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=300)
+    ref = solve_sequence(spec, seq, opts, pcg_backend="jax")
+    got = solve_sequence(spec, seq, opts, pcg_backend="pallas")
+    assert calls.get("longk"), "sequence step did not reach the longk tier"
+    np.testing.assert_array_equal(np.asarray(got.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-3, atol=1e-4)

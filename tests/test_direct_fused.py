@@ -26,7 +26,11 @@ def _arrs(spec, seed=0):
 
 
 @pytest.mark.parametrize(
-    "shape", [(4, 2, 2), (2, 1, 5), (5, 3, 8), (14, 7, 50)]
+    # (9, 2, 8) keeps the sp=16 (two-sublane-tile) layout axis that
+    # (14, 7, 50) exercised, at interpret-mode-affordable cost: the IIWA
+    # shape itself runs compiled in bench.py's on-device parity gate every
+    # round.
+    "shape", [(4, 2, 2), (2, 1, 5), (5, 3, 8), (9, 2, 8)]
 )
 def test_matches_oracle_single(shape):
     s, c, K = shape

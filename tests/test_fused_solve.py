@@ -20,7 +20,9 @@ def _stack(spec, n, seed0=0):
 @pytest.mark.parametrize("spec", [
     ProblemSpec(2, 1, 5),
     ProblemSpec(3, 2, 10),
-    ProblemSpec(14, 7, 50),
+    # sp=16 (two sublane tiles) at interpret-mode-affordable size; the IIWA
+    # shape itself runs compiled in bench.py's on-device parity gate.
+    ProblemSpec(9, 4, 24),
 ])
 def test_fused_solve_matches_pure_single(spec):
     problems, bb = _stack(spec, 1, seed0=7)

@@ -51,12 +51,15 @@ def test_degree2_matches_oracle():
 @pytest.mark.parametrize("degree", [2, 3])
 def test_backend_parity_poly(degree):
     """jax / pallas / fused must agree on iteration counts exactly at any
-    degree (the repo invariant extends to the composed preconditioner)."""
-    blocks = random_blocks(IIWA, seed=9)
+    degree (the repo invariant extends to the composed preconditioner).
+    Small shape: the parity axis is degree x backend, not problem size —
+    IIWA-size parity runs compiled in bench.py's on-device gate."""
+    spec = ProblemSpec(6, 3, 24)
+    blocks = random_blocks(spec, seed=9)
     opts = _opts(degree)
-    ref = solve(IIWA, blocks, opts, pcg_backend="jax")
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
     for be in ("pallas", "fused"):
-        got = solve(IIWA, blocks, opts, pcg_backend=be)
+        got = solve(spec, blocks, opts, pcg_backend=be)
         assert int(got.iters) == int(ref.iters), be
         np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
                                    rtol=1e-3, atol=1e-4)
