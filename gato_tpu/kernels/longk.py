@@ -111,6 +111,27 @@ def _vec_words(sp: int) -> int:
     return 14 * sp
 
 
+# The streamed-loop kernel's matvec is a PYTHON-unrolled walk over the
+# operator chunks (static DMA slots/slices), so its compiled size scales
+# with the chunk count; past ~32 chunks Mosaic compile time explodes
+# (measured: nc=64 at K=8192 took >5 min).  Stream tiles are therefore
+# re-grouped to the largest width the tile budget allows.
+_STREAM_TILE_BYTES = 4 * 1024 * 1024
+_STREAM_MAX_CHUNKS = 32
+
+
+def _stream_chunks(Kp: int, Lc: int, n_chunks: int, s: int, sp: int):
+    """Regroup the condense-grid chunking (Lc, n_chunks) into wider stream
+    tiles: the largest divisor grouping whose two double-buffered tiles fit
+    the budget.  Kp = n*Lc is preserved exactly."""
+    per_lane = 2 * 3 * s * sp * 4          # two tile slots
+    max_lanes = max(Lc, (_STREAM_TILE_BYTES // per_lane) // _LANE * _LANE)
+    for m in range(n_chunks, 0, -1):
+        if n_chunks % m == 0 and m * Lc <= max_lanes:
+            return Lc * m, n_chunks // m
+    return Lc, n_chunks
+
+
 def fits_xl(K: int, s: int, c: int) -> bool:
     """True iff S+Pinv and the loop vectors fit VMEM single-buffered — the
     resident-XL regime (full-speed PCG, no per-iteration HBM traffic)."""
@@ -121,13 +142,15 @@ def fits_xl(K: int, s: int, c: int) -> bool:
 
 def fits_vmem(K: int, s: int, c: int) -> bool:
     """True iff the streamed-loop tier can run: vectors resident + 2 DMA
-    tiles.  Past this (K in the tens of thousands at IIWA width) the solver
-    falls back to the XLA-loop streamed matvec (kernels/pcg_streamed.py),
-    which has no residency requirement at all."""
+    tiles, at a compilable chunk count.  Past this (K in the tens of
+    thousands at IIWA width) the solver falls back to the XLA-loop streamed
+    matvec (kernels/pcg_streamed.py), which has no residency requirement."""
     plan = plan_longk(K, s, c)
+    Lc_s, n_s = _stream_chunks(plan.Kp, plan.Lc, plan.n_chunks, s, plan.sp)
     vec_bytes = _vec_words(plan.sp) * 4 * plan.Kp
-    tile_bytes = 2 * 3 * s * plan.sp * plan.Lc * 4
-    return vec_bytes + tile_bytes <= _STREAM_BUDGET_BYTES
+    tile_bytes = 2 * 3 * s * plan.sp * Lc_s * 4
+    return (vec_bytes + tile_bytes <= _STREAM_BUDGET_BYTES
+            and n_s <= _STREAM_MAX_CHUNKS)
 
 
 # --------------------------------------------------------------------------
@@ -577,9 +600,13 @@ def solve_longk_batched(
             s=s, sp=sp, Kp=Kp, poly_degree=poly_degree, interpret=interpret,
         )
     else:
+        if chunk_lanes is not None:   # tests pin the chunking exactly
+            Lc_s, n_s = Lc, n_chunks
+        else:
+            Lc_s, n_s = _stream_chunks(Kp, Lc, n_chunks, s, sp)
         lamb, iters, conv, eta = _pcg_stream_call(
             Sb, Pb, gamb, lb, exit_tol, max_iters,
-            s=s, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+            s=s, sp=sp, Kp=Kp, Lc=Lc_s, n_chunks=n_s,
             poly_degree=poly_degree, interpret=interpret,
         )
 

@@ -76,8 +76,25 @@ def _timed(chain, q0, rep):
     return (time.perf_counter() - t0) * 1e3
 
 
+def _best_cluster(estimates, n):
+    """Median and range of the tightest window of ``n`` consecutive sorted
+    estimates — a one-off transient (transport hiccup, chip contention) lands
+    far from the cluster and is excluded instead of polluting a plain
+    median/spread over everything."""
+    xs = sorted(estimates)
+    n = min(n, len(xs))
+    best_i, best_r = 0, float("inf")
+    for i in range(len(xs) - n + 1):
+        r = xs[i + n - 1] - xs[i]
+        if r < best_r:
+            best_i, best_r = i, r
+    window = xs[best_i:best_i + n]
+    return float(np.median(window)), float(best_r)
+
+
 def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
-               min_diff_ms: float = 8.0, label: str = "",
+               min_diff_ms: float = 8.0, rel_spread: float = 0.2,
+               max_extra: int = 4, label: str = "",
                log=None):
     """Per-step device time in ms, via T-vs-2T chain differencing.
 
@@ -85,31 +102,54 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
     depend on ``t`` and ``lam_carry`` (see :func:`time_solve` for a correct
     perturbation) and return an array that data-depends on every output to
     keep.  Runs ``n_independent`` full repetitions and returns
-    (median_ms, info_dict with reps/spread/T).  If the pilot difference is
-    below ``min_diff_ms`` (noise territory), T is doubled once and the
-    measurement redone."""
-    for attempt in range(2):
+    (cluster_ms, info_dict with reps/spread/T).  Two robustness loops:
+
+    * if the pilot chain difference is below ``min_diff_ms`` (noise
+      territory), T is doubled — up to three times — and the measurement
+      redone;
+    * if the estimates disagree by more than ``rel_spread`` of their value
+      (a transient: the remote transport occasionally stalls one rep by
+      10-100x), up to ``max_extra`` further independent estimates are taken
+      and the tightest ``n_independent``-wide cluster is reported, so a
+      one-off glitch is excluded rather than averaged in."""
+    for attempt in range(4):
         c1 = _chain_fn(step_fn, q0, T)
         c2 = _chain_fn(step_fn, q0, 2 * T)
         float(c1(q0))  # compile + first run
         float(c2(q0))
         estimates = []
         diffs = []
-        for k in range(n_independent):
+
+        def one_estimate(k):
             t1 = float(np.median([_timed(c1, q0, 10 * k + r) for r in range(reps)]))
             t2 = float(np.median([_timed(c2, q0, 10 * k + r) for r in range(reps)]))
             diffs.append(t2 - t1)
             estimates.append(max((t2 - t1) / T, 1e-5))
-        if float(np.median(diffs)) >= min_diff_ms or attempt == 1:
-            ms = float(np.median(estimates))
+
+        for k in range(n_independent):
+            one_estimate(k)
+        if float(np.median(diffs)) >= min_diff_ms or attempt == 3:
+            ms, spread = _best_cluster(estimates, n_independent)
+            extra = 0
+            while spread > rel_spread * ms and extra < max_extra:
+                if log is not None:
+                    log(f"  [{label}] spread {spread:.4f} ms > "
+                        f"{100 * rel_spread:.0f}% of {ms:.4f} ms; re-measuring")
+                one_estimate(n_independent + extra)
+                ms, spread = _best_cluster(estimates, n_independent)
+                extra += 1
             info = {
                 "reps_ms": [round(e, 6) for e in estimates],
-                "spread_ms": round(float(np.max(estimates) - np.min(estimates)), 6),
+                "spread_ms": round(spread, 6),
                 "T": T,
                 "chain_diff_ms": round(float(np.median(diffs)), 3),
             }
             if float(np.median(diffs)) < min_diff_ms:
                 info["noise_warning"] = "chain difference below noise floor"
+            if spread > rel_spread * ms:
+                info["noise_warning"] = (
+                    f"estimates still spread {spread:.4f} ms after "
+                    f"{len(estimates)} independent measurements")
             return ms, info
         if log is not None:
             log(f"  [{label}] chain diff {np.median(diffs):.2f} ms < "

@@ -31,7 +31,9 @@ def test_time_solve_single_and_batched():
     blocks = random_blocks(spec, seed=1)
     ms, info = time_solve(spec, blocks, SolverOptions(rho=1e-3), T=4,
                           reps=2, n_independent=2, min_diff_ms=0.0)
-    assert ms > 0 and info["T"] in (4, 8) and len(info["reps_ms"]) == 2
+    # CPU timings here are pure jitter: extra re-measure rounds may fire
+    # (capped at n_independent + max_extra estimates).
+    assert ms > 0 and info["T"] == 4 and 2 <= len(info["reps_ms"]) <= 6
 
     batch = type(blocks)(*(np.stack([np.asarray(a)] * 3) for a in blocks))
     ms_b, info_b = time_solve(spec, batch, SolverOptions(rho=1e-3), T=4,
@@ -48,5 +50,14 @@ def test_chain_time_doubles_on_noise():
     q0 = jnp.ones((4, 2))
     ms, info = chain_time(step, q0, T=2, reps=2, n_independent=2,
                           min_diff_ms=1e9, log=calls.append)
-    # Impossible noise floor: T doubled once, warning recorded, log called.
-    assert info["T"] == 4 and "noise_warning" in info and calls
+    # Impossible noise floor: T doubled three times (the cap), warning
+    # recorded, log called.
+    assert info["T"] == 16 and "noise_warning" in info and calls
+
+
+def test_best_cluster_rejects_transient():
+    from gato_tpu.timing import _best_cluster
+
+    # A one-off 40x transport stall must not pollute the reported value.
+    ms, spread = _best_cluster([0.39, 15.6, 0.41], 2)
+    assert abs(ms - 0.40) < 0.02 and spread < 0.03
