@@ -26,3 +26,20 @@ jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(__file__), "..", ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.1)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """XLA:CPU compile time degrades as a single process accumulates live
+    executables (measured: the same test compiles 11 s in a fresh process vs
+    32 s late in the suite).  Compiled programs are rarely shared across test
+    modules (different shapes), so dropping them at each module boundary
+    keeps every file near its fresh-process compile speed; the persistent
+    .jax_cache still serves repeat compiles across modules and runs."""
+    yield
+    import jax as _jax
+
+    _jax.clear_caches()

@@ -32,8 +32,10 @@ def test_time_solve_single_and_batched():
     ms, info = time_solve(spec, blocks, SolverOptions(rho=1e-3), T=4,
                           reps=2, n_independent=2, min_diff_ms=0.0)
     # CPU timings here are pure jitter: extra re-measure rounds may fire
-    # (capped at n_independent + max_extra estimates).
-    assert ms > 0 and info["T"] == 4 and 2 <= len(info["reps_ms"]) <= 6
+    # (capped at n_independent + max_extra estimates) and T may double on a
+    # negative pilot difference (up to three times).
+    assert ms > 0 and info["T"] in (4, 8, 16, 32)
+    assert 2 <= len(info["reps_ms"]) <= 6
 
     batch = type(blocks)(*(np.stack([np.asarray(a)] * 3) for a in blocks))
     ms_b, info_b = time_solve(spec, batch, SolverOptions(rho=1e-3), T=4,
