@@ -75,7 +75,10 @@ from .fused_solve import (
 # Per-chunk budget for the gridded condense/recover kernels (blocks are
 # double-buffered by the Pallas pipeline, intermediates are not; the constant
 # absorbs the slack, validated on-device like fused_solve's budget).
-_CHUNK_BUDGET_BYTES = 5 * 1024 * 1024
+# 8 MB -> Lc=256 at IIWA width (measured VMEM plan ~6 MB): halving the
+# sequential grid steps vs the 5 MB/Lc=128 plan cut the K=1024 zero-iter
+# span 32 -> 27 us with identical parity.
+_CHUNK_BUDGET_BYTES = 8 * 1024 * 1024
 # Resident-XL PCG: single-buffered manual-DMA operators + loop vectors.
 _XL_BUDGET_BYTES = 12 * 1024 * 1024
 # Streamed-loop PCG: resident vectors + 2 operator tiles.
