@@ -425,11 +425,16 @@ def _pcg_stream_kernel(
                     if ci + 1 < n_chunks else zcol)
             xm = jnp.where(lane == 0, pcol, xm)
             xp = jnp.where(lane == Lc - 1, ncol, xp)
-            y = jnp.zeros((sp, Lc), dt)
+            # Per-slot accumulators, (left + right) + main: same
+            # 3x-shorter-chain win and association order as
+            # pcg_pallas._matvec_lanes (measured ~8% at stream tile widths).
+            slots = []
             for j, h in ((0, xm), (1, xc), (2, xp)):
-                for col in range(s):
+                y = M[j, 0] * h[0:1, :]
+                for col in range(1, s):
                     y = y + M[j, col] * h[col : col + 1, :]
-            parts.append(y)
+                slots.append(y)
+            parts.append((slots[0] + slots[2]) + slots[1])
         return jnp.concatenate(parts, axis=1)
 
     seg_sum, lanes = make_reducers(1, Kp, Kp, dt)

@@ -93,11 +93,16 @@ def _mv_kernel(M_ref, xm_ref, x_ref, xp_ref, y_ref, *, s: int, n_chunks: int):
     xm = jnp.where(lane == 0, prev_last, xm)
     xp = jnp.where(lane == Lc - 1, next_first, xp)
 
-    y = jnp.zeros_like(x)
+    # Per-slot accumulators, (left + right) + main: the 3x-shorter FMA
+    # chains measure ~8-14% faster than a single accumulator, and the
+    # association order matches pcg_pallas._matvec_lanes.
+    slots = []
     for j, h in enumerate((xm, x, xp)):
-        for b in range(s):
+        y = M_ref[j, 0] * h[0:1, :]
+        for b in range(1, s):
             y = y + M_ref[j, b] * h[b : b + 1, :]
-    y_ref[:] = y
+        slots.append(y)
+    y_ref[:] = (slots[0] + slots[2]) + slots[1]
 
 
 def streamed_matvec(M: jnp.ndarray, x: jnp.ndarray, *, s: int,

@@ -108,11 +108,16 @@ def _mv_halo_kernel(M_ref, x_ref, lcol_ref, rcol_ref, y_ref,
     xp = pltpu.roll(x, shift=L - 1, axis=1)
     xm = jnp.where(lane == 0, lcol_ref[:], xm)
     xp = jnp.where(lane == Kl - 1, rcol_ref[:], xp)
-    y = jnp.zeros_like(x)
+    # Per-slot accumulators, (left + right) + main: the 3x-shorter FMA
+    # chains measure ~8-14% faster than a single accumulator, and the
+    # association order matches pcg_pallas._matvec_lanes.
+    slots = []
     for j, h in ((0, xm), (1, x), (2, xp)):
-        for b in range(s):
+        y = M_ref[j, 0] * h[0:1, :]
+        for b in range(1, s):
             y = y + M_ref[j, b] * h[b : b + 1, :]
-    y_ref[:] = y
+        slots.append(y)
+    y_ref[:] = (slots[0] + slots[2]) + slots[1]
 
 
 def _packed_matvec(axis_name: str, s: int, Kl: int, interpret: bool):
