@@ -158,6 +158,21 @@ def _gj_inv(M, n: int, sp: int):
     relative error ~eps*|piv|, i.e. up to ~1e-3 at the |piv|~1e4 pivots of
     ill-conditioned condensed systems (measured: it cost the fused direct
     solver 200x residual accuracy vs the XLA path on a tiny-rho problem).
+
+    Per pivot i only HALF the 2n columns are updated — bit-identically to
+    the full sweep:
+
+    * M columns b <= i are never read again (pivot i consumes Mc[i] before
+      the update; later pivots read only Mc[i'] with i' > i) — dead work;
+    * X columns b > i are still exactly e_b, whose pivot-row entry is an
+      exact 0, so norm == 0 and the update is the identity — a no-op the
+      compiler cannot prove away (it would need the one-hot structure).
+
+    This halves the in-kernel GJ issue count.  Measured on v5e: the K=1024
+    longk condense pass drops 32.1 -> 29.9 us (Mosaic had likely already
+    dead-code-eliminated the never-read M chains, so the realized win is
+    mostly the X-column no-ops); the K=50 headline fused solve is unchanged
+    within measurement spread (interleaved A/B, medians 19.0 vs 19.5 us).
     """
     dt = M[0].dtype
     Mc = list(M)
@@ -176,8 +191,8 @@ def _gj_inv(M, n: int, sp: int):
             norm = Cb[i : i + 1, :] * finv
             return jnp.where(pivot_row, norm, Cb - f * norm)
 
-        Mc = [upd(Mc[b]) for b in range(n)]
-        Xc = [upd(Xc[b]) for b in range(n)]
+        Mc = [upd(Mc[b]) if b > i else Mc[b] for b in range(n)]
+        Xc = [upd(Xc[b]) if b <= i else Xc[b] for b in range(n)]
     return Xc
 
 
