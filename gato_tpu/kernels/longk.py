@@ -80,7 +80,10 @@ from .fused_solve import (
 # span 32 -> 27 us with identical parity.
 _CHUNK_BUDGET_BYTES = 8 * 1024 * 1024
 # Resident-XL PCG: single-buffered manual-DMA operators + loop vectors.
-_XL_BUDGET_BYTES = 12 * 1024 * 1024
+# 13 MB admits IIWA K=2048 (plan needs 12.25 MB; executed on real v5e VMEM):
+# measured 0.129 ms resident vs 0.192 ms streamed-loop at exact iteration
+# parity — the streamed tier starts one doubling later.
+_XL_BUDGET_BYTES = 13 * 1024 * 1024
 # Streamed-loop PCG: resident vectors + 2 operator tiles.
 _STREAM_BUDGET_BYTES = 12 * 1024 * 1024
 

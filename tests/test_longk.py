@@ -144,6 +144,7 @@ def test_fits_tiers_are_ordered():
     assert fused_solve.fits_vmem(500, s, c)
     assert longk.fits_xl(1024, s, c)
     assert longk.fits_vmem(1024, s, c)
+    assert longk.fits_xl(2048, s, c)   # 13 MB budget: validated on-device
     assert not longk.fits_xl(4096, s, c)
     assert longk.fits_vmem(4096, s, c)
     assert not longk.fits_vmem(65536, s, c)
