@@ -159,6 +159,10 @@ def _solve_flops_bytes(kind, s, c, K, iters, poly_degree=1):
     if kind == "pcg_jax":            # XLA re-reads S+Pinv (+~6 vectors)/iter
         per_iter = 2 * _bytes_op_plain(s, K) + 6 * 4 * K * s
         return fl_full, io + 4 * _bytes_op_plain(s, K) + iters * per_iter
+    if kind == "pcg_fused_xl":       # condense+PCG one kernel: S/Pinv never
+        # touch HBM; only Qinv/Rinv round-trip to the recovery kernel.
+        rt = 2 * 4 * (s + c) * _round_up(s, 8) * _round_up(K, 128)
+        return fl_full, io + rt
     if kind == "pcg_xl":             # condense writes S/Pinv, XL reads once
         return fl_full, io + 4 * _bytes_op_packed(s, K)
     if kind == "pcg_stream":         # + operators re-streamed per iteration
@@ -664,8 +668,9 @@ def main():
             _log(f"horizon {K} fused: {C[f'iiwa_horizon_{K}_fused']}")
 
     # Past the fused kernel's VMEM budget: the long-horizon whole-solve tier
-    # (kernels/longk.py) — resident-XL while S+Pinv fit VMEM, the
-    # streamed-loop kernel beyond.
+    # (kernels/longk.py) — single-kernel condense+PCG (fused_xl) while the
+    # operators AND a condense chunk's working set fit VMEM, resident-XL
+    # while S+Pinv alone fit, the streamed-loop kernel beyond.
     for K, T_jax, T_kern in ((1024, 32, 256), (2048, 16, 128),
                              (4096, 8, 64)):
         spec_k = ProblemSpec(14, 7, K)
@@ -676,7 +681,8 @@ def main():
         if have_pallas:
             from gato_tpu.kernels import longk
 
-            tier = "xl" if longk.fits_xl(K, 14, 7) else "stream"
+            tier = ("fused_xl" if longk.fits_fused_xl(K, 14, 7)
+                    else "xl" if longk.fits_xl(K, 14, 7) else "stream")
             key = f"iiwa_horizon_{K}_kernel_{tier}"
             C[key] = bench_single(spec_k, opts, "pallas", T=T_kern)
             annotate_roofline(C[key], spec_k, f"pcg_{tier}")

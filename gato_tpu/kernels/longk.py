@@ -31,6 +31,16 @@ observations:
    prefetch playing the role of its global-memory re-streaming.  Per
    iteration the traffic is 2 operator passes (~0.5 FLOP/byte): HBM-bound
    by construction, so the roofline is the bandwidth line.
+4. **While operators + one condense chunk fit VMEM, fuse EVERYTHING**:
+   ``_fused_xl_kernel`` condenses chunk-by-chunk straight into VMEM scratch
+   (dynamic 128-aligned lane stores) and runs the whole PCG loop at the
+   last chunk — S/Pinv/gamma never touch HBM and the 3-dispatch pipeline
+   becomes one kernel.  Measured on v5e at IIWA K=1024 the latency win is
+   small (fixed cost 31.4 -> 29.4 us, full solve ~65 -> ~64 us: the
+   condense phase is VPU-compute-bound, so the eliminated 22 MB of HBM
+   traffic was mostly overlapped) — the tier's value is the freed HBM
+   bandwidth under concurrent farms and the single dispatch, at strictly
+   bit-identical results (measured max|diff| = 0 vs the xl tier).
 
 Iteration counts match pcg.pcg EXACTLY (the loop is pcg_pallas.pcg_loop —
 the same shared body as the resident kernels; tests enforce).
@@ -56,8 +66,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..pcg import PCGResult
-from .pcg_pallas import (_LANE, _SUBLANE, _round_up, _pcg_kernel,
-                         make_reducers, pcg_loop)
+from .pcg_pallas import (_LANE, _SUBLANE, _round_up, _matvec_lanes,
+                         _pcg_kernel, make_reducers, pcg_loop)
 from .fused_solve import (
     _gj_inv,
     _mat_mat,
@@ -66,8 +76,9 @@ from .fused_solve import (
     _matT_vec,
     _pack_mat,
     _pack_vec,
-    _row_onehot,
+    _roll_m1,
     _roll_p1,
+    _row_onehot,
     _transpose,
     _unpack_vec,
 )
@@ -138,6 +149,23 @@ def _stream_chunks(Kp: int, Lc: int, n_chunks: int, s: int, sp: int):
     return Lc, n_chunks
 
 
+# Fused condense+PCG (single kernel): S+P+gamma+loop vectors resident over
+# the FULL Kp, plus one chunk's condense working set (double-buffered input
+# blocks, Qinv/Rinv output blocks, GJ/product intermediates).
+_FUSED_XL_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def fits_fused_xl(K: int, s: int, c: int) -> bool:
+    """True iff the single-kernel condense+PCG tier fits VMEM: the whole
+    operators and loop vectors resident over Kp lanes plus one chunk's
+    condensation working set."""
+    plan = plan_longk(K, s, c)
+    sp, Kp, Lc = plan.sp, plan.Kp, plan.Lc
+    per_kp = (2 * 3 * s * sp + sp + _vec_words(sp)) * 4
+    per_lc = ((2 * s + 2 * c + 3) * 2 + (s + c) * 2 + 7 * s + c) * sp * 4
+    return Kp * per_kp + Lc * per_lc <= _FUSED_XL_BUDGET_BYTES
+
+
 def fits_xl(K: int, s: int, c: int) -> bool:
     """True iff S+Pinv and the loop vectors fit VMEM single-buffered — the
     resident-XL regime (full-speed PCG, no per-iteration HBM traffic)."""
@@ -163,31 +191,32 @@ def fits_vmem(K: int, s: int, c: int) -> bool:
 # Condensation, gridded over lane chunks with a carry.
 
 
-def _condense_kernel(
-    rho_ref,                                             # SMEM scalar
-    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,     # (1, ncols, sp, Lc)
-    S_out, P_out, gam_out, Qinv_out, Rinv_out,
+def _condense_chunk(
+    rho,
+    Q_ref, R_ref, A_ref, B_ref, qv, rv, cv,              # (1, ncols, sp, Lc) / (sp, Lc)
     carry,                                               # VMEM (sp, 3s+1)
+    ch,
     *, s: int, c: int, sp: int, precond: str,
 ):
     """One lane chunk of the Schur condensation (assemble.condense formulas
     on column stacks — identical primitives to fused_solve._condense_cols).
+    Shared body of the standalone condense kernel and the fused-XL kernel.
 
-    Grid is (B, n_chunks) with chunks innermost: TPU grid steps execute
-    sequentially, so the ``carry`` scratch written at chunk ch is exactly
-    what chunk ch+1 reads — the one-lane dependency (phi_k / th_int / thinv
-    / g_int at lane ch*Lc-1) crosses the chunk boundary through it.  Chunk 0
-    substitutes zeros (the trajectory-start boundary), which also resets the
-    carry between problems of the batch grid axis.
+    The caller grids (B, n_chunks) with chunks innermost: TPU grid steps
+    execute sequentially, so the ``carry`` scratch written at chunk ch is
+    exactly what chunk ch+1 reads — the one-lane dependency (phi_k / th_int
+    / thinv / g_int at lane ch*Lc-1) crosses the chunk boundary through it.
+    Chunk 0 substitutes zeros (the trajectory-start boundary), which also
+    resets the carry between problems of the batch grid axis.
+
+    Returns (S_slots, P_slots, gamma, Qinv, Rinv) with S/P as 3-slot lists
+    of column stacks; P slot 2 is P_left^T AT ITS OWN LANE (the caller
+    shifts it one lane left — see the stair note below).  Writes the carry
+    LAST, after every read of the incoming carry.
     """
-    dt = q_ref.dtype
-    rho = rho_ref[0]
-    ch = pl.program_id(1)
-    L = q_ref.shape[-1]
+    dt = qv.dtype
 
-    qv = q_ref[0]
-    rv = r_ref[0]
-    cv = c_ref[0]
+    L = qv.shape[-1]
 
     Qc = [Q_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
     Rc = [R_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
@@ -249,24 +278,39 @@ def _condense_kernel(
             ]
             PLT = _transpose(P_left, s, sp)
 
-    for b in range(s):
-        S_out[0, 0, b] = S_left[b]
-        S_out[0, 1, b] = theta[b]
-        S_out[0, 2, b] = phiT[b]
-        P_out[0, 0, b] = P_left[b]
-        P_out[0, 1, b] = P_main[b]
-        P_out[0, 2, b] = PLT[b]
-        Qinv_out[0, b] = Qinv[b]
-    for b in range(c):
-        Rinv_out[0, b] = Rinv[b]
-    gam_out[0] = gamma
-
     # Write the carry LAST (chunk ch+1 reads what this chunk's lane L-1 had).
     for b in range(s):
         carry[:, b : b + 1] = th_int[b][:, L - 1 : L]
         carry[:, s + b : s + b + 1] = phi[b][:, L - 1 : L]
         carry[:, 2 * s + b : 2 * s + b + 1] = thinv[b][:, L - 1 : L]
     carry[:, 3 * s : 3 * s + 1] = g_int[:, L - 1 : L]
+
+    return ((S_left, theta, phiT), (P_left, P_main, PLT), gamma, Qinv, Rinv)
+
+
+def _condense_kernel(
+    rho_ref,                                             # SMEM scalar
+    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,     # (1, ncols, sp, Lc)
+    S_out, P_out, gam_out, Qinv_out, Rinv_out,
+    carry,                                               # VMEM (sp, 3s+1)
+    *, s: int, c: int, sp: int, precond: str,
+):
+    """Standalone chunked condensation (for the XL / streamed-loop tiers):
+    runs :func:`_condense_chunk` and writes each chunk's outputs to HBM."""
+    S_slots, P_slots, gamma, Qinv, Rinv = _condense_chunk(
+        rho_ref[0], Q_ref, R_ref, A_ref, B_ref,
+        q_ref[0], r_ref[0], c_ref[0], carry, pl.program_id(1),
+        s=s, c=c, sp=sp, precond=precond,
+    )
+    for j in range(3):
+        for b in range(s):
+            S_out[0, j, b] = S_slots[j][b]
+            P_out[0, j, b] = P_slots[j][b]
+    for b in range(s):
+        Qinv_out[0, b] = Qinv[b]
+    for b in range(c):
+        Rinv_out[0, b] = Rinv[b]
+    gam_out[0] = gamma
 
 
 def _condense_call(rho, Qb, Rb, Ab, Bb, qb, rb, cb, *,
@@ -386,6 +430,131 @@ def _pcg_xl_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
         jnp.asarray(exit_tol, dt).reshape(1),
         jnp.asarray(max_iters, jnp.int32).reshape(1),
         Sb, Pb, gamb, lb,
+    )
+
+
+def _fused_xl_kernel(
+    rho_ref, tol_ref, maxit_ref,                          # SMEM scalars
+    Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,      # (1,·,sp,Lc) @ (b,ch)
+    lam0_ref,                                             # (1,sp,Kp) @ b
+    lam_out, it_out, cv_out, eta_out,                     # (1,·,Kp) @ b
+    Qinv_out, Rinv_out,                                   # (1,·,sp,Lc) @ (b,ch)
+    S_vm, P_vm, gam_vm, carry,                            # VMEM scratch
+    *, s: int, c: int, sp: int, Lc: int, n_chunks: int, Kp: int,
+    precond: str, poly_degree: int,
+):
+    """Condense + WHOLE PCG loop in ONE kernel: S/Pinv/gamma never touch HBM.
+
+    Each (b, ch) grid step condenses one lane chunk (the shared
+    :func:`_condense_chunk` body, same carry) and stores its column stacks
+    into contiguous (3, s, sp, Kp) VMEM scratch at lane offset ch*Lc — a
+    dynamic but 128-aligned lane store, which Mosaic lowers natively
+    (validated on v5e).  At the LAST chunk the stair's next-neighbor shift
+    runs in-scratch and the resident PCG loop (pcg_pallas.pcg_loop with the
+    same whole-array matvec as the XL tier) executes on the just-built
+    operators.  Vs the 3-dispatch pipeline this eliminates the S/P HBM
+    write (~13 us at IIWA K=1024), the XL DMA read-back (~11 us), and the
+    XLA slot-2 shift — with BIT-IDENTICAL operator values, so iteration
+    parity with the XLA oracle is inherited unchanged.
+
+    Qinv/Rinv still stream out per chunk (the recovery kernel needs them).
+    """
+    ch = pl.program_id(1)
+    S_slots, P_slots, gamma, Qinv, Rinv = _condense_chunk(
+        rho_ref[0], Q_ref, R_ref, A_ref, B_ref,
+        q_ref[0], r_ref[0], c_ref[0], carry, ch,
+        s=s, c=c, sp=sp, precond=precond,
+    )
+    off = ch * Lc
+    for j in range(3):
+        for b in range(s):
+            S_vm[j, b, :, pl.ds(off, Lc)] = S_slots[j][b]
+            P_vm[j, b, :, pl.ds(off, Lc)] = P_slots[j][b]
+    gam_vm[:, pl.ds(off, Lc)] = gamma
+    for b in range(s):
+        Qinv_out[0, b] = Qinv[b]
+    for b in range(c):
+        Rinv_out[0, b] = Rinv[b]
+
+    @pl.when(ch == n_chunks - 1)
+    def _pcg_phase():
+        dt = gamma.dtype
+        # Finish the stair in-scratch: slot 2 was stored as P_left^T at its
+        # own lane; Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane LEFT.  The
+        # scratch is lane-contiguous over the whole Kp, so one global roll
+        # with the last lane zeroed is bit-identical to _shift_left_lane.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (sp, Kp), 1)
+        for b in range(s):
+            p2 = P_vm[2, b]
+            P_vm[2, b, :, :] = jnp.where(lane == Kp - 1, 0.0, _roll_m1(p2))
+
+        S = S_vm[:, :, :, :]
+        P = P_vm[:, :, :, :]
+        mv = functools.partial(_matvec_lanes, s=s)
+        seg_sum, lanes = make_reducers(1, Kp, Kp, dt)
+        lam, eta, n_iters, conv = pcg_loop(
+            functools.partial(mv, S), functools.partial(mv, P),
+            gam_vm[:, :], lam0_ref[0], tol_ref[0], maxit_ref[0],
+            seg_sum, lanes, 1, poly_degree=poly_degree, unroll=4,
+        )
+        _aux_tail(lanes, lam, eta, n_iters, conv, lam_out, it_out, cv_out,
+                  eta_out)
+
+
+def _fused_xl_call(rho, Qb, Rb, Ab, Bb, qb, rb, cb, lb, exit_tol, max_iters,
+                   *, s, c, sp, Kp, Lc, n_chunks, precond, poly_degree,
+                   interpret):
+    Bn = qb.shape[0]
+    dt = qb.dtype
+
+    def mat_in(ncols):
+        return pl.BlockSpec((1, ncols, sp, Lc), lambda b, ch: (b, 0, 0, ch),
+                            memory_space=pltpu.VMEM)
+
+    vec_ch = pl.BlockSpec((1, sp, Lc), lambda b, ch: (b, 0, ch),
+                          memory_space=pltpu.VMEM)
+    vec_full = pl.BlockSpec((1, sp, Kp), lambda b, ch: (b, 0, 0),
+                            memory_space=pltpu.VMEM)
+    aux = pl.BlockSpec((1, _SUBLANE, Kp), lambda b, ch: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * Kp * sp * s * (12 * s + 6 * c)
+                  + Bn * 2 * 2 * 3 * s * sp * Kp * 50),
+        bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4 * 2),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        functools.partial(_fused_xl_kernel, s=s, c=c, sp=sp, Lc=Lc,
+                          n_chunks=n_chunks, Kp=Kp, precond=precond,
+                          poly_degree=poly_degree),
+        grid=(Bn, n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, sp, Kp), dt),              # lam
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32), # iters
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), jnp.int32), # conv
+            jax.ShapeDtypeStruct((Bn, _SUBLANE, Kp), dt),        # eta
+            jax.ShapeDtypeStruct((Bn, s, sp, Kp), dt),           # Qinv
+            jax.ShapeDtypeStruct((Bn, c, sp, Kp), dt),           # Rinv
+        ),
+        in_specs=[smem, smem, smem,
+                  mat_in(s), mat_in(c), mat_in(s), mat_in(c),
+                  vec_ch, vec_ch, vec_ch, vec_full],
+        out_specs=(vec_full, aux, aux, aux, mat_in(s), mat_in(c)),
+        scratch_shapes=[
+            pltpu.VMEM((3, s, sp, Kp), dt),
+            pltpu.VMEM((3, s, sp, Kp), dt),
+            pltpu.VMEM((sp, Kp), dt),
+            pltpu.VMEM((sp, 3 * s + 1), dt),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(
+        jnp.asarray(rho, dt).reshape(1),
+        jnp.asarray(exit_tol, dt).reshape(1),
+        jnp.asarray(max_iters, jnp.int32).reshape(1),
+        Qb, Rb, Ab, Bb, qb, rb, cb, lb,
     )
 
 
@@ -567,7 +736,8 @@ def solve_longk_batched(
     (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)) — the same
     contract as fused_solve.solve_fused_batched, one tier up in K.
 
-    ``force_tier`` ('xl' | 'stream') and ``chunk_lanes`` exist for tests:
+    ``force_tier`` ('fused_xl' | 'xl' | 'stream') and ``chunk_lanes`` exist
+    for tests:
     production calls leave them None and get the fits_xl decision and the
     budget-derived chunk width.
     """
@@ -595,31 +765,43 @@ def solve_longk_batched(
     Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
     qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
 
-    Sb, Pb, gamb, Qinvb, Rinvb = _condense_call(
-        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
-        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
-        precond=preconditioner, interpret=interpret,
+    tier = force_tier or (
+        "fused_xl" if fits_fused_xl(K, s, cdim)
+        else "xl" if fits_xl(K, s, cdim) else "stream"
     )
-    # Finish the stair: slot 2 was emitted as P_left^T at its own lane;
-    # Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane to the left.
-    Pb = Pb.at[:, 2].set(_shift_left_lane(Pb[:, 2]))
-
-    tier = force_tier or ("xl" if fits_xl(K, s, cdim) else "stream")
-    if tier == "xl":
-        lamb, iters, conv, eta = _pcg_xl_call(
-            Sb, Pb, gamb, lb, exit_tol, max_iters,
-            s=s, sp=sp, Kp=Kp, poly_degree=poly_degree, interpret=interpret,
+    if tier == "fused_xl":
+        lamb, iters, conv, eta, Qinvb, Rinvb = _fused_xl_call(
+            rho, Qb, Rb, Ab, Bb, qb, rb, cb, lb, exit_tol, max_iters,
+            s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+            precond=preconditioner, poly_degree=poly_degree,
+            interpret=interpret,
         )
     else:
-        if chunk_lanes is not None:   # tests pin the chunking exactly
-            Lc_s, n_s = Lc, n_chunks
-        else:
-            Lc_s, n_s = _stream_chunks(Kp, Lc, n_chunks, s, sp)
-        lamb, iters, conv, eta = _pcg_stream_call(
-            Sb, Pb, gamb, lb, exit_tol, max_iters,
-            s=s, sp=sp, Kp=Kp, Lc=Lc_s, n_chunks=n_s,
-            poly_degree=poly_degree, interpret=interpret,
+        Sb, Pb, gamb, Qinvb, Rinvb = _condense_call(
+            rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+            s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+            precond=preconditioner, interpret=interpret,
         )
+        # Finish the stair: slot 2 was emitted as P_left^T at its own lane;
+        # Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane to the left.
+        Pb = Pb.at[:, 2].set(_shift_left_lane(Pb[:, 2]))
+
+        if tier == "xl":
+            lamb, iters, conv, eta = _pcg_xl_call(
+                Sb, Pb, gamb, lb, exit_tol, max_iters,
+                s=s, sp=sp, Kp=Kp, poly_degree=poly_degree,
+                interpret=interpret,
+            )
+        else:
+            if chunk_lanes is not None:   # tests pin the chunking exactly
+                Lc_s, n_s = Lc, n_chunks
+            else:
+                Lc_s, n_s = _stream_chunks(Kp, Lc, n_chunks, s, sp)
+            lamb, iters, conv, eta = _pcg_stream_call(
+                Sb, Pb, gamb, lb, exit_tol, max_iters,
+                s=s, sp=sp, Kp=Kp, Lc=Lc_s, n_chunks=n_s,
+                poly_degree=poly_degree, interpret=interpret,
+            )
 
     lamnb = _shift_left_lane(lamb)
     dzxb, dzub = _recover_call(

@@ -118,9 +118,10 @@ def _solve_core(
         if (not pcg_pallas.fits_vmem(q.shape[0], q.shape[1])
                 and longk.fits_vmem(q.shape[0], q.shape[1], r.shape[1])):
             # Long-horizon whole-solve tier: condensation, the PCG loop
-            # (resident-XL or HBM-streamed per fits_xl), and recovery all in
-            # lane-packed kernels (kernels/longk.py) — the role of the
-            # reference's parallelPCG_fixed regime (gato_pcg.cuh:17-268).
+            # (single-kernel condense+PCG / resident-XL / HBM-streamed per
+            # fits_fused_xl/fits_xl), and recovery all in lane-packed
+            # kernels (kernels/longk.py) — the role of the reference's
+            # parallelPCG_fixed regime (gato_pcg.cuh:17-268).
             res, dz_x, dz_u = longk.solve_longk(
                 Q, R, A, B, q, r, c, lam0,
                 rho=rho, exit_tol=exit_tol, max_iters=max_iters,

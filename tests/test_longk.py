@@ -27,9 +27,9 @@ def _arrs(spec, seed):
             for a in random_blocks(spec, seed=seed)]
 
 
-@pytest.mark.parametrize("tier", ["xl", "stream"])
+@pytest.mark.parametrize("tier", ["fused_xl", "xl", "stream"])
 def test_tier_parity_vs_oracle(tier):
-    """Both PCG tiers: iteration counts EXACT vs pcg.pcg, solution and
+    """All three PCG tiers: iteration counts EXACT vs pcg.pcg, solution and
     recovered dz to f32 round-off."""
     Q, R, A, B, q, r, cc = _arrs(SPEC, seed=7)
     sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
@@ -69,9 +69,11 @@ def test_preconditioner_parity(kind, name):
     assert float(jnp.max(jnp.abs(res.lam - ref.lam))) / scale < 1e-3
 
 
-def test_batched_warm_start_poly_stream():
+@pytest.mark.parametrize("tier", ["stream", "fused_xl"])
+def test_batched_warm_start_poly(tier):
     """Ragged batch + warm start + poly_degree=2 through the streamed-loop
-    tier: per-problem iteration counts must match the vmapped oracle."""
+    and single-kernel tiers: per-problem iteration counts must match the
+    vmapped oracle."""
     pro = [random_blocks(SPEC, seed=30 + i) for i in range(3)]
     ab = [jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
           for f in range(7)]
@@ -88,7 +90,7 @@ def test_batched_warm_start_poly_stream():
     )(sysb.S, sysb.Pinv, sysb.gamma, lam0)
     resb, _, _ = longk.solve_longk_batched(
         *ab, lam0, rho=RHO, exit_tol=1e-8, max_iters=500, poly_degree=2,
-        force_tier="stream", chunk_lanes=128,
+        force_tier=tier, chunk_lanes=128,
     )
     assert [int(x) for x in resb.iters] == [int(x) for x in refb.iters]
     scale = float(jnp.max(jnp.abs(refb.lam)))
@@ -142,6 +144,8 @@ def test_fits_tiers_are_ordered():
 
     s, c = 14, 7
     assert fused_solve.fits_vmem(500, s, c)
+    assert longk.fits_fused_xl(1024, s, c)   # single-kernel condense+PCG
+    assert not longk.fits_fused_xl(2048, s, c)
     assert longk.fits_xl(1024, s, c)
     assert longk.fits_vmem(1024, s, c)
     assert longk.fits_xl(2048, s, c)   # 13 MB budget: validated on-device
