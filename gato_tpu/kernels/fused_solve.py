@@ -216,14 +216,20 @@ def _mat_matT(Ac, Bc, n_out: int, n_con: int):
 
 
 def _transpose(Ac, n: int, sp: int):
-    """A^T columns: (A^T)[:,b] = row b of A = stack_a A[a-th col][b]."""
+    """A^T columns: (A^T)[:,b] = row b of A = stack_a A[a-th col][b].
+
+    Stacked by sublane CONCAT of the (1, L) row slices (+ zero padding rows)
+    rather than summing row-masked (sp, L) products: each slice is a
+    1-sublane move instead of a full-width multiply+add, cutting the issue
+    count ~10x for identical values (every output row receives exactly one
+    contribution either way)."""
     dt = Ac[0].dtype
-    out = []
-    for b in range(n):
-        col = sum(_row_onehot(a, sp, dt) * Ac[a][b : b + 1, :]
-                  for a in range(n))
-        out.append(col)
-    return out
+    zpad = [jnp.zeros((sp - n, Ac[0].shape[-1]), dt)] if sp > n else []
+    return [
+        jnp.concatenate([Ac[a][b : b + 1, :] for a in range(n)] + zpad,
+                        axis=0)
+        for b in range(n)
+    ]
 
 
 def _mat_vec(Mc, x, n: int):
