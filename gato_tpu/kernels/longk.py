@@ -390,6 +390,13 @@ def _pcg_xl_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
         cP.start()
         cS.wait()
         cP.wait()
+        # Finish the stair in-scratch (see _fused_xl_kernel): slot 2 arrives
+        # as P_left^T at its own lane; shift it one lane left here instead
+        # of paying an XLA update-slice on the (Bn, 3, s, sp, Kp) array.
+        lane = jax.lax.broadcasted_iota(jnp.int32, (sp, Kp), 1)
+        for col in range(s):
+            p2 = P_vm[2, col]
+            P_vm[2, col, :, :] = jnp.where(lane == Kp - 1, 0.0, _roll_m1(p2))
         _pcg_kernel(
             tol_ref, maxit_ref, S_vm, P_vm, gam_ref.at[0], lam0_ref.at[0],
             lam_out.at[0], it_out.at[0], cv_out.at[0], eta_out.at[0],
@@ -783,8 +790,11 @@ def solve_longk_batched(
             precond=preconditioner, interpret=interpret,
         )
         # Finish the stair: slot 2 was emitted as P_left^T at its own lane;
-        # Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane to the left.
-        Pb = Pb.at[:, 2].set(_shift_left_lane(Pb[:, 2]))
+        # Pinv_(k,k+1) = Pinv_(k+1,k)^T lives one lane to the left.  The XL
+        # kernel shifts in-scratch after its DMA; the streamed tier still
+        # needs the shift materialized here (its tiles are DMA'd per chunk).
+        if tier != "xl":
+            Pb = Pb.at[:, 2].set(_shift_left_lane(Pb[:, 2]))
 
         if tier == "xl":
             lamb, iters, conv, eta = _pcg_xl_call(
