@@ -238,12 +238,16 @@ def _mat_vec(Mc, x, n: int):
 
 
 def _matT_vec(Mc, x, n: int, sp: int):
-    """(M^T x)[b] = M[:,b] . x, stacked into (sp, L)."""
+    """(M^T x)[b] = M[:,b] . x, stacked into (sp, L).
+
+    Sublane concat of the (1, L) per-column dots (same reasoning as
+    :func:`_transpose` — identical values, 1-sublane moves instead of
+    row-masked full-width multiply+adds)."""
     dt = Mc[0].dtype
-    return sum(
-        _row_onehot(b, sp, dt) * jnp.sum(Mc[b] * x, axis=0, keepdims=True)
-        for b in range(n)
-    )
+    rows = [jnp.sum(Mc[b] * x, axis=0, keepdims=True) for b in range(n)]
+    if sp > n:
+        rows.append(jnp.zeros((sp - n, x.shape[-1]), dt))
+    return jnp.concatenate(rows, axis=0)
 
 
 def _roll_p1(x):
