@@ -150,38 +150,60 @@ def _bytes_op_plain(s, K):
 
 
 def _solve_flops_bytes(kind, s, c, K, iters, poly_degree=1):
-    """(flops, hbm_bytes) per solve for a config kind."""
+    """(flops, hbm_bytes_floor, hbm_bytes_restream) per solve for a kind.
+
+    Two-sided byte model.  ``floor`` is the unavoidable traffic — every
+    operand crosses HBM at most once in each direction (problem in, results
+    out, HBM-materialized operators written once + read once); no solve can
+    beat max(flops/peak, floor/bw).  ``restream`` is the zero-reuse model —
+    what the backend's structure implies if every per-iteration operator
+    pass went all the way to HBM.  Measured times land between the two; the
+    gap is cross-iteration on-chip reuse (measured up to ~4x at K=8192:
+    Mosaic keeps most tile re-reads on chip).  Resident kinds have
+    floor == restream.
+    """
     fl_full = (_flops_condense(s, c, K) + _flops_pcg(s, K, iters, poly_degree)
                + _flops_recover(s, c, K))
     io = _bytes_io(s, c, K)
     if kind == "pcg_fused":          # whole solve VMEM-resident
-        return fl_full, io
+        return fl_full, io, io
     if kind == "pcg_jax":            # XLA re-reads S+Pinv (+~6 vectors)/iter
         per_iter = 2 * _bytes_op_plain(s, K) + 6 * 4 * K * s
-        return fl_full, io + 4 * _bytes_op_plain(s, K) + iters * per_iter
+        floor = io + 4 * _bytes_op_plain(s, K)
+        return fl_full, floor, floor + iters * per_iter
     if kind == "pcg_fused_xl":       # condense+PCG one kernel: S/Pinv never
         # touch HBM; only Qinv/Rinv round-trip to the recovery kernel.
         rt = 2 * 4 * (s + c) * _round_up(s, 8) * _round_up(K, 128)
-        return fl_full, io + rt
+        return fl_full, io + rt, io + rt
     if kind == "pcg_xl":             # condense writes S/Pinv, XL reads once
-        return fl_full, io + 4 * _bytes_op_packed(s, K)
+        b = io + 4 * _bytes_op_packed(s, K)
+        return fl_full, b, b
     if kind == "pcg_stream":         # + operators re-streamed per iteration
         per_iter = 2 * poly_degree * _bytes_op_packed(s, K)
-        return fl_full, io + 2 * _bytes_op_packed(s, K) + iters * per_iter
+        floor = io + 4 * _bytes_op_packed(s, K)
+        return fl_full, floor, io + 2 * _bytes_op_packed(s, K) + iters * per_iter
     if kind == "direct_fused":
         fl = (_flops_condense(s, c, K, precond=None) + _flops_direct_cr(s, K)
               + _flops_recover(s, c, K))
-        return fl, io
+        return fl, io, io
     if kind == "direct_jax":         # CR materializes ~2x operator per level sum
         fl = (_flops_condense(s, c, K, precond=None) + _flops_direct_cr(s, K)
               + _flops_recover(s, c, K))
-        return fl, io + 6 * _bytes_op_plain(s, K)
+        floor = io + 4 * _bytes_op_plain(s, K)
+        return fl, floor, io + 6 * _bytes_op_plain(s, K)
     raise ValueError(kind)
 
 
 def annotate_roofline(entry, spec, kind, *, ms_per_solve=None,
                       iters=None, poly_degree=1):
-    """Attach flops/bytes/roofline fields to a measured config entry."""
+    """Attach flops/bytes/roofline fields to a measured config entry.
+
+    ``pct_of_roofline`` is measured against the FLOOR roofline (the true
+    lower bound on time), so it is always a meaningful <=100%-ish figure;
+    for re-streaming kinds the zero-reuse model is reported alongside as
+    ``restream_ms`` with the achieved ``reuse_factor`` (restream/actual,
+    >1 = the kernel beat the zero-reuse model via on-chip tile reuse).
+    """
     s, c, K = spec.state_size, spec.control_size, spec.knot_points
     ms = ms_per_solve if ms_per_solve is not None else entry.get(
         "avg_ms_device")
@@ -189,35 +211,38 @@ def annotate_roofline(entry, spec, kind, *, ms_per_solve=None,
         iters = entry.get("pcg_iters", 0)
     if not ms or ms <= 0:
         return entry
-    flops, hbm = _solve_flops_bytes(kind, s, c, K, iters, poly_degree)
+    flops, hbm_floor, hbm_restream = _solve_flops_bytes(
+        kind, s, c, K, iters, poly_degree)
     t = ms / 1e3
     comp_s = flops / _V5E["vpu_f32_flops"]
-    mem_s = hbm / _V5E["hbm_Bps"]
-    roof_s = max(comp_s, mem_s)
-    bound = "compute" if comp_s >= mem_s else "bandwidth"
-    pct = 100.0 * roof_s / t
-    if ms > 5 * roof_s * 1e3:
-        # Far above both limits: the cost is dispatch/dependency stalls, not
-        # the hardware's arithmetic or memory ceilings.
+    floor_s = max(comp_s, hbm_floor / _V5E["hbm_Bps"])
+    restream_s = max(comp_s, hbm_restream / _V5E["hbm_Bps"])
+    # pct is distance to the absolute floor; the bound label describes the
+    # backend's structure (zero-reuse traffic vs arithmetic).
+    bound = ("compute" if comp_s >= hbm_restream / _V5E["hbm_Bps"]
+             else "bandwidth")
+    pct = 100.0 * floor_s / t
+    if ms > 5 * restream_s * 1e3:
+        # Far above even the zero-reuse model: the cost is dispatch and
+        # dependency stalls, not the hardware's arithmetic or memory
+        # ceilings.
         bound = "latency"
     entry["roofline"] = {
         "flops_per_solve": int(flops),
-        "hbm_bytes_per_solve": int(hbm),
+        # Floor bytes: unavoidable traffic, the basis of the roofline.
+        "hbm_bytes_per_solve": int(hbm_floor),
         "achieved_gflops": round(flops / t / 1e9, 1),
-        "achieved_gbps": round(hbm / t / 1e9, 1),
-        "roofline_ms": round(roof_s * 1e3, 6),
+        # From floor bytes: exact for resident kinds, a lower bound on the
+        # achieved bandwidth for re-streaming kinds.
+        "achieved_gbps": round(hbm_floor / t / 1e9, 1),
+        "roofline_ms": round(floor_s * 1e3, 6),
         "pct_of_roofline": round(pct, 1),
         "bound": bound,
     }
-    if pct > 110.0:
-        # The byte model is an UPPER bound on traffic: operators passed via
-        # pl.ANY / re-streamed per iteration can be partially kept on chip
-        # by the compiler (measured: the K=8192 streamed loop runs ~4x
-        # faster than its naive re-stream roofline at exact parity — most
-        # tile re-reads never reach HBM).
-        entry["roofline"]["note"] = (
-            "faster than the modeled-traffic roofline: compiler-found "
-            "on-chip reuse; hbm_bytes_per_solve is an upper bound")
+    if hbm_restream != hbm_floor:
+        entry["roofline"]["hbm_bytes_restream"] = int(hbm_restream)
+        entry["roofline"]["restream_ms"] = round(restream_s * 1e3, 6)
+        entry["roofline"]["reuse_factor"] = round(restream_s / t, 2)
     return entry
 
 
