@@ -202,13 +202,15 @@ def _direct_kernel(
     lam_out, dzx_out, dzu_out, eta_out, gnorm_out,
     *, s: int, c: int, K_sub: int, g: int, sp: int,
 ):
+    """Kernel body on UNPREFIXED refs (see fused_solve._fused_kernel): the
+    group axis is handled by the caller (block views or DMA scratch)."""
     dt = q_ref.dtype
     rho = rho_ref[0]
     L = q_ref.shape[-1]
 
-    qv = q_ref[0]
-    rv = r_ref[0]
-    cv = c_ref[0]
+    qv = q_ref[...]
+    rv = r_ref[...]
+    cv = c_ref[...]
 
     Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right = _condense_cols(
         Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp
@@ -229,19 +231,19 @@ def _direct_kernel(
 
     dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)
 
-    lam_out[0] = lam
-    dzx_out[0] = dzx
-    dzu_out[0] = dzu
-    eta_out[0] = jnp.broadcast_to(lanes(eta), eta_out.shape[1:])
+    lam_out[...] = lam
+    dzx_out[...] = dzx
+    dzu_out[...] = dzu
+    eta_out[...] = jnp.broadcast_to(lanes(eta), eta_out.shape)
     # ||gamma||^2 per problem, for the residual-based converged flag
     # (direct.residual_converged) computed by the wrapper.
-    gnorm_out[0] = jnp.broadcast_to(lanes(seg_sum(gamma * gamma)),
-                                    gnorm_out.shape[1:])
+    gnorm_out[...] = jnp.broadcast_to(lanes(seg_sum(gamma * gamma)),
+                                      gnorm_out.shape)
 
 
 def solve_direct_fused_batched(
     Q, R, A, B, q, r, c, *,
-    rho=0.0, interpret: bool = False,
+    rho=0.0, interpret: bool = False, input_dma=None,
 ):
     """Whole batched DIRECT solve (condense + cyclic reduction + recover) in
     fused TPU kernels.
@@ -250,7 +252,12 @@ def solve_direct_fused_batched(
     (PCGResult with batch axis — iters = 0, eta = squared true residual,
     converged derived from eta (direct.residual_converged) — , dz_x (B,K,s),
     dz_u (B,K-1,c)), matching the contract of the XLA direct path
-    (solver._direct_result)."""
+    (solver._direct_result).
+
+    ``input_dma`` selects how inputs reach VMEM (None = auto, exactly as
+    fused_solve._call_fused: manual single-buffered DMA whenever VMEM
+    pressure exists, pipeline blocks otherwise); both paths wrap the same
+    kernel body and are bit-identical (tests pin this)."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
     dt = q.dtype
@@ -264,15 +271,62 @@ def solve_direct_fused_batched(
     Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
     qb, rb, cb = pv(q), pv(r), pv(c)
 
-    def mat_spec(ncols):
-        return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
-
     vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     aux_spec = pl.BlockSpec((1, _SUBLANE, L), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    body = functools.partial(_direct_kernel, s=s, c=cdim, K_sub=K_sub, g=g,
+                             sp=sp)
+    if input_dma is None:
+        input_dma = L > _LANE or n_groups > 1
+    if input_dma:
+        # Single-buffered manual-DMA inputs (see fused_solve._call_fused /
+        # longk._pcg_xl_call): frees the pipeline's double-buffer copy of
+        # the 7 input planes, VMEM that goes to more problems per program.
+        def kernel(rho_ref, Q_hbm, R_hbm, A_hbm, B_hbm, q_hbm, r_hbm, c_hbm,
+                   lam_out, dzx_out, dzu_out, eta_out, gnorm_out,
+                   Qs, Rs, As, Bs, qs, rs, cs, sems):
+            i = pl.program_id(0)
+            pairs = list(zip((Q_hbm, R_hbm, A_hbm, B_hbm, q_hbm, r_hbm,
+                              c_hbm),
+                             (Qs, Rs, As, Bs, qs, rs, cs)))
+            copies = [pltpu.make_async_copy(h.at[i], v, sems.at[j])
+                      for j, (h, v) in enumerate(pairs)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+            body(rho_ref, Qs, Rs, As, Bs, qs, rs, cs,
+                 lam_out.at[0], dzx_out.at[0], dzu_out.at[0],
+                 eta_out.at[0], gnorm_out.at[0])
+
+        hbm = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [smem] + [hbm] * 7
+        scratch_shapes = [
+            pltpu.VMEM((s, sp, L), dt), pltpu.VMEM((cdim, sp, L), dt),
+            pltpu.VMEM((s, sp, L), dt), pltpu.VMEM((cdim, sp, L), dt),
+            pltpu.VMEM((sp, L), dt), pltpu.VMEM((sp, L), dt),
+            pltpu.VMEM((sp, L), dt),
+            pltpu.SemaphoreType.DMA((7,)),
+        ]
+    else:
+        def kernel(rho_ref, Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref,
+                   lam_out, dzx_out, dzu_out, eta_out, gnorm_out):
+            body(rho_ref, Q_ref.at[0], R_ref.at[0], A_ref.at[0], B_ref.at[0],
+                 q_ref.at[0], r_ref.at[0], c_ref.at[0],
+                 lam_out.at[0], dzx_out.at[0], dzu_out.at[0],
+                 eta_out.at[0], gnorm_out.at[0])
+
+        def mat_spec(ncols):
+            return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [smem,
+                    mat_spec(s), mat_spec(cdim), mat_spec(s), mat_spec(cdim),
+                    vec_spec, vec_spec, vec_spec]
+        scratch_shapes = []
 
     cost = pl.CostEstimate(
         flops=int(Bn * K * s * s * (20 * s + 40)),
@@ -281,8 +335,7 @@ def solve_direct_fused_batched(
     )
 
     lam_p, dzx_p, dzu_p, eta, gnorm = pl.pallas_call(
-        functools.partial(_direct_kernel, s=s, c=cdim, K_sub=K_sub, g=g,
-                          sp=sp),
+        kernel,
         grid=(n_groups,),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
@@ -291,10 +344,9 @@ def solve_direct_fused_batched(
             jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
             jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
         ),
-        in_specs=[smem,
-                  mat_spec(s), mat_spec(cdim), mat_spec(s), mat_spec(cdim),
-                  vec_spec, vec_spec, vec_spec],
+        in_specs=in_specs,
         out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec),
+        scratch_shapes=scratch_shapes,
         cost_estimate=cost,
         interpret=interpret,
     )(

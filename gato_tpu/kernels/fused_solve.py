@@ -60,7 +60,14 @@ from .pcg_pallas import (_LANE, _SUBLANE, _round_up, plan_lane_groups,
 # estimate below over-counts simultaneous liveness (Mosaic reuses buffers), so
 # the budget is set from an on-device sweep (v5e, 256x IIWA batch):
 # 10 MB -> g=12 at ~5.0 us/solve; 13 MB -> g=16 (L=896, one exact lane tile
-# grid) at ~3.9 us/solve; 14 MB -> g=17 exceeds real VMEM and fails compile.
+# grid) at ~3.9 us/solve.  With the pipeline-block path 14 MB (g=17, the
+# L=896->1024 tile jump) exceeded real VMEM; the manual-DMA input path frees
+# the pipeline's input double-buffer and g=18/L=1024 .. g=20/L=1152 now
+# compile and run — but measure NO faster than g=16 at B=256 (4.10 -> 3.90 +-
+# 0.1 us/solve, within transport noise), because 256 divides into g=16 groups
+# with exactly 7 dense tiles and zero pad lanes while larger g pads the lane
+# tile and raggeds the last group.  The budget therefore stays at the 13 MB
+# sweep optimum and plan_lane_groups optimizes tile columns instead.
 _VMEM_BUDGET_BYTES = 13 * 1024 * 1024
 
 
@@ -265,14 +272,16 @@ def _condense_cols(Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho,
                    *, s: int, c: int, sp: int):
     """Lane-parallel Schur condensation (assemble.condense) on column stacks.
 
-    Shared by the PCG and direct whole-solve kernels.  Returns everything the
+    Shared by the PCG and direct whole-solve kernels.  Matrix refs are
+    (n_cols, sp, L) views (pipeline blocks arrive as ``ref.at[0]``; the
+    manual-DMA path passes VMEM scratch directly).  Returns everything the
     downstream solve and recovery stages need:
     (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right)."""
     dt = qv.dtype
-    Qc = [Q_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
-    Rc = [R_ref[0, b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
-    Ac = [A_ref[0, b] for b in range(s)]
-    Bc = [B_ref[0, b] for b in range(c)]
+    Qc = [Q_ref[b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
+    Rc = [R_ref[b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
+    Ac = [A_ref[b] for b in range(s)]
+    Bc = [B_ref[b] for b in range(c)]
 
     Qinv = _gj_inv(Qc, s, sp)          # knot lanes
     Rinv = _gj_inv(Rc, c, sp)          # interval lanes
@@ -314,6 +323,9 @@ def _fused_kernel(
     *, s: int, c: int, K_sub: int, g: int, sp: int, poly_degree: int = 1,
     precond: str = "symmetric_stair", unroll: int = 1,
 ):
+    """Kernel body on UNPREFIXED refs: matrices (n_cols, sp, L), vectors
+    (sp, L), aux outputs (_SUBLANE, L) — the group axis is handled by the
+    caller (``.at[0]`` block views or per-group DMA scratch)."""
     dt = q_ref.dtype
     rho = rho_ref[0]
     exit_tol = tol_ref[0]
@@ -321,10 +333,10 @@ def _fused_kernel(
     L = q_ref.shape[-1]
     i32 = jnp.int32
 
-    qv = q_ref[0]
-    rv = r_ref[0]
-    cv = c_ref[0]
-    lam0 = lam0_ref[0]
+    qv = q_ref[...]
+    rv = r_ref[...]
+    cv = c_ref[...]
+    lam0 = lam0_ref[...]
 
     Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right = _condense_cols(
         Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp
@@ -388,32 +400,95 @@ def _fused_kernel(
 
     dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)
 
-    lam_out[0] = lam
-    dzx_out[0] = dzx
-    dzu_out[0] = dzu
-    out_shape = iters_out.shape[1:]
-    iters_out[0] = jnp.broadcast_to(lanes(n_iters.astype(dt)),
-                                    out_shape).astype(i32)
-    conv_out[0] = jnp.broadcast_to(lanes(conv.astype(dt)),
-                                   out_shape).astype(i32)
-    eta_out[0] = jnp.broadcast_to(lanes(jnp.abs(eta)), out_shape)
+    lam_out[...] = lam
+    dzx_out[...] = dzx
+    dzu_out[...] = dzu
+    out_shape = iters_out.shape
+    iters_out[...] = jnp.broadcast_to(lanes(n_iters.astype(dt)),
+                                      out_shape).astype(i32)
+    conv_out[...] = jnp.broadcast_to(lanes(conv.astype(dt)),
+                                     out_shape).astype(i32)
+    eta_out[...] = jnp.broadcast_to(lanes(jnp.abs(eta)), out_shape)
 
 
 def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
                 s, c, K_sub, g, L, sp, n_groups, flops_scale,
-                poly_degree, precond, interpret, unroll=1):
-    """Invoke the fused kernel on pre-packed arrays; returns packed outputs."""
-    dt = qb.dtype
+                poly_degree, precond, interpret, unroll=1,
+                input_dma=None):
+    """Invoke the fused kernel on pre-packed arrays; returns packed outputs.
 
-    def mat_spec(ncols):
-        return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
-                            memory_space=pltpu.VMEM)
+    Two input paths:
+      * pipeline blocks (``input_dma=False``): the classic BlockSpec path —
+        the Pallas pipeline DOUBLE-buffers every input block (CLAUDE.md:
+        VMEM plan ~= 2x block bytes), which at g=16 IIWA costs ~2.6 MB of
+        dead VMEM (46 input column-planes x2) and is what capped g at 16.
+      * manual DMA (``input_dma=True``): inputs arrive via ``pl.ANY`` (HBM)
+        and each grid step copies its group's slice ONCE into single-
+        buffered VMEM scratch (the longk._pcg_xl_call idiom, longk.py:374).
+        The input DMA (~5 us/group) serializes ahead of ~60 us of compute —
+        a fair trade for the extra lanes the freed VMEM admits.
+    ``input_dma=None`` auto-selects DMA exactly when VMEM pressure exists
+    (more than one lane tile or more than one group)."""
+    dt = qb.dtype
+    if input_dma is None:
+        input_dma = L > _LANE or n_groups > 1
 
     vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     aux_spec = pl.BlockSpec((1, _SUBLANE, L), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    body = functools.partial(_fused_kernel, s=s, c=c, K_sub=K_sub, g=g, sp=sp,
+                             poly_degree=poly_degree, precond=precond,
+                             unroll=unroll)
+
+    if input_dma:
+        def kernel(rho_ref, tol_ref, maxit_ref,
+                   Q_hbm, R_hbm, A_hbm, B_hbm, q_hbm, r_hbm, c_hbm, l_hbm,
+                   lam_out, dzx_out, dzu_out, it_out, cv_out, eta_out,
+                   Qs, Rs, As, Bs, qs, rs, cs, ls, sems):
+            i = pl.program_id(0)
+            pairs = list(zip((Q_hbm, R_hbm, A_hbm, B_hbm,
+                              q_hbm, r_hbm, c_hbm, l_hbm),
+                             (Qs, Rs, As, Bs, qs, rs, cs, ls)))
+            copies = [pltpu.make_async_copy(h.at[i], v, sems.at[j])
+                      for j, (h, v) in enumerate(pairs)]
+            for cp in copies:
+                cp.start()
+            for cp in copies:
+                cp.wait()
+            body(rho_ref, tol_ref, maxit_ref, Qs, Rs, As, Bs, qs, rs, cs, ls,
+                 lam_out.at[0], dzx_out.at[0], dzu_out.at[0],
+                 it_out.at[0], cv_out.at[0], eta_out.at[0])
+
+        hbm = pl.BlockSpec(memory_space=pl.ANY)
+        in_specs = [smem, smem, smem] + [hbm] * 8
+        scratch_shapes = [
+            pltpu.VMEM((s, sp, L), dt), pltpu.VMEM((c, sp, L), dt),
+            pltpu.VMEM((s, sp, L), dt), pltpu.VMEM((c, sp, L), dt),
+            pltpu.VMEM((sp, L), dt), pltpu.VMEM((sp, L), dt),
+            pltpu.VMEM((sp, L), dt), pltpu.VMEM((sp, L), dt),
+            pltpu.SemaphoreType.DMA((8,)),
+        ]
+    else:
+        def kernel(rho_ref, tol_ref, maxit_ref,
+                   Q_ref, R_ref, A_ref, B_ref, q_ref, r_ref, c_ref, l_ref,
+                   lam_out, dzx_out, dzu_out, it_out, cv_out, eta_out):
+            body(rho_ref, tol_ref, maxit_ref,
+                 Q_ref.at[0], R_ref.at[0], A_ref.at[0], B_ref.at[0],
+                 q_ref.at[0], r_ref.at[0], c_ref.at[0], l_ref.at[0],
+                 lam_out.at[0], dzx_out.at[0], dzu_out.at[0],
+                 it_out.at[0], cv_out.at[0], eta_out.at[0])
+
+        def mat_spec(ncols):
+            return pl.BlockSpec((1, ncols, sp, L), lambda i: (i, 0, 0, 0),
+                                memory_space=pltpu.VMEM)
+
+        in_specs = [smem, smem, smem,
+                    mat_spec(s), mat_spec(c), mat_spec(s), mat_spec(c),
+                    vec_spec, vec_spec, vec_spec, vec_spec]
+        scratch_shapes = []
 
     cost = pl.CostEstimate(
         flops=int(flops_scale * s * s * (6 * s + 100 * 6)),
@@ -422,9 +497,7 @@ def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
     )
 
     return pl.pallas_call(
-        functools.partial(_fused_kernel, s=s, c=c, K_sub=K_sub, g=g, sp=sp,
-                          poly_degree=poly_degree, precond=precond,
-                          unroll=unroll),
+        kernel,
         grid=(n_groups,),
         out_shape=(
             jax.ShapeDtypeStruct((n_groups, sp, L), dt),
@@ -434,10 +507,9 @@ def _call_fused(rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb, *,
             jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), jnp.int32),
             jax.ShapeDtypeStruct((n_groups, _SUBLANE, L), dt),
         ),
-        in_specs=[smem, smem, smem,
-                  mat_spec(s), mat_spec(c), mat_spec(s), mat_spec(c),
-                  vec_spec, vec_spec, vec_spec, vec_spec],
+        in_specs=in_specs,
         out_specs=(vec_spec, vec_spec, vec_spec, aux_spec, aux_spec, aux_spec),
+        scratch_shapes=scratch_shapes,
         cost_estimate=cost,
         interpret=interpret,
     )(

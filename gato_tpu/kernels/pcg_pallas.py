@@ -68,6 +68,10 @@ from ..pcg import PCGResult
 
 _LANE = 128
 _SUBLANE = 8
+# Lane-equivalent charge per grid program in the packing search: a group's
+# fixed cost (~5 us input DMA + prologue, measured v5e) over the ~0.05-0.07
+# us/lane-column a whole solve spends — order one 128-lane tile.
+_GROUP_OVERHEAD_LANES = _LANE
 # Per-program VMEM budget for the two operators + vectors.  v5e has ~16 MB;
 # Pallas double-buffers gridded blocks (next program's DMA overlaps this one's
 # compute), so the effective footprint is ~2x this plus loop carries.
@@ -110,14 +114,34 @@ def plan_lane_groups(B: int, K_sub: int, max_lanes: int,
     per program, the lane width L = round_up(g*K_sub, 128), and the grid
     size, under a ``max_lanes`` VMEM-derived budget.  Raises ValueError with
     the caller-supplied message when even one problem at minimum tile width
-    busts the budget (callers gate with their fits_vmem first)."""
+    busts the budget (callers gate with their fits_vmem first).
+
+    Among feasible g the search minimizes TOTAL padded lanes
+    n_groups * L — the lane-tile columns are the vector work the VPU
+    actually executes, so a g that divides B into dense tiles beats the raw
+    VMEM maximum (measured: B=256 IIWA at g=16 packs 896 = exactly 7 tiles
+    per program with B divisible — zero waste — while g=20 pads to 1152 and
+    leaves a ragged final group, costing ~5% more tile columns for no
+    benefit).  Each group is additionally charged one lane tile of overhead
+    (_GROUP_OVERHEAD_LANES): grid programs run sequentially and a group's
+    fixed cost (input DMA ~5 us + prologue) is worth ~75-130 lanes of vector
+    work, so a plan must save at least a tile's worth of lanes to justify an
+    extra program (e.g. B=30 IIWA: 3 groups x 576 lanes saves only 64 raw
+    lanes over 2 x 896 — a net loss the overhead term rejects).  Ties break
+    toward larger g (fewer programs amortize further)."""
     if _round_up(K_sub, _LANE) > max_lanes:
         raise ValueError(over_budget_msg)
-    g = max(1, min(B, max_lanes // K_sub))
-    while g > 1 and _round_up(g * K_sub, _LANE) > max_lanes:
-        g -= 1
-    L = _round_up(g * K_sub, _LANE)
-    n_groups = -(-B // g)
+    g_cap = max(1, min(B, max_lanes // K_sub))
+    while g_cap > 1 and _round_up(g_cap * K_sub, _LANE) > max_lanes:
+        g_cap -= 1
+    best = None
+    for g in range(1, g_cap + 1):
+        L = _round_up(g * K_sub, _LANE)
+        n_groups = -(-B // g)
+        key = (n_groups * (L + _GROUP_OVERHEAD_LANES), n_groups, -g)
+        if best is None or key < best[0]:
+            best = (key, g, L, n_groups)
+    _, g, L, n_groups = best
     return g, L, n_groups
 
 

@@ -100,6 +100,26 @@ def test_solver_dispatch_fused_direct():
     assert [int(i) for i in gotb.iters] == [0, 0, 0]
 
 
+def test_direct_input_paths_identical():
+    """The manual-DMA and pipeline-BlockSpec input paths wrap the same
+    kernel body — forcing each on a multi-problem packed config (where DMA
+    is the auto choice) must give bit-identical outputs."""
+    spec = ProblemSpec(5, 3, 12)
+    pro = [random_blocks(spec, seed=200 + i) for i in range(7)]
+    arrs = [
+        jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+        for f in range(7)
+    ]
+    res_b, dzx_b, dzu_b = direct_fused.solve_direct_fused_batched(
+        *arrs, rho=1e-2, input_dma=False)
+    res_d, dzx_d, dzu_d = direct_fused.solve_direct_fused_batched(
+        *arrs, rho=1e-2, input_dma=True)
+    np.testing.assert_array_equal(np.asarray(res_b.lam), np.asarray(res_d.lam))
+    np.testing.assert_array_equal(np.asarray(res_b.eta), np.asarray(res_d.eta))
+    np.testing.assert_array_equal(np.asarray(dzx_b), np.asarray(dzx_d))
+    np.testing.assert_array_equal(np.asarray(dzu_b), np.asarray(dzu_d))
+
+
 def test_direct_still_rejects_pallas_backend():
     spec = ProblemSpec(4, 2, 10)
     blocks = random_blocks(spec, seed=3)

@@ -106,6 +106,31 @@ def test_solve_batched_fused_backend(monkeypatch):
                                    np.asarray(ref.dz_x), rtol=1e-4, atol=1e-4)
 
 
+def test_fused_input_paths_identical(monkeypatch):
+    """The manual-DMA input path (auto when VMEM pressure exists) and the
+    pipeline-BlockSpec path wrap the SAME kernel body — outputs must be
+    bit-identical on a config where DMA is the auto choice (multi-group,
+    ragged last group)."""
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 270_000)  # force n_groups>1
+    spec = ProblemSpec(3, 2, 12)
+    _, bb = _stack(spec, 17, seed0=150)
+    orig = fs._call_fused
+    outs = {}
+    for dma in (False, True):
+        monkeypatch.setattr(
+            fs, "_call_fused",
+            lambda *a, _dma=dma, **k: orig(*a, **{**k, "input_dma": _dma}),
+        )
+        outs[dma] = fs.solve_fused_batched(
+            *bb, rho=1e-2, exit_tol=1e-10, max_iters=300, interpret=True)
+    (res_b, dzx_b, dzu_b), (res_d, dzx_d, dzu_d) = outs[False], outs[True]
+    np.testing.assert_array_equal(np.asarray(res_b.iters),
+                                  np.asarray(res_d.iters))
+    np.testing.assert_array_equal(np.asarray(res_b.lam), np.asarray(res_d.lam))
+    np.testing.assert_array_equal(np.asarray(dzx_b), np.asarray(dzx_d))
+    np.testing.assert_array_equal(np.asarray(dzu_b), np.asarray(dzu_d))
+
+
 def test_fused_rejects_unknown_preconditioner():
     spec = ProblemSpec(3, 2, 8)
     problems, bb = _stack(spec, 1, seed0=7)

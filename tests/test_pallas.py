@@ -126,3 +126,27 @@ def test_solver_pallas_backend_interpret(monkeypatch):
                 pcg_backend="pallas")
     lam_ref, _ = dense_oracle(spec, blocks, rho=0.01)
     np.testing.assert_allclose(res.lam_flat(), lam_ref, rtol=2e-3, atol=2e-3)
+
+
+def test_plan_lane_groups_tile_efficiency():
+    """The packing search minimizes TOTAL padded lanes (= VPU tile columns),
+    not just problems-per-program: a g that divides B into dense tiles beats
+    the raw VMEM maximum; ties prefer larger g (fewer programs)."""
+    # B divisible into dense tiles: the VMEM maximum survives (IIWA batch:
+    # g=16 packs 896 lanes = exactly 7 tiles, B=256 divides into 16 groups).
+    assert kp.plan_lane_groups(256, 56, 910, "x") == (16, 896, 16)
+    # Ragged B=20: two balanced 640-lane groups (1280 total lanes) beat the
+    # 16+4 split at 896 lanes each (1792 total); the 1280-lane tie between
+    # g=10 and g=11 breaks toward larger g.
+    assert kp.plan_lane_groups(20, 56, 910, "x") == (11, 640, 2)
+    # B=17: 9+8 at 512 lanes (1024 total) beats 16+1 at 896 (1792 total).
+    assert kp.plan_lane_groups(17, 56, 910, "x") == (9, 512, 2)
+    # Group-overhead guard (B=30): 3 groups x 576 lanes would save 64 raw
+    # lanes over 2 x 896, but the extra program's fixed cost outweighs it —
+    # the per-group tile charge keeps the 2-group plan.
+    assert kp.plan_lane_groups(30, 56, 910, "x") == (16, 896, 2)
+    # Single problem: minimum tile.
+    assert kp.plan_lane_groups(1, 56, 910, "x") == (1, 128, 1)
+    # One problem over the lane budget still raises.
+    with pytest.raises(ValueError, match="nope"):
+        kp.plan_lane_groups(4, 1000, 900, "nope")
