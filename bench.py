@@ -785,5 +785,38 @@ def main():
     }))
 
 
+def _transport_preflight(timeout_s: int = 180):
+    """Fail fast, with a parseable record, when the device transport is down.
+
+    Backend init on a dead axon tunnel BLOCKS forever rather than erroring
+    (observed during the 2026-08-17 transport outage), which would hang the
+    whole bench run at the first jax.devices().  Probe init in a killable
+    subprocess; on failure emit the driver's one-line JSON with an ``error``
+    field and exit nonzero."""
+    import subprocess
+    import sys
+
+    probe = "import jax; print(jax.devices()[0].platform, flush=True)"
+    try:
+        out = subprocess.run([sys.executable, "-c", probe],
+                             capture_output=True, text=True,
+                             timeout=timeout_s)
+        if out.returncode == 0:
+            return
+        reason = (out.stderr or out.stdout).strip()[-300:]
+    except subprocess.TimeoutExpired:
+        reason = (f"backend init did not complete in {timeout_s}s "
+                  "(device transport down?)")
+    print(json.dumps({
+        "metric": "iiwa_14_7_50_avg_solve_ms",
+        "value": None,
+        "unit": "ms",
+        "vs_baseline": None,
+        "error": f"device transport preflight failed: {reason}",
+    }))
+    raise SystemExit(1)
+
+
 if __name__ == "__main__":
+    _transport_preflight()
     main()
