@@ -614,6 +614,17 @@ def parity_gate(spec, options):
         err = float(np.max(np.abs(np.asarray(bres[be].lam) - refb))) / scaleb
         report[f"batch_rel_err_{be}"] = err
         check(err < 1e-3, f"PARITY FAILURE batch lam {be}: rel err {err}")
+
+    # Batched direct: multi-problem lane packing through the cyclic-reduction
+    # kernel (g>1 exercises its manual-DMA input path on device).
+    bd_jax = solve_batched(spec, batch, dopts, pcg_backend="jax")
+    bd_fused = solve_batched(spec, batch, dopts, pcg_backend="fused")
+    float(jnp.sum(bd_jax.lam) + jnp.sum(bd_fused.lam))
+    bdref = np.asarray(bd_jax.lam)
+    bdscale = float(np.max(np.abs(bdref))) or 1.0
+    bderr = float(np.max(np.abs(np.asarray(bd_fused.lam) - bdref))) / bdscale
+    report["batch_direct_rel_err_fused"] = bderr
+    check(bderr < 1e-3, f"PARITY FAILURE batch direct fused: rel err {bderr}")
     report["ok"] = True
     return report
 
