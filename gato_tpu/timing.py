@@ -112,10 +112,17 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
       10-100x), up to ``max_extra`` further independent estimates are taken
       and the tightest ``n_independent``-wide cluster is reported, so a
       one-off glitch is excluded rather than averaged in."""
+    first_call_ms = None
     for attempt in range(4):
         c1 = _chain_fn(step_fn, q0, T)
         c2 = _chain_fn(step_fn, q0, 2 * T)
+        t0 = time.perf_counter()
         float(c1(q0))  # compile + first run
+        if first_call_ms is None:
+            # Reference protocol (BASELINE.md): report the first run
+            # INCLUDING compile alongside the steady-state average.  This is
+            # the T-step chain's first call, wall clock.
+            first_call_ms = (time.perf_counter() - t0) * 1e3
         float(c2(q0))
         estimates = []
         diffs = []
@@ -143,6 +150,7 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
                 "spread_ms": round(spread, 6),
                 "T": T,
                 "chain_diff_ms": round(float(np.median(diffs)), 3),
+                "first_call_ms": round(first_call_ms, 1),
             }
             if float(np.median(diffs)) < min_diff_ms:
                 info["noise_warning"] = "chain difference below noise floor"

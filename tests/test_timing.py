@@ -36,6 +36,9 @@ def test_time_solve_single_and_batched():
     # negative pilot difference (up to three times).
     assert ms > 0 and info["T"] in (4, 8, 16, 32)
     assert 2 <= len(info["reps_ms"]) <= 6
+    # BASELINE.md protocol: first run (includes compile) reported alongside
+    # the steady-state average.
+    assert info["first_call_ms"] > 0
 
     batch = type(blocks)(*(np.stack([np.asarray(a)] * 3) for a in blocks))
     ms_b, info_b = time_solve(spec, batch, SolverOptions(rho=1e-3), T=4,
