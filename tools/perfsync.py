@@ -1,0 +1,134 @@
+"""Keep the perf numbers quoted in README.md / PARITY.md bound to the
+committed BENCH_DETAIL.json (VERDICT round-1 weak #7: "one source of perf
+truth" — every quoted number must come from the SAME driver-captured run).
+
+Each binding is (file, regex-with-ONE-capture-group, derive(detail) -> str):
+the capture group is the digits as printed in the prose; ``derive`` recomputes
+them from the artifact with the documented rounding.  Two modes:
+
+    python tools/perfsync.py          # check: exit 1 on any drift
+    python tools/perfsync.py --fix    # rewrite the prose from the artifact
+
+tests/test_perf_numbers.py runs check mode in the suite, so a bench rerun
+that changes BENCH_DETAIL.json fails CI until the prose is regenerated
+(``--fix``) in the same commit.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+
+
+def _fmt(value: float, fmt: str) -> str:
+    if fmt == "k":  # 244121.1 -> "244k"
+        return f"{round(value / 1000):.0f}k"
+    return format(value, fmt)
+
+
+def _bindings(detail: dict):
+    c = detail["configs"]
+
+    def ms(key):
+        return c[key]["avg_ms_device"]
+
+    B = []  # (relative path, pattern, expected string)
+
+    def bind(path, pattern, value, fmt):
+        B.append((path, pattern, _fmt(value, fmt)))
+
+    r = "README.md"
+    # Quick start: direct-vs-PCG aside.
+    bind(r, r"AS FAST AS the iterative path \(([\d.]+) ms", ms("iiwa_direct_fused"), ".4f")
+    bind(r, r"AS FAST AS the iterative path \([\d.]+ ms\n# vs ([\d.]+) on IIWA", ms("iiwa_fused"), ".4f")
+    # Headline block.
+    bind(r, r"IIWA \(14,7,50\) cold solve: \*\*([\d.]+) ms EXACT\*\*", ms("iiwa_direct_fused"), ".4f")
+    bind(r, r"no iterations, no tolerance\), \*\*([\d.]+) ms\*\* PCG", ms("iiwa_fused"), ".4f")
+    bind(r, r"\*\* PCG\n  at (\d+) iterations", c["iiwa_fused"]["pcg_iters"], "d")
+    bind(r, r"`exit_tol=1e-6`\), ([\d.]+) ms with", ms("iiwa_fused_poly2"), ".4f")
+    bind(r, r"`precond_poly_degree=2` \((\d+) iterations\)", c["iiwa_fused_poly2"]["pcg_iters"], "d")
+    bind(r, r"~10x the pure-XLA path's ([\d.]+) ms", ms("iiwa_pcg"), ".2f")
+    bind(r, r"([\d.]+) µs condense\+precond\+recover",
+         1e3 * c["iiwa_fused_split"]["condense_recover_ms"], ".1f")
+    bind(r, r"([\d.]+) µs per PCG iteration", c["iiwa_fused_split"]["us_per_iteration"], ".2f")
+    bind(r, r"Pendulum \(2,1,5\): (\d+) µs/solve", round(1e3 * ms("pendulum_2_1_5_pcg")), "d")
+    # Horizon scaling.
+    bind(r, r"fused PCG kernel: K=100: ([\d.]+) ms", ms("iiwa_horizon_100_fused"), ".3f")
+    bind(r, r"K=250: ([\d.]+)", ms("iiwa_horizon_250_fused"), ".3f")
+    bind(r, r"K=500:\n  ([\d.]+)\.", ms("iiwa_horizon_500_fused"), ".3f")
+    bind(r, r"\*\*K=1024: ([\d.]+) ms vs", ms("iiwa_horizon_1024_kernel_xl"), ".3f")
+    bind(r, r"K=1024: [\d.]+ ms vs ([\d.]+) for the XLA loop", ms("iiwa_horizon_1024_pcg"), ".3f")
+    bind(r, r"for the XLA loop \((\d+)x\)",
+         round(ms("iiwa_horizon_1024_pcg") / ms("iiwa_horizon_1024_kernel_xl")), "d")
+    bind(r, r"\*\*K=2048: ([\d.]+) vs", ms("iiwa_horizon_2048_kernel_stream"), ".3f")
+    bind(r, r"K=2048: [\d.]+ vs ([\d.]+);", ms("iiwa_horizon_2048_pcg"), ".3f")
+    bind(r, r"K=4096: ([\d.]+) vs", ms("iiwa_horizon_4096_kernel_stream"), ".3f")
+    bind(r, r"K=4096: [\d.]+ vs ([\d.]+) \(", ms("iiwa_horizon_4096_pcg"), ".3f")
+    bind(r, r"K=4096: [\d.]+ vs [\d.]+ \(([\d.]+)x\)",
+         ms("iiwa_horizon_4096_pcg") / ms("iiwa_horizon_4096_kernel_stream"), ".1f")
+    # Batch.
+    bind(r, r"Batched 256× IIWA: \*\*([\d.]+) µs/solve", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
+    bind(r, r"\(~(\d+k) solves/s\)\*\* PCG", c["iiwa_batch_256_fused"]["solves_per_sec"], "k")
+    bind(r, r"\*\*([\d.]+) µs/solve \(~\d+k/s\) EXACT\*\*", c["iiwa_batch_256_direct_fused"]["us_per_solve"], ".1f")
+    bind(r, r"µs/solve \(~(\d+k)/s\) EXACT", c["iiwa_batch_256_direct_fused"]["solves_per_sec"], "k")
+    bind(r, r"vs (\d+) µs/solve for the XLA direct path",
+         round(c["iiwa_batch_256_direct"]["us_per_solve"]), "d")
+    # MPC.
+    bind(r, r"\*\*([\d.]+) ms/solve\*\* vs", c["iiwa_mpc_sequence_fused"]["ms_per_solve"], ".4f")
+    bind(r, r"throughput ceiling at\n  B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
+    bind(r, r"\(~(\d+k) warm-started solves/s\)\*\*", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
+    bind(r, r"beating cold\n  independent batching \(([\d.]+) µs\)", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
+    bind(r, r"independent batching \([\d.]+ µs\) by ([\d.]+)x",
+         c["iiwa_batch_256_fused"]["us_per_solve"] / c["iiwa_mpc_farm_128"]["us_per_solve"], ".1f")
+
+    p = "PARITY.md"
+    bind(p, r"\(([\d.]+) ms XLA -> ", ms("iiwa_horizon_1024_pcg"), ".3f")
+    bind(p, r"ms XLA -> ([\d.]+) ms at K=1024", ms("iiwa_horizon_1024_kernel_xl"), ".3f")
+    bind(p, r"~(\d+) us single", round(1e3 * ms("iiwa_direct_fused")), "d")
+    bind(p, r"~([\d.]+) us/solve at 256-batch", c["iiwa_batch_256_direct_fused"]["us_per_solve"], ".1f")
+    bind(p, r"ceiling ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
+    bind(p, r"= ~(\d+k) solves/s at B=128", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
+    return B
+
+
+def run(fix: bool = False) -> list[str]:
+    """Returns a list of drift descriptions (empty = in sync); with
+    ``fix=True`` rewrites the files instead and returns what changed."""
+    detail = json.loads((ROOT / "BENCH_DETAIL.json").read_text())
+    texts = {}
+    problems = []
+    for path, pattern, expected in _bindings(detail):
+        if path not in texts:
+            texts[path] = (ROOT / path).read_text()
+        text = texts[path]
+        m = re.search(pattern, text)
+        if m is None:
+            problems.append(f"{path}: pattern not found: {pattern!r}")
+            continue
+        got = m.group(1)
+        if got != expected:
+            if fix:
+                s, e = m.span(1)
+                texts[path] = text[:s] + expected + text[e:]
+                problems.append(f"{path}: {got} -> {expected}  ({pattern!r})")
+            else:
+                problems.append(
+                    f"{path}: quotes {got}, artifact says {expected}  ({pattern!r})")
+    if fix:
+        for path, text in texts.items():
+            (ROOT / path).write_text(text)
+    return problems
+
+
+if __name__ == "__main__":
+    fix = "--fix" in sys.argv[1:]
+    out = run(fix=fix)
+    for line in out:
+        print(("fixed " if fix else "DRIFT ") + line)
+    if not out:
+        print("README.md / PARITY.md in sync with BENCH_DETAIL.json")
+    sys.exit(0 if (fix or not out) else 1)
