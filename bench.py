@@ -136,8 +136,9 @@ def _bytes_io(s, c, K):
     return 4 * (ins + outs)
 
 
-def _round_up(x, m):
-    return -(-x // m) * m
+# The kernels' own rounding (sp, Kp tiling) — imported, not re-derived, so
+# the roofline byte model cannot desynchronize from the packed sizes.
+from gato_tpu.kernels.pcg_pallas import _round_up  # noqa: E402
 
 
 def _bytes_op_packed(s, K):
@@ -378,7 +379,8 @@ def bench_fused_split(spec, options, full_entry, *, T=2048):
 
     o0 = SolverOptions(exit_tol=options.exit_tol, max_iters=0,
                        rho=options.rho,
-                       preconditioner=options.preconditioner)
+                       preconditioner=options.preconditioner,
+                       precond_poly_degree=options.precond_poly_degree)
     blocks = _staged_blocks(spec)
     from gato_tpu.timing import time_solve
 
@@ -495,10 +497,14 @@ def bench_mpc_farm(spec, options, T=128, B=16, reps=7):
             if (med >= min_diff_ms
                     and float(np.max(diffs) - np.min(diffs)) < 0.5 * med):
                 break
-    estimates = [max(d / T, 1e-4) for d in diffs]
+    # Non-positive differences (a transport stall during either chain) are
+    # DROPPED, not floor-clamped: two clamped values form a fake zero-spread
+    # "tightest pair" that would pass the cluster check silently.
+    estimates = [d / T for d in diffs if d > 0]
     # Tightest-pair cluster, as in timing.chain_time: a one-off transport
     # stall lands far from the cluster and is excluded, not averaged in.
-    ms_step, spread = _best_cluster(estimates, 2)
+    ms_step, spread = (_best_cluster(estimates, 2) if estimates
+                       else (0.0, 0.0))
     out = {
         "T": T,
         "B": B,
@@ -511,9 +517,14 @@ def bench_mpc_farm(spec, options, T=128, B=16, reps=7):
         "iters_first_mean": float(it[0].mean()),
         "iters_rest_mean": float(it[1:].mean()),
     }
+    warns = []
     if float(np.median(diffs)) < min_diff_ms:
-        out["noise_warning"] = (
-            "sequence difference below noise floor; increase T")
+        warns.append("sequence difference below noise floor; increase T")
+    if len(estimates) < 2:
+        warns.append(f"only {len(estimates)} usable estimates "
+                     "(non-positive chain differences dropped)")
+    if warns:
+        out["noise_warning"] = "; ".join(warns)
     return out
 
 
@@ -574,9 +585,11 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
             if (med >= min_diff_ms
                     and float(np.max(diffs) - np.min(diffs)) < 0.5 * med):
                 break
-    estimates = [max(d / T, 1e-4) for d in diffs]
+    # Dropped, not clamped — see bench_mpc_farm.
+    estimates = [d / T for d in diffs if d > 0]
     # Tightest-pair cluster, as in timing.chain_time (transient rejection).
-    ms_per_solve, spread = _best_cluster(estimates, 2)
+    ms_per_solve, spread = (_best_cluster(estimates, 2) if estimates
+                            else (0.0, 0.0))
     out = {
         "T": T,
         "ms_per_solve": round(ms_per_solve, 6),
@@ -587,9 +600,14 @@ def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
         "iters_first": iters_per_step[0],
         "iters_rest_mean": float(np.mean(iters_per_step[1:])),
     }
+    warns = []
     if float(np.median(diffs)) < min_diff_ms:
-        out["noise_warning"] = (
-            "sequence difference below noise floor; increase T")
+        warns.append("sequence difference below noise floor; increase T")
+    if len(estimates) < 2:
+        warns.append(f"only {len(estimates)} usable estimates "
+                     "(non-positive chain differences dropped)")
+    if warns:
+        out["noise_warning"] = "; ".join(warns)
     return out
 
 

@@ -112,17 +112,16 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
       10-100x), up to ``max_extra`` further independent estimates are taken
       and the tightest ``n_independent``-wide cluster is reported, so a
       one-off glitch is excluded rather than averaged in."""
-    first_call_ms = None
     for attempt in range(4):
         c1 = _chain_fn(step_fn, q0, T)
         c2 = _chain_fn(step_fn, q0, 2 * T)
         t0 = time.perf_counter()
         float(c1(q0))  # compile + first run
-        if first_call_ms is None:
-            # Reference protocol (BASELINE.md): report the first run
-            # INCLUDING compile alongside the steady-state average.  This is
-            # the T-step chain's first call, wall clock.
-            first_call_ms = (time.perf_counter() - t0) * 1e3
+        # Reference protocol (BASELINE.md): report the first run INCLUDING
+        # compile alongside the steady-state average.  Re-captured on every
+        # attempt (each T doubling builds and compiles fresh chains) so the
+        # reported value is the FINAL T's chain, the one info['T'] names.
+        first_call_ms = (time.perf_counter() - t0) * 1e3
         float(c2(q0))
         estimates = []
         diffs = []
@@ -130,20 +129,34 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
         def one_estimate(k):
             t1 = float(np.median([_timed(c1, q0, 10 * k + r) for r in range(reps)]))
             t2 = float(np.median([_timed(c2, q0, 10 * k + r) for r in range(reps)]))
-            diffs.append(t2 - t1)
-            estimates.append(max((t2 - t1) / T, 1e-5))
+            d = t2 - t1
+            diffs.append(d)
+            # A transport stall during either chain can drive the difference
+            # non-positive.  Such a measurement carries no signal; clamping
+            # it to a floor would let TWO stalls form a fake zero-spread
+            # "tightest cluster" of identical floor values that sails through
+            # the spread check — so corrupted differences are DROPPED and
+            # re-measured instead.
+            if d > 0:
+                estimates.append(d / T)
+
+        def cluster():
+            if not estimates:
+                return 0.0, 0.0
+            return _best_cluster(estimates, n_independent)
 
         for k in range(n_independent):
             one_estimate(k)
         if float(np.median(diffs)) >= min_diff_ms or attempt == 3:
-            ms, spread = _best_cluster(estimates, n_independent)
+            ms, spread = cluster()
             extra = 0
-            while spread > rel_spread * ms and extra < max_extra:
+            while (len(estimates) < n_independent
+                   or spread > rel_spread * ms) and extra < max_extra:
                 if log is not None:
-                    log(f"  [{label}] spread {spread:.4f} ms > "
-                        f"{100 * rel_spread:.0f}% of {ms:.4f} ms; re-measuring")
+                    log(f"  [{label}] {len(estimates)} usable estimates, "
+                        f"spread {spread:.4f} ms vs {ms:.4f} ms; re-measuring")
                 one_estimate(n_independent + extra)
-                ms, spread = _best_cluster(estimates, n_independent)
+                ms, spread = cluster()
                 extra += 1
             info = {
                 "reps_ms": [round(e, 6) for e in estimates],
@@ -152,12 +165,19 @@ def chain_time(step_fn, q0, T: int, reps: int = 7, n_independent: int = 2,
                 "chain_diff_ms": round(float(np.median(diffs)), 3),
                 "first_call_ms": round(first_call_ms, 1),
             }
+            warnings = []
             if float(np.median(diffs)) < min_diff_ms:
-                info["noise_warning"] = "chain difference below noise floor"
-            if spread > rel_spread * ms:
-                info["noise_warning"] = (
+                warnings.append("chain difference below noise floor")
+            if len(estimates) < n_independent:
+                warnings.append(
+                    f"only {len(estimates)}/{n_independent} usable estimates"
+                    " (non-positive chain differences dropped)")
+            elif spread > rel_spread * ms:
+                warnings.append(
                     f"estimates still spread {spread:.4f} ms after "
                     f"{len(estimates)} independent measurements")
+            if warnings:
+                info["noise_warning"] = "; ".join(warnings)
             return ms, info
         if log is not None:
             log(f"  [{label}] chain diff {np.median(diffs):.2f} ms < "

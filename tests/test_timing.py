@@ -66,3 +66,43 @@ def test_best_cluster_rejects_transient():
     # A one-off 40x transport stall must not pollute the reported value.
     ms, spread = _best_cluster([0.39, 15.6, 0.41], 2)
     assert abs(ms - 0.40) < 0.02 and spread < 0.03
+
+
+def _scripted_chain_time(monkeypatch, timed_values, **kw):
+    """Run chain_time against a scripted sequence of _timed readings (pairs
+    consumed as t1, t2 per estimate) with the chain build/compile stubbed."""
+    from gato_tpu import timing
+
+    monkeypatch.setattr(timing, "_chain_fn",
+                        lambda step_fn, q0, length: (lambda q: 0.0))
+    vals = iter(timed_values)
+    monkeypatch.setattr(timing, "_timed",
+                        lambda chain, q0, rep: next(vals))
+    return timing.chain_time(lambda q0, lam, t: q0, jnp.zeros(()), T=2,
+                             reps=1, **kw)
+
+
+def test_chain_time_drops_corrupted_differences(monkeypatch):
+    """A transport stall can make a T-vs-2T difference non-positive; such an
+    estimate must be DROPPED and re-measured — floor-clamping it would let
+    two stalls form a fake zero-spread 'tightest cluster' of identical floor
+    values (the silent-corruption bug this pins)."""
+    # est0: 30-10 = 20 ms (good); est1: 48-50 = -2 ms (corrupted, dropped;
+    # gate median([20,-2]) = 9 >= 8 still passes); extra: 31-10 = 21 (good).
+    ms, info = _scripted_chain_time(
+        monkeypatch, [10.0, 30.0, 50.0, 48.0, 10.0, 31.0])
+    assert info["reps_ms"] == [10.0, 10.5]      # 20/T, 21/T with T=2
+    assert ms == 10.25                          # cluster median, no floor
+    assert "noise_warning" not in info
+
+
+def test_chain_time_warns_when_estimates_stay_corrupted(monkeypatch):
+    """If re-measurement cannot recover enough usable estimates, the result
+    must carry a noise warning instead of a silently-tiny clean-looking
+    number."""
+    # est0 good (diff 20), est1 + all 4 extras corrupted (diff -1 each).
+    vals = [10.0, 30.0, 50.0, 49.0] + [10.0, 9.0] * 4
+    ms, info = _scripted_chain_time(monkeypatch, vals)
+    assert info["reps_ms"] == [10.0]
+    assert ms == 10.0
+    assert "usable estimates" in info["noise_warning"]
