@@ -187,6 +187,17 @@ def fits_vmem(K: int, s: int, c: int) -> bool:
             and n_s <= _STREAM_MAX_CHUNKS)
 
 
+def should_dispatch(K: int, s: int, c: int) -> bool:
+    """True iff the long-horizon tier owns this shape under the 'pallas'
+    backend: past the resident PCG kernel's VMEM budget but within one of
+    the longk tiers.  The ONE definition of that boundary — solver dispatch
+    (single, batched) and the MPC sequence core all call this, so a tier
+    change cannot silently diverge between entry points."""
+    from .pcg_pallas import fits_vmem as _resident_fits
+
+    return not _resident_fits(K, s) and fits_vmem(K, s, c)
+
+
 # --------------------------------------------------------------------------
 # Condensation, gridded over lane chunks with a carry.
 
@@ -729,53 +740,35 @@ def _shift_left_lane(x):
     )
 
 
-def solve_longk_batched(
-    Q, R, A, B, q, r, c, lam0=None, *,
-    rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
-    preconditioner: str = "symmetric_stair",
-    interpret: bool = False, force_tier: "str | None" = None,
-    chunk_lanes: "int | None" = None,
-):
-    """Whole batched solve (condense + PCG + recover) for long horizons, all
-    stages in lane-packed Pallas kernels.
-
-    Args follow formats.KKTBlocks with a leading batch axis; returns
-    (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)) — the same
-    contract as fused_solve.solve_fused_batched, one tier up in K.
-
-    ``force_tier`` ('fused_xl' | 'xl' | 'stream') and ``chunk_lanes`` exist
-    for tests:
-    production calls leave them None and get the fits_xl decision and the
-    budget-derived chunk width.
-    """
-    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
-        raise ValueError(
-            f"unknown preconditioner {preconditioner!r}; valid: "
-            "'symmetric_stair', 'block_jacobi', 'jacobi'"
-        )
-    Bn, K, s, _ = Q.shape
-    cdim = R.shape[-1]
-    dt = q.dtype
+def _plan_dispatch(K: int, s: int, cdim: int, force_tier, chunk_lanes):
+    """Static (trace-time) part of a longk solve: the chunking plan, the
+    tier choice, and the stream regrouping — shared by the one-shot and
+    sequence entry points so both dispatch identically."""
     plan = plan_longk(K, s, cdim)
     sp, Kp, Lc, n_chunks = plan
     if chunk_lanes is not None:
         Lc = chunk_lanes
         n_chunks = -(-_round_up(K, _LANE) // Lc)
         Kp = Lc * n_chunks
-    interpret = interpret or jax.default_backend() != "tpu"
-
-    if lam0 is None:
-        lam0 = jnp.zeros_like(q)
-
-    pm = functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
-    pv = functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
-    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
-    qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
-
     tier = force_tier or (
         "fused_xl" if fits_fused_xl(K, s, cdim)
         else "xl" if fits_xl(K, s, cdim) else "stream"
     )
+    if chunk_lanes is not None:      # tests pin the chunking exactly
+        stream = (Lc, n_chunks)
+    else:
+        stream = _stream_chunks(Kp, Lc, n_chunks, s, sp)
+    return sp, Kp, Lc, n_chunks, tier, stream
+
+
+def _solve_longk_packed(
+    Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters, *,
+    s, cdim, sp, Kp, Lc, n_chunks, tier, stream, poly_degree,
+    preconditioner, interpret,
+):
+    """Tier dispatch + recovery on PRE-PACKED (B, ·, sp, Kp) arrays; returns
+    packed (lamb, dzxb, dzub, iters, conv, eta).  The seam that lets the
+    sequence entry point keep its lambda carry in the packed layout."""
     if tier == "fused_xl":
         lamb, iters, conv, eta, Qinvb, Rinvb = _fused_xl_call(
             rho, Qb, Rb, Ab, Bb, qb, rb, cb, lb, exit_tol, max_iters,
@@ -803,10 +796,7 @@ def solve_longk_batched(
                 interpret=interpret,
             )
         else:
-            if chunk_lanes is not None:   # tests pin the chunking exactly
-                Lc_s, n_s = Lc, n_chunks
-            else:
-                Lc_s, n_s = _stream_chunks(Kp, Lc, n_chunks, s, sp)
+            Lc_s, n_s = stream
             lamb, iters, conv, eta = _pcg_stream_call(
                 Sb, Pb, gamb, lb, exit_tol, max_iters,
                 s=s, sp=sp, Kp=Kp, Lc=Lc_s, n_chunks=n_s,
@@ -818,6 +808,53 @@ def solve_longk_batched(
         Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb,
         s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
         interpret=interpret,
+    )
+    return lamb, dzxb, dzub, iters, conv, eta
+
+
+def solve_longk_batched(
+    Q, R, A, B, q, r, c, lam0=None, *,
+    rho=0.0, exit_tol=1e-6, max_iters=100, poly_degree: int = 1,
+    preconditioner: str = "symmetric_stair",
+    interpret: bool = False, force_tier: "str | None" = None,
+    chunk_lanes: "int | None" = None,
+):
+    """Whole batched solve (condense + PCG + recover) for long horizons, all
+    stages in lane-packed Pallas kernels.
+
+    Args follow formats.KKTBlocks with a leading batch axis; returns
+    (PCGResult with batch axis, dz_x (B,K,s), dz_u (B,K-1,c)) — the same
+    contract as fused_solve.solve_fused_batched, one tier up in K.
+
+    ``force_tier`` ('fused_xl' | 'xl' | 'stream') and ``chunk_lanes`` exist
+    for tests:
+    production calls leave them None and get the fits_xl decision and the
+    budget-derived chunk width.
+    """
+    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {preconditioner!r}; valid: "
+            "'symmetric_stair', 'block_jacobi', 'jacobi'"
+        )
+    Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    sp, Kp, Lc, n_chunks, tier, stream = _plan_dispatch(
+        K, s, cdim, force_tier, chunk_lanes)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q)
+
+    pm = functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
+    qb, rb, cb, lb = pv(q), pv(r), pv(c), pv(lam0)
+
+    lamb, dzxb, dzub, iters, conv, eta = _solve_longk_packed(
+        Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters,
+        s=s, cdim=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks, tier=tier,
+        stream=stream, poly_degree=poly_degree,
+        preconditioner=preconditioner, interpret=interpret,
     )
 
     lam = _unpack_vec(lamb, Bn, K, s, Kp, 1)
@@ -831,6 +868,70 @@ def solve_longk_batched(
         eta=eta[:, 0, 0],
     )
     return res, dz_x, dz_u
+
+
+def solve_longk_sequence_batched(
+    Q, R, A, B, q, r, c,           # leading (T, B) axes on every array
+    lam0, rhos, exit_tol, max_iters, *,
+    poly_degree: int = 1, preconditioner: str = "symmetric_stair",
+    interpret: bool = False,
+):
+    """T dependent warm-started LONG-HORIZON solves over a batch of B
+    problems in lockstep — the longk analog of
+    fused_solve.solve_fused_sequence_batched, with the same relayout
+    hoisting: all T steps' inputs are packed into the lane layout in one
+    vectorized pass BEFORE the scan, the lambda carry stays packed between
+    steps (pack/unpack are exact permutations plus zero padding, so the
+    carried values are bit-identical to an unpack->repack round trip), and
+    outputs unpack once after the scan.  Without this, a long-K MPC
+    sequence would pay the (B, K>=1024, s, s) pack transposes on every
+    sequential step (the exact cost the fused sequence path hoists).
+
+    Returns (lam (T,B,K,s), dz_x (T,B,K,s), dz_u (T,B,K-1,c), iters (T,B),
+    conv (T,B), eta (T,B)) — the solve_fused_sequence_batched contract."""
+    if preconditioner not in ("symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {preconditioner!r}; valid: "
+            "'symmetric_stair', 'block_jacobi', 'jacobi'"
+        )
+    T, Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    sp, Kp, Lc, n_chunks, tier, stream = _plan_dispatch(
+        K, s, cdim, None, None)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pm = jax.vmap(functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp,
+                                    n_groups=Bn, sp=sp))
+    pv = jax.vmap(functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp,
+                                    n_groups=Bn, sp=sp))
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)   # (T, Bn, ncols, sp, Kp)
+    qb, rb, cb = pv(q), pv(r), pv(c)              # (T, Bn, sp, Kp)
+    lb0 = _pack_vec(lam0, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+
+    core = functools.partial(
+        _solve_longk_packed,
+        s=s, cdim=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks, tier=tier,
+        stream=stream, poly_degree=poly_degree,
+        preconditioner=preconditioner, interpret=interpret,
+    )
+
+    def step(lam_carry, xs):
+        Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
+        out = core(Qt, Rt, At, Bt, qt, rt, ct, lam_carry,
+                   rho_t, exit_tol, max_iters)
+        return out[0], out
+
+    _, (lamb, dzxb, dzub, iters, conv, eta) = jax.lax.scan(
+        step, lb0, (Qb, Rb, Ab, Bb, qb, rb, cb, rhos)
+    )
+
+    up = jax.vmap(lambda x, n: _unpack_vec(x, Bn, K, n, Kp, 1),
+                  in_axes=(0, None))
+    lam = up(lamb, s)                             # (T, B, K, s)
+    dz_x = up(dzxb, s)
+    dz_u = up(dzub, cdim)[:, :, : K - 1, :]
+    return (lam, dz_x, dz_u, iters[:, :, 0, 0], conv[:, :, 0, 0] != 0,
+            eta[:, :, 0, 0])
 
 
 def solve_longk(Q, R, A, B, q, r, c, lam0=None, **kw):

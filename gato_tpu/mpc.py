@@ -56,26 +56,26 @@ def _solve_sequence_batched_core(
         return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
                            converged=conv, eta=eta)
 
+    if pcg_backend == "pallas":
+        from .kernels import longk
+
+        if longk.should_dispatch(q.shape[2], q.shape[3], r.shape[3]):
+            # Long-horizon whole-solve tier, warm-started like every other
+            # backend — with the relayouts HOISTED out of the sequential
+            # chain (pack all T steps before the scan, carry lambda packed),
+            # exactly as the fused branch above does; a per-step
+            # solve_longk_batched would repack (B, K>=1024, s, s) blocks on
+            # every step of the scan.
+            out = longk.solve_longk_sequence_batched(
+                Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters,
+                poly_degree=poly_degree, preconditioner=preconditioner.value,
+            )
+            lam, dz_x, dz_u, iters, conv, eta = out
+            return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=iters,
+                               converged=conv, eta=eta)
+
     def step(lam_carry, xs):
         Qt, Rt, At, Bt, qt, rt, ct, rho_t = xs
-        if pcg_backend == "pallas":
-            from .kernels import longk, pcg_pallas
-
-            if (not pcg_pallas.fits_vmem(qt.shape[1], qt.shape[2])
-                    and longk.fits_vmem(qt.shape[1], qt.shape[2],
-                                        rt.shape[2])):
-                # Long-horizon whole-solve tier per step (kernels/longk.py),
-                # warm-started from the carry like every other backend.
-                res, dz_x, dz_u = longk.solve_longk_batched(
-                    Qt, Rt, At, Bt, qt, rt, ct, lam_carry,
-                    rho=rho_t, exit_tol=exit_tol, max_iters=max_iters,
-                    poly_degree=poly_degree,
-                    preconditioner=preconditioner.value,
-                )
-                out = SolveResult(lam=res.lam, dz_x=dz_x, dz_u=dz_u,
-                                  iters=res.iters, converged=res.converged,
-                                  eta=res.eta)
-                return res.lam, out
         sys = jax.vmap(
             lambda *a: assemble.condense(*a, rho_t, preconditioner)
         )(Qt, Rt, At, Bt, qt, rt, ct)

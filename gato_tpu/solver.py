@@ -113,10 +113,9 @@ def _solve_core(
             eta=res.eta[0],
         )
     if pcg_backend == "pallas" and method == "pcg":
-        from .kernels import longk, pcg_pallas
+        from .kernels import longk
 
-        if (not pcg_pallas.fits_vmem(q.shape[0], q.shape[1])
-                and longk.fits_vmem(q.shape[0], q.shape[1], r.shape[1])):
+        if longk.should_dispatch(q.shape[0], q.shape[1], r.shape[1]):
             # Long-horizon whole-solve tier: condensation, the PCG loop
             # (single-kernel condense+PCG / resident-XL / HBM-streamed per
             # fits_fused_xl/fits_xl), and recovery all in lane-packed
@@ -376,10 +375,9 @@ def _solve_batched_core(
             iters=res.iters, converged=res.converged, eta=res.eta,
         )
     if pcg_backend == "pallas" and method == "pcg":
-        from .kernels import longk, pcg_pallas
+        from .kernels import longk
 
-        if (not pcg_pallas.fits_vmem(q.shape[1], q.shape[2])
-                and longk.fits_vmem(q.shape[1], q.shape[2], r.shape[2])):
+        if longk.should_dispatch(q.shape[1], q.shape[2], r.shape[2]):
             # Long-horizon whole-solve tier (see _solve_core).
             res, dz_x, dz_u = longk.solve_longk_batched(
                 Q, R, A, B, q, r, c, lam0,

@@ -319,18 +319,21 @@ def test_longk_dispatch_small_forced(monkeypatch):
 
 
 def test_sequence_longk_dispatch_small_forced(monkeypatch):
-    """solve_sequence's per-step long-horizon routing, at small size (the
-    genuine K=1024 sequence carries @slow)."""
+    """solve_sequence's long-horizon routing, at small size (the genuine
+    K=1024 sequence carries @slow).  The MPC core must reach the HOISTED
+    sequence entry point (inputs packed once before the scan, lambda carried
+    packed — longk.solve_longk_sequence_batched), not a per-step
+    solve_longk_batched that would repack every scan step."""
     from gato_tpu.kernels import longk, pcg_pallas
 
     calls = {}
-    orig = longk.solve_longk_batched
+    orig = longk.solve_longk_sequence_batched
 
     def spy(*a, **kw):
-        calls["longk"] = True
+        calls["longk_seq"] = True
         return orig(*a, **kw)
 
-    monkeypatch.setattr(longk, "solve_longk_batched", spy)
+    monkeypatch.setattr(longk, "solve_longk_sequence_batched", spy)
     monkeypatch.setattr(pcg_pallas, "fits_vmem", lambda K, s: False)
     spec = ProblemSpec(3, 2, 48)
     seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (2,) + a.shape)
@@ -338,7 +341,8 @@ def test_sequence_longk_dispatch_small_forced(monkeypatch):
     opts = SolverOptions(rho=0.01, exit_tol=1e-8, max_iters=300)
     ref = solve_sequence(spec, seq, opts, pcg_backend="jax")
     got = solve_sequence(spec, seq, opts, pcg_backend="pallas")
-    assert calls.get("longk"), "sequence step did not reach the longk tier"
+    assert calls.get("longk_seq"), (
+        "sequence did not reach the hoisted longk tier")
     np.testing.assert_array_equal(np.asarray(got.iters),
                                   np.asarray(ref.iters))
     np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),

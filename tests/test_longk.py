@@ -152,3 +152,35 @@ def test_fits_tiers_are_ordered():
     assert not longk.fits_xl(4096, s, c)
     assert longk.fits_vmem(4096, s, c)
     assert not longk.fits_vmem(65536, s, c)
+
+
+def test_sequence_packed_carry_matches_per_step_loop():
+    """solve_longk_sequence_batched (inputs packed once, lambda carried in
+    the packed lane layout) must reproduce a per-step solve_longk_batched
+    loop EXACTLY: pack/unpack are pure permutations plus zero padding, so
+    the hoisted-relayout chain is the same computation, not an
+    approximation."""
+    T, Bn = 3, 2
+    pro = [random_blocks(SPEC, seed=60 + b) for b in range(Bn)]
+    base = [jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]),
+                        jnp.float32) for f in range(7)]
+    drift = jnp.asarray(1.0 + 0.02 * np.arange(T), jnp.float32)
+    seq = [a[None] * drift.reshape((T,) + (1,) * a.ndim) for a in base]
+    K, s = SPEC.knot_points, SPEC.state_size
+    lam0 = jnp.zeros((Bn, K, s), jnp.float32)
+    rhos = jnp.full((T,), RHO, jnp.float32)
+
+    lam, dz_x, dz_u, iters, conv, eta = longk.solve_longk_sequence_batched(
+        *seq, lam0, rhos, 1e-8, 300)
+
+    carry = lam0
+    for t in range(T):
+        res_t, dzx_t, dzu_t = longk.solve_longk_batched(
+            *(a[t] for a in seq), carry, rho=RHO, exit_tol=1e-8,
+            max_iters=300)
+        carry = res_t.lam
+        assert [int(x) for x in iters[t]] == [int(x) for x in res_t.iters]
+        assert float(jnp.max(jnp.abs(lam[t] - res_t.lam))) == 0.0
+        assert float(jnp.max(jnp.abs(dz_x[t] - dzx_t))) == 0.0
+        assert float(jnp.max(jnp.abs(dz_u[t] - dzu_t))) == 0.0
+    assert bool(jnp.all(conv))
