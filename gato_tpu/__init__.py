@@ -7,6 +7,8 @@ block-tridiagonal Schur complement of a trajectory-optimization KKT system).
 Public surface:
   * :func:`linsys_solve`  — reference-identical entry point (lists in/out)
   * :func:`solve`, :func:`solve_batched` — idiomatic structured API
+  * :func:`pack`, :func:`solve_packed` — packed-input serving API (relayout
+    amortized across calls; :mod:`gato_tpu.packed`)
   * :class:`ProblemSpec`, :class:`SolverOptions`, :class:`Preconditioner`
   * :mod:`gato_tpu.formats` — CSR ingestion / block packing
   * :mod:`gato_tpu.kernels` — fused Pallas TPU kernels (perf tier)
@@ -18,6 +20,7 @@ from .diff import kkt_solve
 from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt, pack_kkt_sparse
 from .mpc import solve_sequence, solve_sequence_batched
+from .packed import PackedKKT, PackedSolveResult, pack, solve_packed, update_vectors
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, solve, solve_batched
 
@@ -30,6 +33,11 @@ __all__ = [
     "solve_batched",
     "solve_sequence",
     "solve_sequence_batched",
+    "pack",
+    "solve_packed",
+    "update_vectors",
+    "PackedKKT",
+    "PackedSolveResult",
     "btd_solve",
     "kkt_solve",
     "SolveResult",

@@ -241,35 +241,15 @@ def _direct_kernel(
                                       gnorm_out.shape)
 
 
-def solve_direct_fused_batched(
-    Q, R, A, B, q, r, c, *,
-    rho=0.0, interpret: bool = False, input_dma=None,
-):
-    """Whole batched DIRECT solve (condense + cyclic reduction + recover) in
-    fused TPU kernels.
-
-    Args follow formats.KKTBlocks with a leading batch axis.  Returns
-    (PCGResult with batch axis — iters = 0, eta = squared true residual,
-    converged derived from eta (direct.residual_converged) — , dz_x (B,K,s),
-    dz_u (B,K-1,c)), matching the contract of the XLA direct path
-    (solver._direct_result).
-
-    ``input_dma`` selects how inputs reach VMEM (None = auto, exactly as
-    fused_solve._call_fused: manual single-buffered DMA whenever VMEM
-    pressure exists, pipeline blocks otherwise); both paths wrap the same
-    kernel body and are bit-identical (tests pin this)."""
-    Bn, K, s, _ = Q.shape
-    cdim = R.shape[-1]
-    dt = q.dtype
-    K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
-    interpret = interpret or jax.default_backend() != "tpu"
-
-    pm = functools.partial(_pack_mat, K_sub=K_sub, g=g, L=L,
-                           n_groups=n_groups, sp=sp)
-    pv = functools.partial(_pack_vec, K_sub=K_sub, g=g, L=L,
-                           n_groups=n_groups, sp=sp)
-    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
-    qb, rb, cb = pv(q), pv(r), pv(c)
+def _call_direct(rho, Qb, Rb, Ab, Bb, qb, rb, cb, *,
+                 s, c, K_sub, g, L, sp, n_groups, flops_scale,
+                 interpret, input_dma=None):
+    """Invoke the direct kernel on pre-packed arrays; returns packed outputs
+    (lam_p, dzx_p, dzu_p, eta, gnorm) — the direct analog of
+    fused_solve._call_fused, shared by :func:`solve_direct_fused_batched`
+    and the packed serving API (gato_tpu.packed)."""
+    dt = qb.dtype
+    cdim = c
 
     vec_spec = pl.BlockSpec((1, sp, L), lambda i: (i, 0, 0),
                             memory_space=pltpu.VMEM)
@@ -329,12 +309,12 @@ def solve_direct_fused_batched(
         scratch_shapes = []
 
     cost = pl.CostEstimate(
-        flops=int(Bn * K * s * s * (20 * s + 40)),
+        flops=int(flops_scale * s * s * (20 * s + 40)),
         bytes_accessed=int((Qb.size + Rb.size + Ab.size + Bb.size) * 4),
         transcendentals=0,
     )
 
-    lam_p, dzx_p, dzu_p, eta, gnorm = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         grid=(n_groups,),
         out_shape=(
@@ -352,6 +332,42 @@ def solve_direct_fused_batched(
     )(
         jnp.asarray(rho, dt).reshape(1),
         Qb, Rb, Ab, Bb, qb, rb, cb,
+    )
+
+
+def solve_direct_fused_batched(
+    Q, R, A, B, q, r, c, *,
+    rho=0.0, interpret: bool = False, input_dma=None,
+):
+    """Whole batched DIRECT solve (condense + cyclic reduction + recover) in
+    fused TPU kernels.
+
+    Args follow formats.KKTBlocks with a leading batch axis.  Returns
+    (PCGResult with batch axis — iters = 0, eta = squared true residual,
+    converged derived from eta (direct.residual_converged) — , dz_x (B,K,s),
+    dz_u (B,K-1,c)), matching the contract of the XLA direct path
+    (solver._direct_result).
+
+    ``input_dma`` selects how inputs reach VMEM (None = auto, exactly as
+    fused_solve._call_fused: manual single-buffered DMA whenever VMEM
+    pressure exists, pipeline blocks otherwise); both paths wrap the same
+    kernel body and are bit-identical (tests pin this)."""
+    Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    K_sub, g, L, n_groups, sp = plan_packing(Bn, K, s, cdim)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pm = functools.partial(_pack_mat, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=K_sub, g=g, L=L,
+                           n_groups=n_groups, sp=sp)
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
+    qb, rb, cb = pv(q), pv(r), pv(c)
+
+    lam_p, dzx_p, dzu_p, eta, gnorm = _call_direct(
+        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+        s=s, c=cdim, K_sub=K_sub, g=g, L=L, sp=sp, n_groups=n_groups,
+        flops_scale=Bn * K, interpret=interpret, input_dma=input_dma,
     )
 
     lam = _unpack_vec(lam_p, Bn, K, s, K_sub, g)

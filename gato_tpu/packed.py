@@ -1,0 +1,374 @@
+"""Packed-input serving API: pay the kernel-layout relayout once, not per call.
+
+The fused whole-solve kernels consume inputs in the lane-packed column-stack
+layout (kernels/fused_solve.py module docstring: every per-knot matrix stored
+as a stack of its columns over knot lanes).  ``solve``/``solve_batched``
+relayout the public ``(B, K, s, s)`` blocks into that form on EVERY call —
+XLA transposes that are pure overhead when the same arrays are solved again
+(rho/tolerance sweeps, repeated serving of a fixed linearization) or when
+only the small right-hand-side vectors change between calls (MPC tracking
+with frozen dynamics).  bench.py's ``bench_fused_split`` measures exactly
+this split (``surface_overhead_ms`` vs ``kernel_only_ms``) on device.
+
+This module makes the packed form a first-class, reusable value:
+
+    packed = pack(spec, blocks)                    # relayout once
+    res = solve_packed(packed, options)            # kernel-dispatch only
+    packed = update_vectors(packed, q, r, c)       # repack ONLY the rhs
+    res = solve_packed(packed, options, lam0=res.lam_packed)   # warm start
+                                                   # carried packed
+
+``solve_packed`` returns a :class:`PackedSolveResult` whose trajectory
+outputs stay in kernel layout; ``.unpack()`` converts to the public
+:class:`~gato_tpu.solver.SolveResult` shapes, and ``.lam_packed`` feeds the
+next call's warm start with no unpack->repack on the serving path (the same
+hoisting the MPC farm applies inside its scan,
+fused_solve.solve_fused_sequence_batched — here exposed across host calls).
+
+No reference equivalent: the CUDA solver re-runs its CSR->custom conversion
+per ``linsys_solve`` call and keeps inputs device-resident only inside the
+one-call testiters loop (/root/reference/gpu_library.cu:140-157).
+
+Scope: the fused (VMEM-resident) kernel tiers only — method='pcg' (PCG
+kernel) and method='direct' (cyclic-reduction kernel), float32.  Horizons
+over the fused VMEM budget raise at :func:`pack` time (use the 'pallas'
+long-horizon tier through the standard API; its per-call cost is dominated
+by the solve itself, not the relayout).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from .formats import KKTBlocks
+from .pcg import PCGResult
+from .problem import ProblemSpec, SolverOptions
+from .solver import SolveResult, _cached_const
+from .kernels import direct_fused, fused_solve
+from .kernels.fused_solve import _pack_mat, _pack_vec, _unpack_vec
+
+
+class PackPlan(NamedTuple):
+    """Static description of a packed layout (hashable: jit-static metadata).
+
+    ``method`` records which kernel family the plan was sized for — the PCG
+    ('pcg') and cyclic-reduction ('direct') kernels hold different working
+    sets, so their VMEM budgets (and hence g/L packing) can differ; a packed
+    value is only valid for the kernel it was planned against.
+    ``batched`` records whether the caller supplied a leading batch axis
+    (``unpack`` restores the caller's shape convention)."""
+
+    method: str      # 'pcg' | 'direct'
+    batched: bool    # caller passed (B, K, ...) rather than (K, ...)
+    batch: int       # number of problems packed (1 when not batched)
+    K: int
+    s: int
+    c: int
+    K_sub: int
+    g: int
+    L: int
+    n_groups: int
+    sp: int
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Qb", "Rb", "Ab", "Bb", "qb", "rb", "cb"],
+    meta_fields=["plan"],
+)
+@dataclasses.dataclass(frozen=True)
+class PackedKKT:
+    """KKT blocks in the fused kernels' lane-packed layout.
+
+    Matrices are ``(n_groups, n_cols, sp, L)``, vectors ``(n_groups, sp, L)``
+    (fused_solve._pack_mat/_pack_vec).  A pytree whose structure carries the
+    static :class:`PackPlan` — passing a PackedKKT through ``jax.jit``
+    re-specializes on layout changes automatically."""
+
+    Qb: jnp.ndarray
+    Rb: jnp.ndarray
+    Ab: jnp.ndarray
+    Bb: jnp.ndarray
+    qb: jnp.ndarray
+    rb: jnp.ndarray
+    cb: jnp.ndarray
+    plan: PackPlan
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lam_p", "dzx_p", "dzu_p", "iters", "converged", "eta"],
+    meta_fields=["plan"],
+)
+@dataclasses.dataclass(frozen=True)
+class PackedSolveResult:
+    """Solve outputs with trajectory arrays still in kernel layout.
+
+    ``iters``/``converged``/``eta`` are already per-problem ``(B,)`` arrays
+    (scalars after ``unpack`` when the pack was unbatched); ``lam_p`` /
+    ``dzx_p`` / ``dzu_p`` are packed ``(n_groups, sp, L)``."""
+
+    lam_p: jnp.ndarray
+    dzx_p: jnp.ndarray
+    dzu_p: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    eta: jnp.ndarray
+    plan: PackPlan
+
+    @property
+    def lam_packed(self) -> jnp.ndarray:
+        """Multipliers in kernel layout — feed as ``solve_packed(lam0=...)``
+        to warm-start the next solve with zero relayout on the carry."""
+        return self.lam_p
+
+    def unpack(self) -> SolveResult:
+        """Convert to public SolveResult shapes ((B, K, s) batched,
+        (K, s) otherwise)."""
+        return _unpack_result(self)
+
+
+def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
+              batched: bool) -> PackPlan:
+    mod = direct_fused if method == "direct" else fused_solve
+    K_sub, g, L, n_groups, sp = mod.plan_packing(Bn, K, s, c)
+    return PackPlan(method=method, batched=batched, batch=Bn, K=K, s=s, c=c,
+                    K_sub=K_sub, g=g, L=L, n_groups=n_groups, sp=sp)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _pack_all(Q, R, A, B, q, r, c, *, plan: PackPlan):
+    pm = functools.partial(_pack_mat, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+    pv = functools.partial(_pack_vec, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+    return pm(Q), pm(R), pm(A), pm(B), pv(q), pv(r), pv(c)
+
+
+@functools.partial(jax.jit, static_argnames=("plan",))
+def _pack_vectors(q, r, c, *, plan: PackPlan):
+    pv = functools.partial(_pack_vec, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+    return pv(q), pv(r), pv(c)
+
+
+def pack(
+    spec: ProblemSpec,
+    blocks: KKTBlocks,
+    *,
+    method: str = "pcg",
+) -> PackedKKT:
+    """Relayout KKT blocks into the fused kernels' lane-packed form.
+
+    Args:
+      spec: static problem shape (consistency-checked against ``blocks``).
+      blocks: packed KKT data (formats.pack_kkt), with or without a leading
+        batch axis (``Q.ndim == 4`` means batched).
+      method: 'pcg' | 'direct' — which fused kernel the layout is sized for
+        (their VMEM budgets differ; ``solve_packed`` enforces the match).
+
+    Raises ValueError when the horizon exceeds the chosen kernel's VMEM
+    budget (those regimes run the 'pallas' long-horizon tier through the
+    standard ``solve`` API, where relayout is not the dominant cost) or when
+    the blocks are not float32 (the Mosaic kernels lower float32 only).
+    """
+    if method not in ("pcg", "direct"):
+        raise ValueError(f"unknown method {method!r}; valid: 'pcg', 'direct'")
+    b = KKTBlocks(*(jnp.asarray(a) for a in blocks))
+    if any(jnp.dtype(a.dtype) != jnp.float32 for a in b):
+        raise ValueError(
+            "pack() feeds float32-only Mosaic kernels; cast the blocks to "
+            "float32 (f64 compute runs the pure-XLA path via solve())"
+        )
+    batched = b.Q.ndim == 4
+    if not batched:
+        b = KKTBlocks(*(a[None] for a in b))
+    Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
+    cdim = b.R.shape[-1]
+    if (K, s, cdim) != (spec.knot_points, spec.state_size, spec.control_size):
+        raise ValueError(
+            f"blocks shapes {b.Q.shape}/{b.R.shape} do not match {spec}")
+    plan = _plan_for(method, Bn, K, s, cdim, batched)
+    Qb, Rb, Ab, Bb, qb, rb, cb = _pack_all(*b, plan=plan)
+    return PackedKKT(Qb=Qb, Rb=Rb, Ab=Ab, Bb=Bb, qb=qb, rb=rb, cb=cb,
+                     plan=plan)
+
+
+def update_vectors(packed: PackedKKT, q, r, c) -> PackedKKT:
+    """Return a PackedKKT with fresh rhs vectors (q, r, c) and the SAME
+    matrices — the cheap refresh for serving a frozen linearization: the
+    three ``(B, K, n)`` vector relayouts cost O(s) per knot where the full
+    pack pays O(s^2) per knot for the four matrix stacks."""
+    plan = packed.plan
+    q, r, c = (jnp.asarray(x, jnp.float32) for x in (q, r, c))
+    if not plan.batched:
+        q, r, c = q[None], r[None], c[None]
+    expect = {
+        "q": (plan.batch, plan.K, plan.s),
+        "r": (plan.batch, plan.K - 1, plan.c),
+        "c": (plan.batch, plan.K, plan.s),
+    }
+    for name, arr in (("q", q), ("r", r), ("c", c)):
+        if arr.shape != expect[name]:
+            batched_note = "" if plan.batched else " (unbatched pack)"
+            raise ValueError(
+                f"{name} shape {arr.shape} does not match the packed plan's "
+                f"{expect[name]}{batched_note}")
+    qb, rb, cb = _pack_vectors(q, r, c, plan=plan)
+    return dataclasses.replace(packed, qb=qb, rb=rb, cb=cb)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "precond", "poly_degree", "interpret", "unroll"),
+)
+def _solve_packed_pcg(
+    Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters, *,
+    plan: PackPlan, precond: str, poly_degree: int, interpret: bool,
+    unroll: int,
+):
+    lam_p, dzx_p, dzu_p, iters, conv, eta = fused_solve._call_fused(
+        rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+        s=plan.s, c=plan.c, K_sub=plan.K_sub, g=plan.g, L=plan.L, sp=plan.sp,
+        n_groups=plan.n_groups, flops_scale=plan.batch * plan.K,
+        poly_degree=poly_degree, precond=precond, interpret=interpret,
+        unroll=unroll,
+    )
+    per = functools.partial(_per_problem, plan=plan)
+    return PackedSolveResult(
+        lam_p=lam_p, dzx_p=dzx_p, dzu_p=dzu_p,
+        iters=per(iters), converged=per(conv) != 0, eta=per(eta), plan=plan,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def _solve_packed_direct(
+    Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
+):
+    from .direct import residual_converged
+
+    lam_p, dzx_p, dzu_p, eta, gnorm = direct_fused._call_direct(
+        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+        s=plan.s, c=plan.c, K_sub=plan.K_sub, g=plan.g, L=plan.L, sp=plan.sp,
+        n_groups=plan.n_groups, flops_scale=plan.batch * plan.K,
+        interpret=interpret,
+    )
+    per = functools.partial(_per_problem, plan=plan)
+    eta_b = per(eta)
+    return PackedSolveResult(
+        lam_p=lam_p, dzx_p=dzx_p, dzu_p=dzu_p,
+        iters=jnp.zeros((plan.batch,), jnp.int32),
+        converged=residual_converged(eta_b, per(gnorm)),
+        eta=eta_b, plan=plan,
+    )
+
+
+def _per_problem(x, *, plan: PackPlan):
+    """(n_groups, sublanes, L) aux output -> (B,) per-problem values (lane 0
+    of each problem's segment; same extraction as solve_fused_batched)."""
+    v = x[:, 0, : plan.g * plan.K_sub]
+    v = v.reshape(plan.n_groups * plan.g, plan.K_sub)
+    return v[: plan.batch, 0]
+
+
+@jax.jit
+def _unpack_result(res: PackedSolveResult) -> SolveResult:
+    # ``plan`` rides in the pytree's static metadata (a meta field of the
+    # registered dataclass), so the jit cache keys on it automatically.
+    plan = res.plan
+    up = functools.partial(_unpack_vec, B=plan.batch, K=plan.K,
+                           K_sub=plan.K_sub, g=plan.g)
+    lam = up(res.lam_p, n=plan.s)
+    dz_x = up(res.dzx_p, n=plan.s)
+    dz_u = up(res.dzu_p, n=plan.c)[:, : plan.K - 1, :]
+    if not plan.batched:
+        return SolveResult(lam=lam[0], dz_x=dz_x[0], dz_u=dz_u[0],
+                           iters=res.iters[0], converged=res.converged[0],
+                           eta=res.eta[0])
+    return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=res.iters,
+                       converged=res.converged, eta=res.eta)
+
+
+def solve_packed(
+    packed: PackedKKT,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+) -> PackedSolveResult:
+    """Solve from pre-packed inputs — the fused kernel dispatch with zero
+    public-surface relayout on the critical path.
+
+    Args:
+      packed: a :class:`PackedKKT` from :func:`pack` / :func:`update_vectors`.
+      options: runtime options; ``options.method`` must match the method the
+        layout was planned for (mismatches raise — never silently repack).
+      lam0: optional warm start — either a packed ``(n_groups, sp, L)`` carry
+        (``PackedSolveResult.lam_packed``: zero relayout) or a public
+        ``(B, K, s)`` / ``(K, s)`` array (packed here once).  Like the MPC
+        sequence APIs, a supplied ``lam0`` is USED regardless of
+        ``options.warm_start`` — chaining is the point of this API.
+
+    Returns a :class:`PackedSolveResult`; call ``.unpack()`` for public
+    shapes.
+    """
+    plan = packed.plan
+    if options.method != plan.method:
+        raise ValueError(
+            f"this PackedKKT was packed for method={plan.method!r}; "
+            f"options request method={options.method!r} — repack with "
+            f"pack(..., method={options.method!r}) (the kernels' VMEM plans "
+            "differ, so packed values are not interchangeable)"
+        )
+    if jnp.dtype(options.dtype) != jnp.float32:
+        raise ValueError(
+            "solve_packed runs float32-only Mosaic kernels; dtype="
+            f"{options.dtype!r} needs the standard solve() API"
+        )
+    interpret = jax.default_backend() != "tpu"
+    dt = jnp.float32
+    rho = _cached_const(options.rho, dt)
+
+    if plan.method == "direct":
+        return _solve_packed_direct(
+            packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+            packed.qb, packed.rb, packed.cb, rho,
+            plan=plan, interpret=interpret,
+        )
+
+    if options.preconditioner.value not in (
+            "symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {options.preconditioner!r}")
+    if lam0 is None:
+        lb = _cached_const(0, dt, (plan.n_groups, plan.sp, plan.L))
+    else:
+        lam0 = jnp.asarray(lam0, dt)
+        if lam0.shape == (plan.n_groups, plan.sp, plan.L):
+            lb = lam0  # already packed (a previous solve's carry)
+        else:
+            if not plan.batched:
+                lam0 = lam0.reshape(1, plan.K, plan.s)
+            if lam0.shape != (plan.batch, plan.K, plan.s):
+                raise ValueError(
+                    f"lam0 shape {lam0.shape} is neither the packed carry "
+                    f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
+                    f"{(plan.batch, plan.K, plan.s)}")
+            lb = _pack_vec(lam0, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+    # Same unroll policy as solve_fused_batched (measured on v5e: while-trip
+    # overhead only dominates at g=1).
+    unroll = 4 if plan.g == 1 else 1
+    return _solve_packed_pcg(
+        packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+        packed.qb, packed.rb, packed.cb, lb,
+        rho,
+        _cached_const(options.exit_tol, dt),
+        _cached_const(options.max_iters, jnp.int32),
+        plan=plan, precond=options.preconditioner.value,
+        poly_degree=options.precond_poly_degree, interpret=interpret,
+        unroll=unroll,
+    )

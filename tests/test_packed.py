@@ -1,0 +1,133 @@
+"""Packed-input serving API (gato_tpu.packed) vs the standard surface.
+
+The packed path invokes the SAME kernels on the SAME packed arrays as
+solve/solve_batched — so outputs must be bit-identical, not merely close
+(interpret mode on CPU; the on-device analog rides bench.py's parity gate
+through the standard API the packed path shares kernels with)."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gato_tpu import ProblemSpec, SolverOptions
+from gato_tpu import packed as pk
+from gato_tpu.formats import KKTBlocks
+from gato_tpu.solver import solve, solve_batched
+from gato_tpu.testing import random_blocks
+
+SPEC = ProblemSpec(3, 2, 10)
+OPTS = SolverOptions(rho=1e-3, exit_tol=1e-10, max_iters=300)
+
+
+def _stack(spec, n, seed0=0):
+    problems = [random_blocks(spec, seed=seed0 + i) for i in range(n)]
+    return problems, KKTBlocks(*(jnp.asarray(np.stack(
+        [np.asarray(p[f]) for p in problems])) for f in range(7)))
+
+
+def _assert_same(res, ref):
+    np.testing.assert_array_equal(np.asarray(res.iters), np.asarray(ref.iters))
+    np.testing.assert_array_equal(np.asarray(res.lam), np.asarray(ref.lam))
+    np.testing.assert_array_equal(np.asarray(res.dz_x), np.asarray(ref.dz_x))
+    np.testing.assert_array_equal(np.asarray(res.dz_u), np.asarray(ref.dz_u))
+    np.testing.assert_array_equal(np.asarray(res.converged),
+                                  np.asarray(ref.converged))
+
+
+@pytest.mark.parametrize("method", ["pcg", "direct"])
+def test_packed_matches_fused_batched(method):
+    _, bb = _stack(SPEC, 5, seed0=11)
+    opts = dataclasses.replace(OPTS, method=method)
+    ref = solve_batched(SPEC, bb, opts, pcg_backend="fused")
+    packed = pk.pack(SPEC, bb, method=method)
+    res = pk.solve_packed(packed, opts).unpack()
+    _assert_same(res, ref)
+    np.testing.assert_array_equal(np.asarray(res.eta), np.asarray(ref.eta))
+
+
+@pytest.mark.parametrize("method", ["pcg", "direct"])
+def test_packed_single_problem(method):
+    problems, _ = _stack(SPEC, 1, seed0=40)
+    opts = dataclasses.replace(OPTS, method=method)
+    ref = solve(SPEC, problems[0], opts, pcg_backend="fused")
+    packed = pk.pack(SPEC, problems[0], method=method)
+    res = pk.solve_packed(packed, opts).unpack()
+    assert res.lam.shape == (SPEC.knot_points, SPEC.state_size)  # unbatched
+    _assert_same(res, ref)
+
+
+def test_update_vectors_matches_full_repack():
+    problems, bb = _stack(SPEC, 3, seed0=70)
+    packed = pk.pack(SPEC, bb)
+    # Fresh rhs on the same matrices: full repack vs vector-only refresh.
+    _, bb2 = _stack(SPEC, 3, seed0=170)
+    bb_mixed = KKTBlocks(Q=bb.Q, R=bb.R, A=bb.A, B=bb.B,
+                         q=bb2.q, r=bb2.r, c=bb2.c)
+    full = pk.pack(SPEC, bb_mixed)
+    refreshed = pk.update_vectors(packed, bb2.q, bb2.r, bb2.c)
+    for f in ("Qb", "Rb", "Ab", "Bb", "qb", "rb", "cb"):
+        np.testing.assert_array_equal(np.asarray(getattr(full, f)),
+                                      np.asarray(getattr(refreshed, f)))
+    res = pk.solve_packed(refreshed, OPTS).unpack()
+    ref = solve_batched(SPEC, bb_mixed, OPTS, pcg_backend="fused")
+    _assert_same(res, ref)
+
+
+def test_packed_warm_start_carry():
+    _, bb = _stack(SPEC, 2, seed0=100)
+    packed = pk.pack(SPEC, bb)
+    first = pk.solve_packed(packed, OPTS)
+    # The packed carry re-solves the same system in <= 1 iteration ...
+    again = pk.solve_packed(packed, OPTS, lam0=first.lam_packed)
+    assert int(np.max(np.asarray(again.iters))) <= 1
+    # ... and is bit-identical to feeding the unpacked lambda back in.
+    res_pub = pk.solve_packed(packed, OPTS, lam0=first.unpack().lam)
+    np.testing.assert_array_equal(np.asarray(again.unpack().lam),
+                                  np.asarray(res_pub.unpack().lam))
+
+
+def test_packed_is_jit_transparent():
+    """PackedKKT/PackedSolveResult are pytrees with static plans: a user jit
+    over solve_packed's core sees layout changes as cache keys, and the
+    second same-plan call hits the cache (retrace-free serving loop)."""
+    _, bb = _stack(SPEC, 2, seed0=130)
+    packed = pk.pack(SPEC, bb)
+    leaves, treedef = jax.tree_util.tree_flatten(packed)
+    assert len(leaves) == 7
+    rebuilt = jax.tree_util.tree_unflatten(treedef, leaves)
+    assert rebuilt.plan == packed.plan
+    before = pk._solve_packed_pcg._cache_size()
+    pk.solve_packed(packed, OPTS)
+    first = pk._solve_packed_pcg._cache_size()
+    pk.solve_packed(packed, OPTS)
+    assert pk._solve_packed_pcg._cache_size() == first > before - 1
+
+
+def test_packed_validation():
+    problems, bb = _stack(SPEC, 2, seed0=160)
+    packed = pk.pack(SPEC, bb)
+    with pytest.raises(ValueError, match="packed for method='pcg'"):
+        pk.solve_packed(packed, dataclasses.replace(OPTS, method="direct"))
+    with pytest.raises(ValueError, match="float32-only"):
+        pk.solve_packed(packed, dataclasses.replace(OPTS, dtype="float64"))
+    with pytest.raises(ValueError, match="unknown method"):
+        pk.pack(SPEC, bb, method="thomas")
+    with pytest.raises(ValueError, match="do not match"):
+        pk.pack(ProblemSpec(4, 2, 10), bb)
+    with pytest.raises(ValueError, match="q shape"):
+        pk.update_vectors(packed, np.zeros((2, 4, 3), np.float32),
+                          problems[0].r, problems[0].c)
+    with pytest.raises(ValueError, match="lam0 shape"):
+        pk.solve_packed(packed, OPTS, lam0=np.zeros((7, 7), np.float32))
+
+
+def test_pack_rejects_over_budget_horizon(monkeypatch):
+    from gato_tpu.kernels import fused_solve as fs
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
+    _, bb = _stack(SPEC, 1, seed0=0)
+    with pytest.raises(ValueError, match="VMEM budget"):
+        pk.pack(SPEC, bb)
