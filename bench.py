@@ -388,46 +388,38 @@ def bench_fused_split(spec, options, full_entry, *, T=2048):
                             label="fused_split/zero_iters", log=_log)
 
     # Second cut of the fixed cost: the same zero-iteration solve on
-    # PRE-PACKED inputs (the kernel's own lane layout), skipping the public
-    # (K, s)-surface relayout and the output unpack.  ms0 - kernel_only is
-    # the per-solve cost of living at the reference-shaped surface; the
-    # remainder is the in-kernel condense + preconditioner + recovery.
-    import functools as _ft
+    # PRE-PACKED inputs through the packed serving API (gato_tpu.packed),
+    # skipping the public (K, s)-surface relayout and the output unpack.
+    # ms0 - kernel_only is the per-solve cost of living at the
+    # reference-shaped surface; the remainder is the in-kernel condense +
+    # preconditioner + recovery.  Measured through the PUBLIC packed path
+    # (solve_packed traced inside the chain scan — _cached_const passes
+    # tracers through), so kernel_only_ms IS the serving API's fixed cost.
+    import dataclasses as _dc
 
-    from gato_tpu.kernels import fused_solve as _fs
+    from gato_tpu import packed as _pk
     from gato_tpu.timing import chain_time
 
-    s, c, K = spec.state_size, spec.control_size, spec.knot_points
-    K_sub, g, L, n_groups, sp = _fs.plan_packing(1, K, s, c)
-    pm = _ft.partial(_fs._pack_mat, K_sub=K_sub, g=g, L=L,
-                     n_groups=n_groups, sp=sp)
-    pv = _ft.partial(_fs._pack_vec, K_sub=K_sub, g=g, L=L,
-                     n_groups=n_groups, sp=sp)
-    Qb, Rb = pm(blocks.Q[None]), pm(blocks.R[None])
-    Ab, Bb = pm(blocks.A[None]), pm(blocks.B[None])
-    qb, rb = pv(blocks.q[None]), pv(blocks.r[None])
-    cb = pv(blocks.c[None])
-    lb = pv(jnp.zeros_like(blocks.q)[None])
-    float(jnp.sum(Qb) + jnp.sum(qb))  # fence staging
-    call = _ft.partial(
-        _fs._call_fused, s=s, c=c, K_sub=K_sub, g=g, L=L, sp=sp,
-        n_groups=n_groups, flops_scale=K,
-        poly_degree=options.precond_poly_degree,
-        precond=options.preconditioner.value,
-        interpret=jax.default_backend() != "tpu",
-        unroll=4 if g == 1 else 1)
+    packed = _pk.pack(spec, blocks)
+    float(jnp.sum(packed.Qb) + jnp.sum(packed.qb))  # fence staging
 
-    def step_kernel(q0, lam_carry, t):
-        # Anti-hoist: perturb the packed Q by step index AND carry.
-        pert = 1.0 + 1e-6 * jnp.cos(t) + 1e-7 * jnp.tanh(jnp.sum(lam_carry))
-        lam_p, dzx_p, dzu_p, _, _, _ = call(
-            options.rho, options.exit_tol, 0,
-            Qb * pert, Rb, Ab, Bb, q0 * (1.0 + 1e-6 * jnp.sin(t)),
-            rb, cb, lb)
-        return lam_p + dzx_p + dzu_p
+    def _packed_step(opts_t):
+        def step(q0, lam_carry, t):
+            # Anti-hoist: perturb the packed Q by step index AND carry.
+            pert = (1.0 + 1e-6 * jnp.cos(t)
+                    + 1e-7 * jnp.tanh(jnp.sum(lam_carry)))
+            p_t = _dc.replace(packed, Qb=packed.Qb * pert,
+                              qb=q0 * (1.0 + 1e-6 * jnp.sin(t)))
+            res = _pk.solve_packed(p_t, opts_t)
+            return res.lam_p + res.dzx_p + res.dzu_p
+        return step
 
-    ms_k, info_k = chain_time(step_kernel, qb, T,
+    ms_k, info_k = chain_time(_packed_step(o0), packed.qb, T,
                               label="fused_split/kernel_only", log=_log)
+    # The end-to-end packed serving solve (full iterations, no surface
+    # relayout): what a pack-once serving loop pays per solve on device.
+    ms_pk, info_pk = chain_time(_packed_step(options), packed.qb, T,
+                                label="fused_split/packed_serving", log=_log)
 
     full_ms = full_entry["avg_ms_device"]
     iters = max(1, full_entry["pcg_iters"])
@@ -436,11 +428,13 @@ def bench_fused_split(spec, options, full_entry, *, T=2048):
         "condense_recover_ms": round(ms0, 6),
         "kernel_only_ms": round(ms_k, 6),
         "surface_overhead_ms": round(max(ms0 - ms_k, 0.0), 6),
+        "packed_serving_ms": round(ms_pk, 6),
         "pcg_ms": round(pcg_ms, 6),
         "us_per_iteration": round(1e3 * pcg_ms / iters, 4),
         "iters": iters,
         "detail": info0,
         "detail_kernel_only": info_k,
+        "detail_packed_serving": info_pk,
     }
 
 
