@@ -16,7 +16,7 @@ Public surface:
 """
 
 from .api import infer_spec, linsys_solve
-from .diff import kkt_solve
+from .diff import kkt_solve, kkt_solve_batched
 from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt, pack_kkt_sparse
 from .mpc import solve_sequence, solve_sequence_batched
@@ -40,6 +40,7 @@ __all__ = [
     "PackedSolveResult",
     "btd_solve",
     "kkt_solve",
+    "kkt_solve_batched",
     "SolveResult",
     "KKTBlocks",
     "pack_kkt",

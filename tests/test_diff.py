@@ -7,7 +7,8 @@ import numpy as np
 import pytest
 
 from gato_tpu import ProblemSpec
-from gato_tpu.diff import kkt_solve, _solve_kkt
+from gato_tpu import diff as diff_mod
+from gato_tpu.diff import kkt_solve, kkt_solve_batched, _solve_kkt
 from gato_tpu.testing import random_blocks
 
 SPEC = ProblemSpec(3, 2, 6)
@@ -124,3 +125,68 @@ def test_vmap_and_jit_compose():
     g = batched_loss_grad(*stacked)
     assert g.shape == (B, SPEC.knot_points, SPEC.state_size)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def _batched_args(B=3, rho=0.05, seed0=50):
+    problems = [_args(seed=seed0 + i, rho=rho) for i in range(B)]
+    return tuple(jnp.stack([p[i] for p in problems])
+                 for i in range(7)) + (jnp.float32(rho),)
+
+
+def test_batched_matches_vmapped_single():
+    """kkt_solve_batched (explicit batch axis) == vmap(kkt_solve): same
+    primal and same gradients — the batched API only changes the dispatch,
+    not the math."""
+    args = _batched_args()
+    rho = args[-1]
+    out_b = kkt_solve_batched(*args)
+    out_v = jax.vmap(lambda *xs: kkt_solve(*xs, rho))(*args[:7])
+    for a, b in zip(out_b, out_v):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+
+    def f_b(q, rho_):
+        a = list(args)
+        a[4], a[7] = q, rho_
+        return _loss(*kkt_solve_batched(*a))
+
+    def f_v(q, rho_):
+        a = list(args[:7])
+        a[4] = q
+        return _loss(*jax.vmap(lambda *xs: kkt_solve(*xs, rho_))(*a))
+
+    gq_b, gr_b = jax.grad(f_b, argnums=(0, 1))(args[4], rho)
+    gq_v, gr_v = jax.grad(f_v, argnums=(0, 1))(args[4], rho)
+    scale = max(1.0, float(np.abs(np.asarray(gq_v)).max()))
+    np.testing.assert_allclose(np.asarray(gq_b), np.asarray(gq_v),
+                               rtol=2e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(float(gr_b), float(gr_v), rtol=2e-3,
+                               atol=2e-3 * max(1.0, abs(float(gr_v))))
+
+
+def test_batched_fused_branch(monkeypatch):
+    """The fused cyclic-reduction dispatch (TPU default) must produce the
+    same primal and gradients as the XLA direct path — forced on here
+    (the kernel runs in interpret mode off-TPU)."""
+    args = _batched_args(seed0=90)
+    ref_out = kkt_solve_batched(*args)
+
+    def f(q, rho_):
+        a = list(args)
+        a[4], a[7] = q, rho_
+        return _loss(*kkt_solve_batched(*a))
+
+    ref_g = jax.grad(f, argnums=(0, 1))(args[4], args[-1])
+
+    monkeypatch.setattr(diff_mod, "_use_fused_direct", lambda *a: True)
+    fused_out = kkt_solve_batched(*args)
+    fused_g = jax.grad(f, argnums=(0, 1))(args[4], args[-1])
+
+    for a, b in zip(fused_out, ref_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    scale = max(1.0, float(np.abs(np.asarray(ref_g[0])).max()))
+    np.testing.assert_allclose(np.asarray(fused_g[0]), np.asarray(ref_g[0]),
+                               rtol=2e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(float(fused_g[1]), float(ref_g[1]), rtol=2e-3,
+                               atol=2e-3 * max(1.0, abs(float(ref_g[1]))))
