@@ -79,6 +79,36 @@ it = np.asarray(out.iters)
 print(f"MPC farm ({Bf} streams): first-step mean {float(it[0].mean()):.1f} "
       f"iters, warm-started rest {float(it[1:].mean()):.1f} mean")
 
+# --- packed serving: relayout once, kernel-dispatch cost per solve -----------
+# pack() stores the blocks in the fused kernel's lane layout; solve_packed
+# skips the per-call surface relayout, update_vectors refreshes only the rhs
+# (frozen linearization), and the warm-start carry stays packed across calls.
+from gato_tpu import pack, solve_packed, update_vectors
+
+opts = SolverOptions(rho=1e-3, exit_tol=1e-6, max_iters=200)
+packed = pack(iiwa, blocks)
+first = solve_packed(packed, opts)
+packed = update_vectors(packed, np.asarray(blocks.q) * 1.01,
+                        blocks.r, blocks.c)
+warm = solve_packed(packed, opts, lam0=first.lam_packed)
+print(f"packed serving: cold {int(first.unpack().iters)} iters, rhs-refresh "
+      f"warm {int(warm.unpack().iters)} iters (carry never left kernel layout)")
+
+# --- differentiable batched solves at kernel speed ---------------------------
+# kkt_solve_batched: implicit-function-theorem gradients with the forward AND
+# adjoint exact solves dispatched to the fused cyclic-reduction kernel.
+from gato_tpu import kkt_solve_batched
+
+Bd = 3
+dprobs = [random_blocks(iiwa, seed=40 + i) for i in range(Bd)]
+dargs = tuple(jnp.asarray(np.stack([np.asarray(p[f]) for p in dprobs]))
+              for f in range(7))
+gQ = jax.grad(
+    lambda Q: jnp.sum(kkt_solve_batched(Q, *dargs[1:], jnp.float32(1e-3))[0] ** 2)
+)(dargs[0])
+print(f"differentiable batch: dloss/dQ shape {gQ.shape}, "
+      f"finite={bool(np.all(np.isfinite(np.asarray(gQ))))}")
+
 # --- multi-chip: batch sharded over a mesh, fused kernel per device ----------
 from jax.sharding import Mesh
 from gato_tpu.parallel.sharded import solve_batched_dp

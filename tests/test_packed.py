@@ -59,6 +59,19 @@ def test_packed_single_problem(method):
     _assert_same(res, ref)
 
 
+@pytest.mark.parametrize("precond", ["jacobi", "block_jacobi"])
+def test_packed_preconditioner_variants(precond):
+    """The non-default preconditioners flow through the packed surface to the
+    same in-kernel assembly the fused backend uses (bitwise)."""
+    from gato_tpu.problem import Preconditioner
+
+    _, bb = _stack(SPEC, 3, seed0=55)
+    opts = dataclasses.replace(OPTS, preconditioner=Preconditioner(precond))
+    ref = solve_batched(SPEC, bb, opts, pcg_backend="fused")
+    res = pk.solve_packed(pk.pack(SPEC, bb), opts).unpack()
+    _assert_same(res, ref)
+
+
 def test_update_vectors_matches_full_repack():
     problems, bb = _stack(SPEC, 3, seed0=70)
     packed = pk.pack(SPEC, bb)

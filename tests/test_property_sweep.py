@@ -39,6 +39,19 @@ def test_backend_agreement(spec, rho, tol, degree):
                                    rtol=1e-4, atol=1e-4, err_msg=str((be, spec)))
         np.testing.assert_allclose(np.asarray(got.dz_u), np.asarray(ref.dz_u),
                                    rtol=1e-3, atol=1e-3, err_msg=str((be, spec)))
+        if be == "fused":
+            # The packed serving surface is the same kernel on the same
+            # packed arrays — bitwise, across the whole case grid.
+            from gato_tpu import pack, solve_packed
+
+            pr = solve_packed(pack(spec, blocks), opts).unpack()
+            assert int(pr.iters) == int(got.iters), spec
+            np.testing.assert_array_equal(np.asarray(pr.lam),
+                                          np.asarray(got.lam),
+                                          err_msg=str(("packed", spec)))
+            np.testing.assert_array_equal(np.asarray(pr.dz_u),
+                                          np.asarray(got.dz_u),
+                                          err_msg=str(("packed", spec)))
 
 
 @pytest.mark.parametrize("spec,rho", [
