@@ -113,24 +113,19 @@ kkt_solve.defvjp(_fwd, _bwd)
 
 def _use_fused_direct(K: int, s: int, c: int, dtype) -> bool:
     """True when the batched exact solves should run the fused
-    cyclic-reduction kernel (TPU, float32, within the CR kernel's VMEM
-    budget).  The implicit-function-theorem VJP never differentiates
-    THROUGH the solver — it only needs the solution plus one adjoint solve
-    of the same system — so an opaque Pallas forward costs nothing in
-    gradient machinery."""
-    if jnp.dtype(dtype) != jnp.float32:
-        return False
-    try:
-        platform = jax.devices()[0].platform
-    except Exception:
-        platform = "cpu"
-    if platform != "tpu":
-        return False
-    try:
-        from .kernels import direct_fused
-    except ImportError:
-        return False
-    return direct_fused.fits_vmem(K, s, c)
+    cyclic-reduction kernel — exactly when the solver's own dispatch ladder
+    (solver.default_pcg_backend: TPU, float32, CR kernel importable and
+    within its VMEM budget) would pick it for method='direct'; one
+    predicate, not a second copy to keep in sync.  The implicit-function-
+    theorem VJP never differentiates THROUGH the solver — it only needs the
+    solution plus one adjoint solve of the same system — so an opaque
+    Pallas forward costs nothing in gradient machinery."""
+    from .problem import ProblemSpec
+    from .solver import default_pcg_backend
+
+    backend = default_pcg_backend(
+        batched=True, spec=ProblemSpec(s, c, K), method="direct", dtype=dtype)
+    return backend == "fused"
 
 
 def _solve_kkt_batched(Q, R, A, B, q, r, c, rho):

@@ -46,11 +46,13 @@ import jax
 import jax.numpy as jnp
 
 from .formats import KKTBlocks
-from .pcg import PCGResult
 from .problem import ProblemSpec, SolverOptions
 from .solver import SolveResult, _cached_const
-from .kernels import direct_fused, fused_solve
-from .kernels.fused_solve import _pack_mat, _pack_vec, _unpack_vec
+
+# The Pallas kernel modules are imported lazily inside the functions that
+# dispatch to them — the same contract as every other dispatch site
+# (solver.py, mpc.py): `import gato_tpu` must keep working (pure-XLA/f64
+# paths) in environments where Mosaic/Pallas cannot import.
 
 
 class PackPlan(NamedTuple):
@@ -135,6 +137,8 @@ class PackedSolveResult:
 
 def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
               batched: bool) -> PackPlan:
+    from .kernels import direct_fused, fused_solve
+
     mod = direct_fused if method == "direct" else fused_solve
     K_sub, g, L, n_groups, sp = mod.plan_packing(Bn, K, s, c)
     return PackPlan(method=method, batched=batched, batch=Bn, K=K, s=s, c=c,
@@ -143,6 +147,8 @@ def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
 
 @functools.partial(jax.jit, static_argnames=("plan",))
 def _pack_all(Q, R, A, B, q, r, c, *, plan: PackPlan):
+    from .kernels.fused_solve import _pack_mat, _pack_vec
+
     pm = functools.partial(_pack_mat, K_sub=plan.K_sub, g=plan.g, L=plan.L,
                            n_groups=plan.n_groups, sp=plan.sp)
     pv = functools.partial(_pack_vec, K_sub=plan.K_sub, g=plan.g, L=plan.L,
@@ -152,6 +158,8 @@ def _pack_all(Q, R, A, B, q, r, c, *, plan: PackPlan):
 
 @functools.partial(jax.jit, static_argnames=("plan",))
 def _pack_vectors(q, r, c, *, plan: PackPlan):
+    from .kernels.fused_solve import _pack_vec
+
     pv = functools.partial(_pack_vec, K_sub=plan.K_sub, g=plan.g, L=plan.L,
                            n_groups=plan.n_groups, sp=plan.sp)
     return pv(q), pv(r), pv(c)
@@ -188,11 +196,22 @@ def pack(
     batched = b.Q.ndim == 4
     if not batched:
         b = KKTBlocks(*(a[None] for a in b))
-    Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
-    cdim = b.R.shape[-1]
-    if (K, s, cdim) != (spec.knot_points, spec.state_size, spec.control_size):
-        raise ValueError(
-            f"blocks shapes {b.Q.shape}/{b.R.shape} do not match {spec}")
+    Bn = b.Q.shape[0]
+    K, s, cdim = spec.knot_points, spec.state_size, spec.control_size
+    # Every field is validated, not just Q/R: _pack_vec zero-pads whatever it
+    # is given, so a malformed q/r/c (e.g. c with K-1 rows — an easy slip
+    # since r IS (K-1, c)) would otherwise solve a silently-wrong system.
+    expect = {
+        "Q": (Bn, K, s, s), "R": (Bn, K - 1, cdim, cdim),
+        "A": (Bn, K - 1, s, s), "B": (Bn, K - 1, s, cdim),
+        "q": (Bn, K, s), "r": (Bn, K - 1, cdim), "c": (Bn, K, s),
+    }
+    for name, arr in zip(expect, b):
+        if tuple(arr.shape) != expect[name]:
+            raise ValueError(
+                f"blocks.{name} shape {tuple(arr.shape)} does not match "
+                f"{expect[name]} for {spec}"
+                + ("" if batched else " (unbatched: leading axis added)"))
     plan = _plan_for(method, Bn, K, s, cdim, batched)
     Qb, Rb, Ab, Bb, qb, rb, cb = _pack_all(*b, plan=plan)
     return PackedKKT(Qb=Qb, Rb=Rb, Ab=Ab, Bb=Bb, qb=qb, rb=rb, cb=cb,
@@ -205,7 +224,13 @@ def update_vectors(packed: PackedKKT, q, r, c) -> PackedKKT:
     three ``(B, K, n)`` vector relayouts cost O(s) per knot where the full
     pack pays O(s^2) per knot for the four matrix stacks."""
     plan = packed.plan
-    q, r, c = (jnp.asarray(x, jnp.float32) for x in (q, r, c))
+    q, r, c = (jnp.asarray(x) for x in (q, r, c))
+    if any(jnp.dtype(x.dtype) != jnp.float32 for x in (q, r, c)):
+        # Same guardrail as pack(): refuse to silently downcast (the kernels
+        # are f32-only; f64 compute runs the pure-XLA path via solve()).
+        raise ValueError(
+            "update_vectors feeds float32-only Mosaic kernels; cast the "
+            "vectors to float32")
     if not plan.batched:
         q, r, c = q[None], r[None], c[None]
     expect = {
@@ -232,6 +257,8 @@ def _solve_packed_pcg(
     plan: PackPlan, precond: str, poly_degree: int, interpret: bool,
     unroll: int,
 ):
+    from .kernels import fused_solve
+
     lam_p, dzx_p, dzu_p, iters, conv, eta = fused_solve._call_fused(
         rho, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
         s=plan.s, c=plan.c, K_sub=plan.K_sub, g=plan.g, L=plan.L, sp=plan.sp,
@@ -251,6 +278,7 @@ def _solve_packed_direct(
     Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
 ):
     from .direct import residual_converged
+    from .kernels import direct_fused
 
     lam_p, dzx_p, dzu_p, eta, gnorm = direct_fused._call_direct(
         rho, Qb, Rb, Ab, Bb, qb, rb, cb,
@@ -280,6 +308,8 @@ def _per_problem(x, *, plan: PackPlan):
 def _unpack_result(res: PackedSolveResult) -> SolveResult:
     # ``plan`` rides in the pytree's static metadata (a meta field of the
     # registered dataclass), so the jit cache keys on it automatically.
+    from .kernels.fused_solve import _unpack_vec
+
     plan = res.plan
     up = functools.partial(_unpack_vec, B=plan.batch, K=plan.K,
                            K_sub=plan.K_sub, g=plan.g)
@@ -347,18 +377,21 @@ def solve_packed(
         lb = _cached_const(0, dt, (plan.n_groups, plan.sp, plan.L))
     else:
         lam0 = jnp.asarray(lam0, dt)
+        public = ((plan.K, plan.s) if not plan.batched
+                  else (plan.batch, plan.K, plan.s))
         if lam0.shape == (plan.n_groups, plan.sp, plan.L):
             lb = lam0  # already packed (a previous solve's carry)
-        else:
-            if not plan.batched:
-                lam0 = lam0.reshape(1, plan.K, plan.s)
-            if lam0.shape != (plan.batch, plan.K, plan.s):
-                raise ValueError(
-                    f"lam0 shape {lam0.shape} is neither the packed carry "
-                    f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
-                    f"{(plan.batch, plan.K, plan.s)}")
-            lb = _pack_vec(lam0, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+        elif lam0.shape == public:
+            from .kernels.fused_solve import _pack_vec
+
+            lb = _pack_vec(lam0.reshape(plan.batch, plan.K, plan.s),
+                           K_sub=plan.K_sub, g=plan.g, L=plan.L,
                            n_groups=plan.n_groups, sp=plan.sp)
+        else:
+            raise ValueError(
+                f"lam0 shape {lam0.shape} is neither the packed carry "
+                f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
+                f"{public}")
     # Same unroll policy as solve_fused_batched (measured on v5e: while-trip
     # overhead only dominates at g=1).
     unroll = 4 if plan.g == 1 else 1

@@ -89,3 +89,24 @@ def test_ill_conditioned_direct_robust():
     lam_ref, _ = dense_oracle(spec, blocks, rho=rho)
     scale = max(1.0, np.abs(lam_ref).max())
     np.testing.assert_allclose(res.lam_flat(), lam_ref, atol=5e-3 * scale)
+
+
+def test_import_keeps_kernels_lazy():
+    """`import gato_tpu` must not import the Pallas kernel modules: every
+    dispatch site (solver, mpc, diff, packed) lazy-imports them so the
+    pure-XLA/f64 paths keep working where Mosaic/Pallas cannot import.
+    Run in a subprocess — this suite's process has long since loaded them."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import jax; jax.config.update('jax_platforms', 'cpu')\n"
+         "import sys, gato_tpu\n"
+         "bad = [m for m in sys.modules if 'gato_tpu.kernels' in m]\n"
+         "assert not bad, bad\n"
+         "print('ok')"],
+        capture_output=True, text=True, timeout=120,
+    )
+    assert out.returncode == 0, out.stderr
+    assert out.stdout.strip() == "ok"

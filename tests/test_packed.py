@@ -128,13 +128,27 @@ def test_packed_validation():
         pk.solve_packed(packed, dataclasses.replace(OPTS, dtype="float64"))
     with pytest.raises(ValueError, match="unknown method"):
         pk.pack(SPEC, bb, method="thomas")
-    with pytest.raises(ValueError, match="do not match"):
+    with pytest.raises(ValueError, match="does not match"):
         pk.pack(ProblemSpec(4, 2, 10), bb)
+    # Vector fields are validated too: a (K-1)-row c (easy slip — r IS
+    # (K-1, c)) must raise, not zero-pad into a silently-wrong system.
+    bad = bb._replace(c=np.asarray(bb.c)[:, :-1, :])
+    with pytest.raises(ValueError, match="blocks.c shape"):
+        pk.pack(SPEC, bad)
+    # (The update_vectors/pack f64 raises only fire under jax_enable_x64 —
+    # without it JAX itself truncates to f32 before the check, the
+    # documented global convention; see SolverOptions.dtype.)
     with pytest.raises(ValueError, match="q shape"):
         pk.update_vectors(packed, np.zeros((2, 4, 3), np.float32),
                           problems[0].r, problems[0].c)
     with pytest.raises(ValueError, match="lam0 shape"):
         pk.solve_packed(packed, OPTS, lam0=np.zeros((7, 7), np.float32))
+    # Unbatched pack: a wrong-sized public lam0 must hit the diagnostic
+    # ValueError, not an opaque reshape error.
+    single = pk.pack(SPEC, problems[0])
+    with pytest.raises(ValueError, match="lam0 shape"):
+        pk.solve_packed(single, OPTS, lam0=np.zeros(
+            (SPEC.knot_points, SPEC.state_size + 1), np.float32))
 
 
 def test_pack_rejects_over_budget_horizon(monkeypatch):
