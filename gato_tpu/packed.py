@@ -177,8 +177,11 @@ def pack(
       spec: static problem shape (consistency-checked against ``blocks``).
       blocks: packed KKT data (formats.pack_kkt), with or without a leading
         batch axis (``Q.ndim == 4`` means batched).
-      method: 'pcg' | 'direct' — which fused kernel the layout is sized for
-        (their VMEM budgets differ; ``solve_packed`` enforces the match).
+      method: 'pcg' | 'direct' — which fused kernel the layout is sized for.
+        Their VMEM budgets differ, but at shapes where both plan the same
+        geometry (most small/medium configs) one packed value serves both
+        methods; ``solve_packed`` relabels when geometries match and raises
+        otherwise.
 
     Raises ValueError when the horizon exceeds the chosen kernel's VMEM
     budget (those regimes run the 'pallas' long-horizon tier through the
@@ -335,7 +338,10 @@ def solve_packed(
     Args:
       packed: a :class:`PackedKKT` from :func:`pack` / :func:`update_vectors`.
       options: runtime options; ``options.method`` must match the method the
-        layout was planned for (mismatches raise — never silently repack).
+        layout was planned for, OR plan an identical packing geometry at
+        this shape (then the plan is relabeled in place — pack once, choose
+        the method per call).  A genuine geometry mismatch raises — never a
+        silent repack.
       lam0: optional warm start — either a packed ``(n_groups, sp, L)`` carry
         (``PackedSolveResult.lam_packed``: zero relayout) or a public
         ``(B, K, s)`` / ``(K, s)`` array (packed here once).  Like the MPC
@@ -347,12 +353,24 @@ def solve_packed(
     """
     plan = packed.plan
     if options.method != plan.method:
-        raise ValueError(
-            f"this PackedKKT was packed for method={plan.method!r}; "
-            f"options request method={options.method!r} — repack with "
-            f"pack(..., method={options.method!r}) (the kernels' VMEM plans "
-            "differ, so packed values are not interchangeable)"
-        )
+        # The two kernels size their packings from different VMEM budgets,
+        # but at many shapes the resulting geometry coincides — then the
+        # packed arrays are directly valid for the other kernel and the
+        # plan is just relabeled (pack once, choose the method per call).
+        # Only a genuine geometry difference raises.
+        try:
+            alt = _plan_for(options.method, plan.batch, plan.K, plan.s,
+                            plan.c, plan.batched)
+        except ValueError:
+            alt = None
+        if alt != plan._replace(method=options.method) or alt is None:
+            raise ValueError(
+                f"this PackedKKT was packed for method={plan.method!r} and "
+                f"the {options.method!r} kernel plans a different packing "
+                f"geometry at this shape — repack with "
+                f"pack(..., method={options.method!r})"
+            )
+        plan = alt
     if jnp.dtype(options.dtype) != jnp.float32:
         raise ValueError(
             "solve_packed runs float32-only Mosaic kernels; dtype="

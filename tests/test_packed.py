@@ -119,11 +119,44 @@ def test_packed_is_jit_transparent():
     assert pk._solve_packed_pcg._cache_size() == first > before - 1
 
 
+def test_cross_method_geometry_relabel():
+    """At shapes where the PCG and CR kernels plan the SAME packing geometry
+    (true for SPEC at this batch), one packed value serves both methods —
+    bitwise against a dedicated pack."""
+    from gato_tpu.kernels import direct_fused, fused_solve
+
+    n = 3
+    assert (fused_solve.plan_packing(n, *SPEC_KSC)
+            == direct_fused.plan_packing(n, *SPEC_KSC))
+    _, bb = _stack(SPEC, n, seed0=200)
+    packed_pcg = pk.pack(SPEC, bb, method="pcg")
+    opts_d = dataclasses.replace(OPTS, method="direct")
+    cross = pk.solve_packed(packed_pcg, opts_d).unpack()
+    dedicated = pk.solve_packed(pk.pack(SPEC, bb, method="direct"),
+                                opts_d).unpack()
+    _assert_same(cross, dedicated)
+
+
+def test_cross_method_geometry_mismatch_raises():
+    """Where the two kernels genuinely plan different geometries (IIWA at
+    batch 64: g=16/L=896 PCG vs g=9/L=512 direct), the relabel must refuse."""
+    from gato_tpu.kernels import direct_fused, fused_solve
+
+    iiwa = ProblemSpec(14, 7, 50)
+    assert (fused_solve.plan_packing(64, 50, 14, 7)
+            != direct_fused.plan_packing(64, 50, 14, 7))
+    _, bb = _stack(iiwa, 64, seed0=300)
+    packed = pk.pack(iiwa, bb, method="pcg")
+    with pytest.raises(ValueError, match="different packing geometry"):
+        pk.solve_packed(packed, dataclasses.replace(OPTS, method="direct"))
+
+
+SPEC_KSC = (SPEC.knot_points, SPEC.state_size, SPEC.control_size)
+
+
 def test_packed_validation():
     problems, bb = _stack(SPEC, 2, seed0=160)
     packed = pk.pack(SPEC, bb)
-    with pytest.raises(ValueError, match="packed for method='pcg'"):
-        pk.solve_packed(packed, dataclasses.replace(OPTS, method="direct"))
     with pytest.raises(ValueError, match="float32-only"):
         pk.solve_packed(packed, dataclasses.replace(OPTS, dtype="float64"))
     with pytest.raises(ValueError, match="unknown method"):
