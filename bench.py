@@ -683,6 +683,20 @@ def parity_gate(spec, options):
     bderr = float(np.max(np.abs(np.asarray(bd_fused.lam) - bdref))) / bdscale
     report["batch_direct_rel_err_fused"] = bderr
     check(bderr < 1e-3, f"PARITY FAILURE batch direct fused: rel err {bderr}")
+
+    # Packed serving surface: the same kernel on the same packed arrays as
+    # the fused backend — must be BITWISE identical on device, not merely
+    # close (gato_tpu.packed's contract; tests pin it in interpret mode,
+    # this pins it compiled).
+    from gato_tpu import pack, solve_packed
+
+    pres = solve_packed(pack(spec, batch), options).unpack()
+    float(jnp.sum(pres.lam))
+    pit = [int(x) for x in np.asarray(pres.iters)]
+    report["packed_iters"] = pit
+    check(pit == bit["fused"], f"PARITY FAILURE packed iters: {pit}")
+    check(np.array_equal(np.asarray(pres.lam), np.asarray(bres["fused"].lam)),
+          "PARITY FAILURE packed lam not bitwise-equal to fused")
     report["ok"] = True
     return report
 
