@@ -110,7 +110,15 @@ int64_t gato_pack_C(const int64_t* indptr, int64_t n_rows,
         return 2;
       }
       const int64_t col_block = col / sc;
-      if (col_block > k) continue;  // identity on x_{k+1}
+      if (col_block == k + 1) continue;  // identity on x_{k+1}
+      if (col_block > k + 1) {
+        // Only the x_{k+1} identity block is skippable; further right is
+        // out-of-pattern garbage — hard error, matching formats.pack_C.
+        fail(err_buf, err_len,
+             "C entry (%lld,%lld) right of the x_{k+1} identity block", row,
+             col);
+        return 4;
+      }
       if (col_block != k) {
         fail(err_buf, err_len,
              "C entry (%lld,%lld) left of the interval's column block", row,

@@ -54,6 +54,28 @@ class KKTBlocks(NamedTuple):
     c: np.ndarray  # (K, s)
 
 
+def check_block_shapes(spec: ProblemSpec, blocks: KKTBlocks,
+                       lead: tuple = ()) -> None:
+    """Validate EVERY KKTBlocks field against ``spec`` (plus optional leading
+    batch/time axes).  The lane-packing kernel paths zero-pad whatever they
+    are given (kernels/fused_solve._pack_vec), so a malformed field — e.g. a
+    (K-1)-row ``c``, an easy slip since ``r`` IS (K-1, c) — must be rejected
+    at the API surface, not packed into a silently-wrong system (the pure-XLA
+    path would raise a shape error; the kernel paths would not)."""
+    K, s, c = spec.knot_points, spec.state_size, spec.control_size
+    lead = tuple(lead)
+    expect = {
+        "Q": lead + (K, s, s), "R": lead + (K - 1, c, c),
+        "A": lead + (K - 1, s, s), "B": lead + (K - 1, s, c),
+        "q": lead + (K, s), "r": lead + (K - 1, c), "c": lead + (K, s),
+    }
+    for name, arr in zip(expect, blocks):
+        if tuple(arr.shape) != expect[name]:
+            raise ValueError(
+                f"blocks.{name} shape {tuple(arr.shape)} does not match "
+                f"{expect[name]} for {spec}")
+
+
 def _csr_to_coo(indptr: np.ndarray, indices: np.ndarray, data: np.ndarray):
     """Expand CSR to (rows, cols, vals) without scipy."""
     indptr = np.asarray(indptr, dtype=np.int64)
@@ -143,7 +165,15 @@ def pack_C(
     keep = rows >= s
     rows, cols, vals = rows[keep], cols[keep], vals[keep]
     k = rows // s - 1  # interval index
-    keep = cols // sc <= k  # drop the identity block on x_{k+1}
+    cb = cols // sc
+    if np.any(cb > k + 1):
+        # Only column block k+1 (the implicit +I on x_{k+1}) is skippable;
+        # anything further right is out-of-pattern garbage and must be a
+        # hard error (module docstring contract), not a silent drop.
+        raise ValueError("C has entries right of the x_{k+1} identity "
+                         "block; only block-bidiagonal constraint Jacobians "
+                         "are supported")
+    keep = cb <= k  # drop the identity block on x_{k+1}
     rows, cols, vals, k = rows[keep], cols[keep], vals[keep], k[keep]
     if np.any(cols // sc != k):
         raise ValueError("C has entries left of the current interval's column "

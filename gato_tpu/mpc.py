@@ -144,10 +144,14 @@ def solve_sequence_batched(
         )
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
-    T, Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2], b.Q.shape[3]
-    if (K, s) != (spec.knot_points, spec.state_size):
+    if b.Q.ndim != 5:
         raise ValueError(
-            f"sequence blocks Q shape {b.Q.shape} does not match {spec}")
+            f"solve_sequence_batched expects leading (T, B) axes on every "
+            f"array (Q (T, B, K, s, s)); got Q shape {b.Q.shape}")
+    T, Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2], b.Q.shape[3]
+    from .formats import check_block_shapes
+
+    check_block_shapes(spec, b, lead=(T, Bn))  # every field — kernels zero-pad
 
     if lam0 is None:
         lam0 = _cached_const(0, dtype, (Bn, K, s))
@@ -212,9 +216,14 @@ def solve_sequence(
         )
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
+    if b.Q.ndim != 4:
+        raise ValueError(
+            f"solve_sequence expects a leading T axis on every array "
+            f"(Q (T, K, s, s)); got Q shape {b.Q.shape}")
     T, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
-    if (K, s) != (spec.knot_points, spec.state_size):
-        raise ValueError(f"sequence blocks Q shape {b.Q.shape} does not match {spec}")
+    from .formats import check_block_shapes
+
+    check_block_shapes(spec, b, lead=(T,))  # every field — kernels zero-pad
 
     if lam0 is None:
         lam0 = _cached_const(0, dtype, (K, s))

@@ -201,20 +201,9 @@ def pack(
         b = KKTBlocks(*(a[None] for a in b))
     Bn = b.Q.shape[0]
     K, s, cdim = spec.knot_points, spec.state_size, spec.control_size
-    # Every field is validated, not just Q/R: _pack_vec zero-pads whatever it
-    # is given, so a malformed q/r/c (e.g. c with K-1 rows — an easy slip
-    # since r IS (K-1, c)) would otherwise solve a silently-wrong system.
-    expect = {
-        "Q": (Bn, K, s, s), "R": (Bn, K - 1, cdim, cdim),
-        "A": (Bn, K - 1, s, s), "B": (Bn, K - 1, s, cdim),
-        "q": (Bn, K, s), "r": (Bn, K - 1, cdim), "c": (Bn, K, s),
-    }
-    for name, arr in zip(expect, b):
-        if tuple(arr.shape) != expect[name]:
-            raise ValueError(
-                f"blocks.{name} shape {tuple(arr.shape)} does not match "
-                f"{expect[name]} for {spec}"
-                + ("" if batched else " (unbatched: leading axis added)"))
+    from .formats import check_block_shapes
+
+    check_block_shapes(spec, b, lead=(Bn,))  # every field — kernels zero-pad
     plan = _plan_for(method, Bn, K, s, cdim, batched)
     Qb, Rb, Ab, Bb, qb, rb, cb = _pack_all(*b, plan=plan)
     return PackedKKT(Qb=Qb, Rb=Rb, Ab=Ab, Bb=Bb, qb=qb, rb=rb, cb=cb,
@@ -363,7 +352,7 @@ def solve_packed(
                             plan.c, plan.batched)
         except ValueError:
             alt = None
-        if alt != plan._replace(method=options.method) or alt is None:
+        if alt != plan._replace(method=options.method):
             raise ValueError(
                 f"this PackedKKT was packed for method={plan.method!r} and "
                 f"the {options.method!r} kernel plans a different packing "

@@ -140,6 +140,14 @@ class SolverOptions:
         if self.method not in ("pcg", "direct"):
             raise ValueError(f"method must be 'pcg' or 'direct', got "
                              f"{self.method!r}")
+        if not isinstance(self.preconditioner, Preconditioner):
+            # Accept the enum's string values too — the kernel-level APIs
+            # (solve_fused_batched etc.) take exactly these strings, so
+            # SolverOptions(preconditioner='symmetric_stair') is a natural
+            # spelling; an unknown name raises here (clear, at construction)
+            # instead of as an AttributeError deep in the solve.
+            object.__setattr__(self, "preconditioner",
+                               Preconditioner(self.preconditioner))
         if not isinstance(self.precond_poly_degree, int) \
                 or self.precond_poly_degree < 1:
             # Degree 0 would be the empty Horner sum (M_0 = 0, meaningless)

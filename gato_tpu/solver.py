@@ -35,18 +35,16 @@ class SolveResult(NamedTuple):
     eta: jnp.ndarray        # ()       final |r . Pinv r|
 
     def dz_flat(self) -> np.ndarray:
-        """Interleaved [dz_x0, dz_u0, ..., dz_x_{K-1}] as the reference returns."""
+        """Interleaved [dz_x0, dz_u0, ..., dz_x_{K-1}] as the reference
+        returns — one implementation of the layout (formats.interleave_dz)."""
+        from .formats import interleave_dz
+        from .problem import ProblemSpec
+
         dz_x = np.asarray(self.dz_x)
         dz_u = np.asarray(self.dz_u)
         K, s = dz_x.shape
         c = dz_u.shape[-1]
-        out = np.zeros(K * (s + c) - c, dtype=dz_x.dtype)
-        sc = s + c
-        for k in range(K - 1):
-            out[k * sc : k * sc + s] = dz_x[k]
-            out[k * sc + s : (k + 1) * sc] = dz_u[k]
-        out[(K - 1) * sc :] = dz_x[K - 1]
-        return out
+        return interleave_dz(ProblemSpec(s, c, K), dz_x, dz_u)
 
     def lam_flat(self) -> np.ndarray:
         return np.asarray(self.lam).reshape(-1)
@@ -318,9 +316,10 @@ def solve(
     """
     dtype = jnp.dtype(options.dtype)
     b = _as_jnp(blocks, dtype)
+    from .formats import check_block_shapes
+
+    check_block_shapes(spec, b)  # every field — kernel paths zero-pad
     K, s = b.Q.shape[0], b.Q.shape[1]
-    if (K, s, b.R.shape[-1]) != (spec.knot_points, spec.state_size, spec.control_size):
-        raise ValueError(f"blocks shapes {b.Q.shape}/{b.R.shape} do not match {spec}")
 
     if options.warm_start and lam0 is not None:
         lam0 = jnp.asarray(lam0, dtype=dtype).reshape(K, s)
@@ -441,9 +440,14 @@ def solve_batched(
     """
     dtype = jnp.dtype(options.dtype)
     b = _as_jnp(blocks, dtype)
+    if b.Q.ndim != 4:
+        raise ValueError(
+            f"solve_batched expects a leading batch axis on every array "
+            f"(Q (B, K, s, s)); got Q shape {b.Q.shape}")
     Bn, K, s = b.Q.shape[0], b.Q.shape[1], b.Q.shape[2]
-    if (K, s) != (spec.knot_points, spec.state_size):
-        raise ValueError(f"batched blocks Q shape {b.Q.shape} does not match {spec}")
+    from .formats import check_block_shapes
+
+    check_block_shapes(spec, b, lead=(Bn,))
 
     if options.warm_start and lam0 is not None:
         lam0 = jnp.asarray(lam0, dtype=dtype).reshape(Bn, K, s)

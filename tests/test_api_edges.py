@@ -110,3 +110,52 @@ def test_import_keeps_kernels_lazy():
     )
     assert out.returncode == 0, out.stderr
     assert out.stdout.strip() == "ok"
+
+
+def test_malformed_blocks_rejected_on_every_backend():
+    """The kernel paths zero-pad whatever they are given (_pack_vec), so a
+    malformed field must be rejected at the surface — previously only the
+    'jax' path errored (via broadcasting) while 'fused' returned a wrong
+    solution silently."""
+    from gato_tpu.solver import solve_batched
+
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=3)
+    bad = blocks._replace(c=np.asarray(blocks.c)[:-1])  # (K-1, s) slip
+    for be in ("jax", "pallas", "fused"):
+        with pytest.raises(ValueError, match="blocks.c shape"):
+            solve(spec, bad, SolverOptions(), pcg_backend=be)
+    with pytest.raises(ValueError, match="leading batch axis"):
+        solve_batched(spec, blocks, SolverOptions())  # no batch axis
+
+
+def test_malformed_sequence_blocks_rejected():
+    import jax.numpy as jnp
+
+    from gato_tpu import solve_sequence
+
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=4)
+    T = 3
+    seq = type(blocks)(*(jnp.broadcast_to(jnp.asarray(a), (T,) + a.shape)
+                         for a in blocks))
+    bad = seq._replace(c=np.asarray(seq.c)[:, :-1])
+    with pytest.raises(ValueError, match="blocks.c shape"):
+        solve_sequence(spec, bad, SolverOptions())
+
+
+def test_solver_options_preconditioner_strings():
+    """The enum's string values are accepted (the kernel-level APIs use
+    exactly these strings); unknown names raise at construction instead of
+    an AttributeError deep in the solve."""
+    from gato_tpu.problem import Preconditioner
+
+    o = SolverOptions(preconditioner="symmetric_stair")
+    assert o.preconditioner is Preconditioner.SYMMETRIC_STAIR
+    spec = ProblemSpec(2, 1, 5)
+    blocks = random_blocks(spec, seed=5)
+    res = solve(spec, blocks, SolverOptions(preconditioner="jacobi"),
+                pcg_backend="jax")
+    assert bool(res.converged)
+    with pytest.raises(ValueError):
+        SolverOptions(preconditioner="block-jacobi")

@@ -96,3 +96,41 @@ def test_pack_kkt_sparse_matches_raw_csr():
 
     with pytest.raises(TypeError, match="scipy.sparse"):
         pack_kkt_sparse(spec, object(), C, p.g, p.c)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_pack_C_rejects_entries_right_of_identity_block(use_native,
+                                                        monkeypatch):
+    """Only column block k+1 (the implicit +I on x_{k+1}) is skippable; an
+    entry further right is out-of-pattern garbage and must raise (module
+    docstring contract) on BOTH the NumPy and native paths — previously it
+    was silently dropped."""
+    from gato_tpu import formats
+
+    monkeypatch.setattr(formats, "USE_NATIVE", use_native)
+    spec = ProblemSpec(2, 1, 3)  # s=2, c=1, K=3 -> sc=3, nl=6, nz=8
+    indptr = np.array([0, 1, 2, 4, 5, 6, 7])
+    indices = np.array([0, 1, 0, 6, 1, 3, 4])  # col 6 = block 2 on row k=0
+    data = np.array([1.0, 1.0, 1.0, 99.0, 1.0, 1.0, 1.0], np.float32)
+    with pytest.raises(ValueError, match="right of the x_.k.1. identity"):
+        formats.pack_C(spec, indptr, indices, data)
+
+
+@pytest.mark.parametrize("use_native", [False, True])
+def test_pack_C_still_skips_identity_block(use_native, monkeypatch):
+    """The legitimate +I entries at column block k+1 (cols sc*(k+1)+i) are
+    skipped, not errors, on both paths."""
+    from gato_tpu import formats
+
+    monkeypatch.setattr(formats, "USE_NATIVE", use_native)
+    spec = ProblemSpec(2, 1, 3)
+    # Rows 2,3 (interval 0): A entries at cols 0/1 plus the identity at
+    # cols 3,4 (= sc*1 + i); rows 4,5 (interval 1): A at cols 3/4, identity
+    # at cols 6,7.
+    indptr = np.array([0, 1, 2, 4, 6, 8, 10])
+    indices = np.array([0, 1, 0, 3, 1, 4, 3, 6, 4, 7])
+    data = np.ones(10, np.float32)
+    A, B = formats.pack_C(spec, indptr, indices, data)
+    assert A[0, 0, 0] == 1.0 and A[0, 1, 1] == 1.0
+    assert A[1, 0, 0] == 1.0 and A[1, 1, 1] == 1.0
+    assert np.all(np.asarray(B) == 0.0)
