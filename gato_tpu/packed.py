@@ -29,11 +29,14 @@ No reference equivalent: the CUDA solver re-runs its CSR->custom conversion
 per ``linsys_solve`` call and keeps inputs device-resident only inside the
 one-call testiters loop (/root/reference/gpu_library.cu:140-157).
 
-Scope: the fused (VMEM-resident) kernel tiers only — method='pcg' (PCG
-kernel) and method='direct' (cyclic-reduction kernel), float32.  Horizons
-over the fused VMEM budget raise at :func:`pack` time (use the 'pallas'
-long-horizon tier through the standard API; its per-call cost is dominated
-by the solve itself, not the relayout).
+Scope: float32 kernel tiers — method='pcg' (VMEM-resident fused kernel,
+or the long-horizon whole-solve tier kernels/longk.py past the fused VMEM
+budget: the plan carries tier='longk' and solves through the same packed
+seam the MPC sequence path uses, longk._solve_longk_packed) and
+method='direct' (cyclic-reduction kernel, fused tier only).  Shapes no
+kernel tier owns (direct over budget; PCG in the gap where only the
+split XLA-condense + resident-PCG path applies, or beyond the longk
+tiers) raise at :func:`pack` time — use the standard solve() API there.
 """
 
 from __future__ import annotations
@@ -63,7 +66,11 @@ class PackPlan(NamedTuple):
     sets, so their VMEM budgets (and hence g/L packing) can differ; a packed
     value is only valid for the kernel it was planned against.
     ``batched`` records whether the caller supplied a leading batch axis
-    (``unpack`` restores the caller's shape convention)."""
+    (``unpack`` restores the caller's shape convention).
+    ``tier`` is 'fused' (VMEM-resident whole-solve kernels) or 'longk'
+    (the long-horizon whole-solve tier, kernels/longk.py) — longk packs
+    one problem per group (g=1, L=Kp) and re-derives its chunking/tier
+    statics from (K, s, c) at dispatch (longk._plan_dispatch)."""
 
     method: str      # 'pcg' | 'direct'
     batched: bool    # caller passed (B, K, ...) rather than (K, ...)
@@ -76,6 +83,7 @@ class PackPlan(NamedTuple):
     L: int
     n_groups: int
     sp: int
+    tier: str = "fused"
 
 
 @functools.partial(
@@ -139,6 +147,16 @@ def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
               batched: bool) -> PackPlan:
     from .kernels import direct_fused, fused_solve
 
+    if method == "pcg" and not fused_solve.fits_vmem(K, s, c):
+        from .kernels import longk
+
+        if longk.should_dispatch(K, s, c):
+            # Long-horizon tier: one problem per group in (B, ·, sp, Kp)
+            # layout (longk.solve_longk_batched's pm/pv convention).
+            sp, Kp, _, _ = longk.plan_longk(K, s, c)
+            return PackPlan(method=method, batched=batched, batch=Bn, K=K,
+                            s=s, c=c, K_sub=Kp, g=1, L=Kp, n_groups=Bn,
+                            sp=sp, tier="longk")
     mod = direct_fused if method == "direct" else fused_solve
     K_sub, g, L, n_groups, sp = mod.plan_packing(Bn, K, s, c)
     return PackPlan(method=method, batched=batched, batch=Bn, K=K, s=s, c=c,
@@ -183,10 +201,11 @@ def pack(
         methods; ``solve_packed`` relabels when geometries match and raises
         otherwise.
 
-    Raises ValueError when the horizon exceeds the chosen kernel's VMEM
-    budget (those regimes run the 'pallas' long-horizon tier through the
-    standard ``solve`` API, where relayout is not the dominant cost) or when
-    the blocks are not float32 (the Mosaic kernels lower float32 only).
+    For method='pcg', horizons past the fused VMEM budget plan the
+    long-horizon whole-solve tier (kernels/longk.py) automatically
+    (``plan.tier == 'longk'``).  Raises ValueError when no kernel tier owns
+    the shape (see module docstring) or when the blocks are not float32
+    (the Mosaic kernels lower float32 only).
     """
     if method not in ("pcg", "direct"):
         raise ValueError(f"unknown method {method!r}; valid: 'pcg', 'direct'")
@@ -285,6 +304,33 @@ def _solve_packed_direct(
         iters=jnp.zeros((plan.batch,), jnp.int32),
         converged=residual_converged(eta_b, per(gnorm)),
         eta=eta_b, plan=plan,
+    )
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "precond", "poly_degree", "interpret"),
+)
+def _solve_packed_longk(
+    Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters, *,
+    plan: PackPlan, precond: str, poly_degree: int, interpret: bool,
+):
+    from .kernels import longk
+
+    # Chunking / in-tier selection statics are a pure function of the
+    # problem shape — re-derived here rather than stored in the plan.
+    sp, Kp, Lc, n_chunks, ltier, stream = longk._plan_dispatch(
+        plan.K, plan.s, plan.c, None, None)
+    lamb, dzxb, dzub, iters, conv, eta = longk._solve_longk_packed(
+        Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters,
+        s=plan.s, cdim=plan.c, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        tier=ltier, stream=stream, poly_degree=poly_degree,
+        preconditioner=precond, interpret=interpret,
+    )
+    return PackedSolveResult(
+        lam_p=lamb, dzx_p=dzxb, dzu_p=dzub,
+        iters=iters[:, 0, 0], converged=conv[:, 0, 0] != 0,
+        eta=eta[:, 0, 0], plan=plan,
     )
 
 
@@ -399,6 +445,16 @@ def solve_packed(
                 f"lam0 shape {lam0.shape} is neither the packed carry "
                 f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
                 f"{public}")
+    if plan.tier == "longk":
+        return _solve_packed_longk(
+            packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+            packed.qb, packed.rb, packed.cb, lb,
+            rho,
+            _cached_const(options.exit_tol, dt),
+            _cached_const(options.max_iters, jnp.int32),
+            plan=plan, precond=options.preconditioner.value,
+            poly_degree=options.precond_poly_degree, interpret=interpret,
+        )
     # Same unroll policy as solve_fused_batched (measured on v5e: while-trip
     # overhead only dominates at g=1).
     unroll = 4 if plan.g == 1 else 1

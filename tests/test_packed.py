@@ -191,3 +191,55 @@ def test_pack_rejects_over_budget_horizon(monkeypatch):
     _, bb = _stack(SPEC, 1, seed0=0)
     with pytest.raises(ValueError, match="VMEM budget"):
         pk.pack(SPEC, bb)
+
+
+def test_packed_longk_tier(monkeypatch):
+    """Past the fused VMEM budget, pack() plans the long-horizon tier and
+    solve_packed runs the same packed seam as solve_longk_batched — bitwise.
+    Budgets are shrunk so the boundary sits at an interpret-affordable
+    shape (the real-K boundary runs through bench.py/verify on device)."""
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.kernels import pcg_pallas as pp
+    from gato_tpu.kernels import longk
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES", 10_000)
+    spec = ProblemSpec(3, 2, 48)
+    assert not fs.fits_vmem(48, 3, 2) and longk.should_dispatch(48, 3, 2)
+
+    n = 2
+    _, bb = _stack(spec, n, seed0=400)
+    opts = dataclasses.replace(OPTS, max_iters=200)
+    packed = pk.pack(spec, bb)
+    assert packed.plan.tier == "longk"
+    res = pk.solve_packed(packed, opts)
+
+    ref, dzx_ref, dzu_ref = longk.solve_longk_batched(
+        *bb, rho=opts.rho, exit_tol=opts.exit_tol, max_iters=opts.max_iters)
+    out = res.unpack()
+    np.testing.assert_array_equal(np.asarray(out.iters),
+                                  np.asarray(ref.iters))
+    np.testing.assert_array_equal(np.asarray(out.lam), np.asarray(ref.lam))
+    np.testing.assert_array_equal(np.asarray(out.dz_x), np.asarray(dzx_ref))
+    np.testing.assert_array_equal(np.asarray(out.dz_u), np.asarray(dzu_ref))
+
+    # Parity with the numerics oracle (exact iteration counts), and the
+    # packed warm-start carry works across the longk seam too.
+    jax_ref = solve_batched(spec, bb, opts, pcg_backend="jax")
+    np.testing.assert_array_equal(np.asarray(out.iters),
+                                  np.asarray(jax_ref.iters))
+    again = pk.solve_packed(packed, opts, lam0=res.lam_packed)
+    assert int(np.max(np.asarray(again.iters))) <= 1
+
+    # rhs-only refresh flows through the longk plan unchanged.
+    _, bb2 = _stack(spec, n, seed0=500)
+    refreshed = pk.update_vectors(packed, bb2.q, bb2.r, bb2.c)
+    r2 = pk.solve_packed(refreshed, opts).unpack()
+    ref2 = solve_batched(spec, bb._replace(q=bb2.q, r=bb2.r, c=bb2.c),
+                         opts, pcg_backend="jax")
+    np.testing.assert_array_equal(np.asarray(r2.iters),
+                                  np.asarray(ref2.iters))
+
+    # direct has no long-horizon kernel: the cross-method relabel refuses.
+    with pytest.raises(ValueError, match="different packing geometry"):
+        pk.solve_packed(packed, dataclasses.replace(opts, method="direct"))
