@@ -482,3 +482,145 @@ def solve_sharded(
         mesh=mesh, axis_name=axis_name, preconditioner=preconditioner,
         poly_degree=poly_degree, use_kernel=use_kernel,
     )
+
+
+# --------------------------------------------------------------------------
+# Multi-chip packed serving: one PackedKKT, groups sharded over the mesh.
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "local_plan", "precond",
+                     "poly_degree", "interpret"),
+)
+def _solve_packed_dp_core(
+    Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters,
+    mesh: Mesh, axis_name: str, local_plan, precond: str,
+    poly_degree: int, interpret: bool,
+):
+    from .. import packed as pk
+
+    def body(Qs, Rs, As, Bs, qs, rs, cs, ls, rho_, tol_, mi_):
+        if local_plan.method == "direct":
+            return pk._solve_packed_direct(
+                Qs, Rs, As, Bs, qs, rs, cs, rho_,
+                plan=local_plan, interpret=interpret)
+        if local_plan.tier == "longk":
+            return pk._solve_packed_longk(
+                Qs, Rs, As, Bs, qs, rs, cs, ls, rho_, tol_, mi_,
+                plan=local_plan, precond=precond, poly_degree=poly_degree,
+                interpret=interpret)
+        return pk._solve_packed_pcg(
+            Qs, Rs, As, Bs, qs, rs, cs, ls, rho_, tol_, mi_,
+            plan=local_plan, precond=precond, poly_degree=poly_degree,
+            interpret=interpret, unroll=4 if local_plan.g == 1 else 1)
+
+    out_specs = pk.PackedSolveResult(
+        lam_p=P(axis_name), dzx_p=P(axis_name), dzu_p=P(axis_name),
+        iters=P(axis_name), converged=P(axis_name), eta=P(axis_name),
+        plan=local_plan,
+    )
+    run = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(axis_name),) * 8 + (P(), P(), P()),
+        out_specs=out_specs,
+        # pallas_call out_shapes carry no varying-mesh-axes annotation; the
+        # body is embarrassingly parallel (no collectives), so skip the
+        # check (same reasoning as _solve_batched_dp_core).
+        check_vma=False,
+    )
+    return run(Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters)
+
+
+def solve_packed_dp(
+    mesh: Mesh,
+    packed,
+    options=None,
+    lam0=None,
+    *,
+    axis_name: str = "dp",
+):
+    """Serve one :class:`gato_tpu.packed.PackedKKT` across the mesh.
+
+    The packed layout's group axis is already the natural sharding axis:
+    groups hold CONTIGUOUS problem blocks (fused_solve._pack_vec's reshape),
+    and the kernel grid walks groups sequentially on one chip — sharding
+    the same arrays over ``axis_name`` turns that walk into parallel
+    per-device walks with zero cross-device communication.  Pack once,
+    fleet-serve on every chip; the packed warm-start carry
+    (``result.lam_packed``) shards the same way, so an MPC serving loop
+    never leaves the packed layout OR the mesh.  Composes the packed
+    serving story (gato_tpu.packed) with the dp deployment of
+    :func:`solve_batched_dp`; supports both fused tiers and the
+    long-horizon tier (plan.tier == 'longk', where each group IS one
+    problem).  No reference equivalent.
+
+    Requirements (raise otherwise): ``plan.n_groups`` divisible by the mesh
+    axis, and a pad-problem-free packing (``plan.batch == n_groups * g``) so
+    every device extracts the same local batch; plan a batch that divides
+    evenly for fleet deployment.
+
+    Returns a PackedSolveResult with the GLOBAL plan (arrays sharded over
+    ``axis_name``); ``.unpack()`` gives (B, K, s) results.
+    """
+    import dataclasses
+
+    from .. import packed as pk
+    from ..problem import SolverOptions
+
+    if options is None:
+        options = SolverOptions()
+    plan = packed.plan
+    n = mesh.shape[axis_name]
+    if options.method != plan.method:
+        raise ValueError(
+            f"this PackedKKT was packed for method={plan.method!r}; "
+            f"solve_packed_dp does not relabel — repack with "
+            f"pack(..., method={options.method!r})")
+    if jnp.dtype(options.dtype) != jnp.float32:
+        raise ValueError("solve_packed_dp runs float32-only Mosaic kernels")
+    if plan.n_groups % n:
+        raise ValueError(
+            f"packed n_groups={plan.n_groups} not divisible by mesh axis "
+            f"{axis_name}={n}")
+    if plan.batch != plan.n_groups * plan.g:
+        raise ValueError(
+            f"packed batch {plan.batch} leaves a ragged final group "
+            f"({plan.n_groups} groups x g={plan.g}); devices would extract "
+            f"unequal local batches — pack a batch of "
+            f"{plan.n_groups * plan.g}")
+    local_plan = plan._replace(batch=plan.batch // n,
+                               n_groups=plan.n_groups // n)
+
+    dt = jnp.float32
+    if lam0 is None:
+        lb = _cached_const(0, dt, (plan.n_groups, plan.sp, plan.L))
+    else:
+        lam0 = jnp.asarray(lam0, dt)
+        if lam0.shape == (plan.n_groups, plan.sp, plan.L):
+            lb = lam0  # the packed carry, possibly already mesh-sharded
+        else:
+            from ..kernels.fused_solve import _pack_vec
+
+            if lam0.shape != (plan.batch, plan.K, plan.s):
+                raise ValueError(
+                    f"lam0 shape {lam0.shape} is neither the packed carry "
+                    f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
+                    f"{(plan.batch, plan.K, plan.s)}")
+            lb = _pack_vec(lam0, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+
+    interpret = jax.default_backend() != "tpu"
+    res = _solve_packed_dp_core(
+        packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+        packed.qb, packed.rb, packed.cb, lb,
+        _cached_const(options.rho, dt),
+        _cached_const(options.exit_tol, dt),
+        _cached_const(options.max_iters, jnp.int32),
+        mesh=mesh, axis_name=axis_name, local_plan=local_plan,
+        precond=options.preconditioner.value,
+        poly_degree=options.precond_poly_degree, interpret=interpret,
+    )
+    # shard_map concatenated the per-device results; restore the global plan.
+    return dataclasses.replace(res, plan=plan)

@@ -246,3 +246,113 @@ def test_solve_sharded_second_call_hits_jit_cache():
                                         exit_tol=1e-8, max_iters=200)
         assert bool(res.converged)
     assert _solve_sharded_core._cache_size() == 1
+
+
+def test_solve_packed_dp_matches_single_device(monkeypatch):
+    """One PackedKKT served over the mesh: groups shard, each device runs
+    its groups' kernel grid — results bitwise-identical to the single-device
+    packed solve (the grid programs never interact)."""
+    import dataclasses
+
+    from gato_tpu import packed as pk
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.parallel.sharded import solve_packed_dp
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 270_000)  # multi-group
+    spec = ProblemSpec(3, 2, 12)
+    B = 16
+    problems = [random_blocks(spec, seed=60 + i) for i in range(B)]
+    bb = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                           for p in problems]))
+                     for f in range(7)))
+    opts = SolverOptions(rho=1e-2, exit_tol=1e-10, max_iters=300)
+    packed = pk.pack(spec, bb)
+    assert packed.plan.n_groups == 2 and packed.plan.batch == 16
+
+    single = pk.solve_packed(packed, opts)
+    dp = solve_packed_dp(_mesh(2, "dp"), packed, opts)
+    assert dp.plan == packed.plan
+    # Exact iteration parity; values to f32 round-off.  NOT bitwise here:
+    # each device runs a grid of n_groups/n programs where the single-device
+    # solve runs one grid of n_groups, and interpret mode's grid compilation
+    # reassociates reductions with the grid count (verified: pipeline-vs-DMA
+    # at EQUAL grid is bitwise; grid 1 vs 2 differs at ~4e-6).
+    np.testing.assert_array_equal(np.asarray(dp.iters),
+                                  np.asarray(single.iters))
+    np.testing.assert_array_equal(np.asarray(dp.converged),
+                                  np.asarray(single.converged))
+    for f in ("lam_p", "dzx_p", "dzu_p"):
+        np.testing.assert_allclose(np.asarray(getattr(dp, f)),
+                                   np.asarray(getattr(single, f)),
+                                   rtol=1e-4, atol=1e-4, err_msg=f)
+
+    # The packed warm-start carry works across the mesh too.
+    again = solve_packed_dp(_mesh(2, "dp"), packed, opts,
+                            lam0=dp.lam_packed)
+    assert int(np.max(np.asarray(again.iters))) <= 1
+
+    # Direct method through the same deployment.
+    opts_d = dataclasses.replace(opts, method="direct")
+    pd = pk.pack(spec, bb, method="direct")
+    if pd.plan.n_groups % 2 == 0 and pd.plan.batch == (
+            pd.plan.n_groups * pd.plan.g):
+        dp_d = solve_packed_dp(_mesh(2, "dp"), pd, opts_d)
+        sd = pk.solve_packed(pd, opts_d)
+        np.testing.assert_allclose(np.asarray(dp_d.unpack().lam),
+                                   np.asarray(sd.unpack().lam),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_solve_packed_dp_longk_tier(monkeypatch):
+    """The long-horizon tier dp-shards too (each group IS one problem)."""
+    from gato_tpu import packed as pk
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.kernels import pcg_pallas as pp
+    from gato_tpu.parallel.sharded import solve_packed_dp
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES", 10_000)
+    spec = ProblemSpec(3, 2, 48)
+    B = 4
+    problems = [random_blocks(spec, seed=80 + i) for i in range(B)]
+    bb = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                           for p in problems]))
+                     for f in range(7)))
+    opts = SolverOptions(rho=1e-3, exit_tol=1e-10, max_iters=300)
+    packed = pk.pack(spec, bb)
+    assert packed.plan.tier == "longk"
+    single = pk.solve_packed(packed, opts)
+    dp = solve_packed_dp(_mesh(2, "dp"), packed, opts)
+    np.testing.assert_array_equal(np.asarray(dp.iters),
+                                  np.asarray(single.iters))
+    np.testing.assert_allclose(np.asarray(dp.unpack().lam),
+                               np.asarray(single.unpack().lam),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_solve_packed_dp_validation(monkeypatch):
+    import dataclasses
+
+    from gato_tpu import packed as pk
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.parallel.sharded import solve_packed_dp
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 270_000)
+    spec = ProblemSpec(3, 2, 12)
+    opts = SolverOptions(rho=1e-2, exit_tol=1e-10, max_iters=300)
+
+    def stack(B, seed0):
+        ps = [random_blocks(spec, seed=seed0 + i) for i in range(B)]
+        return KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                                 for p in ps]))
+                           for f in range(7)))
+
+    ragged = pk.pack(spec, stack(15, 100))  # 2 groups x g=8, batch 15
+    with pytest.raises(ValueError, match="ragged final group"):
+        solve_packed_dp(_mesh(2, "dp"), ragged, opts)
+    packed = pk.pack(spec, stack(16, 100))
+    with pytest.raises(ValueError, match="not divisible by mesh axis"):
+        solve_packed_dp(_mesh(4, "dp"), packed, opts)  # 2 groups / 4 devs
+    with pytest.raises(ValueError, match="does not relabel"):
+        solve_packed_dp(_mesh(2, "dp"), packed,
+                        dataclasses.replace(opts, method="direct"))
