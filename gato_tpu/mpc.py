@@ -113,6 +113,24 @@ def _solve_sequence_batched_core(
     return outs
 
 
+def _resolve_sequence_backend(pcg_backend, options, spec, caller: str) -> str:
+    """Backend choice for the warm-started sequence entry points — one
+    definition of the (auto | jax | pallas | fused) ladder both share.
+    Portable default is the lax.while_loop PCG; on TPU the auto default is
+    the per-step fused whole-solve kernel (warm-started from the carry).
+    Explicit requests that can't be honored raise — no silent degradation."""
+    if pcg_backend is None:
+        return default_pcg_backend(batched=True, spec=spec,
+                                   dtype=options.dtype)
+    if pcg_backend in ("jax", "pallas", "fused"):
+        _reject_non_f32_kernels(pcg_backend, options.dtype)
+        return pcg_backend
+    raise ValueError(
+        f"{caller} supports pcg_backend in (None, 'jax', 'pallas', "
+        f"'fused'); got {pcg_backend!r}"
+    )
+
+
 def solve_sequence_batched(
     spec: ProblemSpec,
     blocks: KKTBlocks,
@@ -162,17 +180,8 @@ def solve_sequence_batched(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
-    if pcg_backend is None:
-        backend = default_pcg_backend(batched=True, spec=spec,
-                                      dtype=options.dtype)
-    elif pcg_backend in ("jax", "pallas", "fused"):
-        _reject_non_f32_kernels(pcg_backend, options.dtype)
-        backend = pcg_backend
-    else:
-        raise ValueError(
-            f"solve_sequence_batched supports pcg_backend in (None, 'jax', "
-            f"'pallas', 'fused'); got {pcg_backend!r}"
-        )
+    backend = _resolve_sequence_backend(pcg_backend, options, spec,
+                                        "solve_sequence_batched")
     return _solve_sequence_batched_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0, rhos,
@@ -234,19 +243,8 @@ def solve_sequence(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
-    # Portable default is the lax.while_loop PCG; on TPU the auto default is
-    # the per-step fused whole-solve kernel (warm-started from the carry).
-    # Explicit requests that can't be honored raise — no silent degradation.
-    if pcg_backend is None:
-        backend = default_pcg_backend(spec=spec, dtype=options.dtype)
-    elif pcg_backend in ("jax", "pallas", "fused"):
-        _reject_non_f32_kernels(pcg_backend, options.dtype)
-        backend = pcg_backend
-    else:
-        raise ValueError(
-            f"solve_sequence supports pcg_backend in (None, 'jax', 'pallas', "
-            f"'fused'); got {pcg_backend!r}"
-        )
+    backend = _resolve_sequence_backend(pcg_backend, options, spec,
+                                        "solve_sequence")
     # The single sequence is the B=1 case of the batched core (one code path
     # to maintain; the fused kernel wrapper makes the same delegation).
     res = _solve_sequence_batched_core(

@@ -356,3 +356,26 @@ def test_solve_packed_dp_validation(monkeypatch):
     with pytest.raises(ValueError, match="does not relabel"):
         solve_packed_dp(_mesh(2, "dp"), packed,
                         dataclasses.replace(opts, method="direct"))
+
+
+def test_solve_packed_dp_second_call_hits_jit_cache(monkeypatch):
+    """A fleet-serving loop must not retrace: the second call with fresh
+    data and the packed carry reuses the compiled executable."""
+    from gato_tpu import packed as pk
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.parallel import sharded as sh
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 270_000)
+    spec = ProblemSpec(3, 2, 12)
+    ps = [random_blocks(spec, seed=120 + i) for i in range(16)]
+    bb = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f]) for p in ps]))
+                     for f in range(7)))
+    opts = SolverOptions(rho=1e-2, exit_tol=1e-10, max_iters=300)
+    packed = pk.pack(spec, bb)
+    mesh = _mesh(2, "dp")
+    first = sh.solve_packed_dp(mesh, packed, opts)
+    size = sh._solve_packed_dp_core._cache_size()
+    refreshed = pk.update_vectors(packed, np.asarray(bb.q) * 1.01,
+                                  bb.r, bb.c)
+    sh.solve_packed_dp(mesh, refreshed, opts, lam0=first.lam_packed)
+    assert sh._solve_packed_dp_core._cache_size() == size
