@@ -192,6 +192,22 @@ def _solve_flops_bytes(kind, s, c, K, iters, poly_degree=1):
               + _flops_recover(s, c, K))
         floor = io + 4 * _bytes_op_plain(s, K)
         return fl, floor, io + 6 * _bytes_op_plain(s, K)
+    if kind == "direct_xl":
+        # Long-horizon exact tier (longk._direct_xl_call): chunked condense
+        # writes S (packed) once, the CR kernel DMAs it once and runs
+        # log2(Kp) lane-parallel elimination levels — every level computes
+        # on ALL Kp lanes (masked blend), unlike the XLA CR's halving
+        # schedule, so the FLOP count carries the levels*Kp factor.  The
+        # in-place CR destroys its scratch copy, so the true-residual check
+        # re-reads S once more in XLA (the third packed-operator pass).
+        Kp = _round_up(K, 128)
+        levels = max(1, (Kp - 1).bit_length())
+        fl = (_flops_condense(s, c, K, precond=None)
+              + levels * Kp * (_gj(s) + 6 * 2 * s ** 3 + 4 * 2 * s * s)
+              + _flops_recover(s, c, K))
+        rt = 2 * 4 * (s + c) * _round_up(s, 8) * Kp   # Qinv/Rinv round-trip
+        b = io + 3 * _bytes_op_packed(s, K) + rt
+        return fl, b, b
     raise ValueError(kind)
 
 
@@ -801,6 +817,38 @@ def main():
                 raise AssertionError(
                     f"long-horizon parity failure at K={K}: jax {ij} "
                     f"vs kernel {ik} iterations")
+
+    # Long-horizon EXACT tier: method='direct' past the fused CR kernel's
+    # packing budget — whole block cyclic reduction in one kernel
+    # (longk.solve_direct_longk) vs the XLA Thomas path, with an on-device
+    # agreement check (both exact; f32 round-off).
+    spec_1k = ProblemSpec(14, 7, 1024)
+    C["iiwa_horizon_1024_direct"] = bench_single(spec_1k, direct_opts, "jax",
+                                                 T=16)
+    annotate_roofline(C["iiwa_horizon_1024_direct"], spec_1k, "direct_jax")
+    _log(f"horizon 1024 direct jax: {C['iiwa_horizon_1024_direct']}")
+    if have_pallas:
+        from gato_tpu.kernels import longk as _longk
+        from gato_tpu.solver import solve
+
+        assert _longk.fits_direct_xl(1024, 14, 7)
+        C["iiwa_horizon_1024_direct_xl"] = bench_single(
+            spec_1k, direct_opts, "pallas", T=64)
+        annotate_roofline(C["iiwa_horizon_1024_direct_xl"], spec_1k,
+                          "direct_xl")
+        _log(f"horizon 1024 direct kernel (xl): "
+             f"{C['iiwa_horizon_1024_direct_xl']}")
+        blk_1k = _staged_blocks(spec_1k, seed=7)
+        dl_jax = solve(spec_1k, blk_1k, direct_opts, pcg_backend="jax")
+        dl_xl = solve(spec_1k, blk_1k, direct_opts, pcg_backend="pallas")
+        float(jnp.sum(dl_jax.lam) + jnp.sum(dl_xl.lam))
+        dl_scale = float(np.max(np.abs(np.asarray(dl_jax.lam)))) or 1.0
+        dl_err = float(np.max(np.abs(
+            np.asarray(dl_xl.lam) - np.asarray(dl_jax.lam)))) / dl_scale
+        C["iiwa_horizon_1024_direct_xl"]["rel_err_vs_jax"] = dl_err
+        if dl_err > 1e-3:
+            raise AssertionError(
+                f"long-horizon direct parity failure: rel err {dl_err}")
 
     if have_pallas:
         C["iiwa_batch_256_fused"] = bench_batch(iiwa, opts, "fused", T=32)

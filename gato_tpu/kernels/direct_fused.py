@@ -20,10 +20,10 @@ for the per-level algebra), laid out TPU-natively:
   rows of the level); rolls by +-2^l gather the odd neighbors of the
   surviving "even" rows.  All lanes compute; a per-level 0/1 mask blends the
   update into even lanes only, so odd lanes RETAIN their level-l system
-  (D, L, U, b) — exactly the state back-substitution needs, with no
-  per-level storage except one persistent Dinv stack (each lane is
-  eliminated at exactly one level, so a single s-column array holds every
-  lane's Dinv).
+  (L, U, b) — exactly the state back-substitution needs — while their D
+  slot retires holding their Dinv (each lane is eliminated at exactly one
+  level, and a retired lane's D is never read again, so the D stack doubles
+  as the Dinv store: zero extra per-level storage).
 * No masking is needed for the neighbor READS: an out-of-range or
   cross-segment roll is always multiplied by a structurally zero L/U block.
   Invariant (induction over levels, base case = the trajectory boundary
@@ -79,10 +79,12 @@ def _lane_budget(K: int, s: int, c: int):
     sp = _round_up(s, _SUBLANE)
     K_sub = _round_up(K, _SUBLANE)
     # Column count per lane (f32 words x sp): inputs (2s+2c), condensation
-    # intermediates (~4s + 2c), CR state D/L/U/DinvStore/Dinv_cur (~5s) +
-    # roll transients (~4s), original S + gamma kept for the residual (3s),
-    # vectors (~8).  Mosaic's liveness reuse makes this an over-estimate;
-    # the budget constant absorbs the slack (validated on-device).
+    # intermediates (~4s + 2c), CR state D(+merged Dinv)/L/U/Dinv_cur (~4s)
+    # + roll transients (~4s), original S + gamma kept for the residual
+    # (3s), vectors (~8).  Mosaic's liveness reuse makes this an
+    # over-estimate; the budget constant absorbs the slack (validated
+    # on-device; the merged-Dinv store left it untouched — headroom, not a
+    # retune).
     words_per_lane = sp * (13 * s + 5 * c + 10)
     max_lanes = _VMEM_BUDGET_BYTES // (4 * words_per_lane)
     return sp, K_sub, int(max_lanes)
@@ -126,7 +128,6 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
     """
     dt = bv.dtype
     levels = _n_levels(K_sub)
-    DinvStore = [jnp.zeros_like(Dc[0]) for _ in range(s)]
 
     for lev in range(levels):
         h = 1 << lev
@@ -140,10 +141,6 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
         Dinv_cur = _gj_inv(Dc, s, sp)
         odd_f = (lane_in_seg % (2 * h) == h).astype(dt)
         even_f = (lane_in_seg % (2 * h) == 0).astype(dt)
-
-        # Persist the Dinv of the rows eliminated at this level.
-        DinvStore = [odd_f * Dinv_cur[b] + (1.0 - odd_f) * DinvStore[b]
-                     for b in range(s)]
 
         DinvL = [rp(x) for x in Dinv_cur]
         DinvR = [rm(x) for x in Dinv_cur]
@@ -164,14 +161,23 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
         b_new = bv - _mat_vec(Am, bL, s) - _mat_vec(Bm, bR, s)
 
         # Blend into even lanes only; odd lanes keep their level-lev system
-        # for back-substitution.
-        Dc = [even_f * D_new[b] + (1.0 - even_f) * Dc[b] for b in range(s)]
+        # for back-substitution.  An odd (retiring) lane's D is DEAD after
+        # this level — back-substitution reads only its b/L/U plus its
+        # Dinv — so the Dinv is stored INTO the D slot: even lanes take the
+        # reduced D_new, odd lanes retire holding Dinv_cur, every other lane
+        # keeps what it holds (live D, or an earlier level's Dinv).  This
+        # replaces the separate s-column DinvStore stack of the original
+        # formulation with identical values at every read site — one fewer
+        # persistent operator-sized stack in VMEM.
+        Dc = [even_f * D_new[b] + odd_f * Dinv_cur[b]
+              + (1.0 - even_f - odd_f) * Dc[b] for b in range(s)]
         Lc = [even_f * L_new[b] + (1.0 - even_f) * Lc[b] for b in range(s)]
         Uc = [even_f * U_new[b] + (1.0 - even_f) * Uc[b] for b in range(s)]
         bv = even_f * b_new + (1.0 - even_f) * bv
 
     # Root solve: each segment's surviving system is the single block at
-    # in-segment lane 0.
+    # in-segment lane 0 (the only lane whose D slot still holds a live D —
+    # the GJ output at retired lanes is garbage-in-garbage-out, masked away).
     root_f = (lane_in_seg == 0).astype(dt)
     Dinv_root = _gj_inv(Dc, s, sp)
     x = root_f * _mat_vec(Dinv_root, bv, s)
@@ -190,7 +196,9 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
         xL = rp(x)
         xR = rm(x)
         rhs = bv - _mat_vec(Lc, xL, s) - _mat_vec(Uc, xR, s)
-        x_odd = _mat_vec(DinvStore, rhs, s)
+        # This level's odd lanes hold their Dinv in the D slot (stored at
+        # their elimination level above).
+        x_odd = _mat_vec(Dc, rhs, s)
         x = odd_f * x_odd + (1.0 - odd_f) * x
 
     return x

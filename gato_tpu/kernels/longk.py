@@ -683,6 +683,290 @@ def _pcg_stream_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
 
 
 # --------------------------------------------------------------------------
+# Direct (exact) tier: whole block cyclic reduction in one kernel.
+
+# What actually binds this tier is Mosaic's 16 MB SCOPED-vmem (stack)
+# limit, not total VMEM: with the CR's log2(Kp) levels Python-unrolled the
+# stack holds every level's intermediates at once — measured 20.2 MB at
+# Kp=1024 with SSA state, 18.7 MB with in-place scratch (Mosaic does not
+# coalesce stack slots across unrolled levels) — both hard compile errors.
+# _cr_solve_scratch therefore mutates the operator IN VMEM scratch and runs
+# the levels as a fori_loop (dynamic-shift rolls), so the stack holds ONE
+# level's transients: ~(10s + 6) (sp, Kp) f32 arrays (Dinv + its rolls
+# against the L/U reads, the four neighbor-product stacks, the D/L/U
+# updates, b/x vectors).  The formula below models that per-level stack;
+# 13 MB of modeled transients keeps the real stack under Mosaic's 16
+# (validated on-device at Kp=1024).
+_DIRECT_XL_BUDGET_BYTES = 13 * 1024 * 1024
+
+
+def fits_direct_xl(K: int, s: int, c: int) -> bool:
+    """True iff the long-horizon DIRECT tier compiles: one cyclic-reduction
+    level's transients fit Mosaic's scoped-vmem stack (see the budget note
+    above; the DMA'd operator scratch is small next to it).  Past it,
+    ``method='direct'`` falls back to the XLA path (exact either way, only
+    latency differs)."""
+    plan = plan_longk(K, s, c)
+    return plan.Kp * 4 * plan.sp * (10 * s + 6) <= _DIRECT_XL_BUDGET_BYTES
+
+
+def should_dispatch_direct(K: int, s: int, c: int) -> bool:
+    """True iff the longk direct tier owns this shape under the 'pallas'
+    backend: past the fused cyclic-reduction kernel's packing budget but
+    within direct-XL residency — the method='direct' analog of
+    :func:`should_dispatch` (one definition, used by solver dispatch)."""
+    from .direct_fused import fits_vmem as _fused_direct_fits
+
+    return not _fused_direct_fits(K, s, c) and fits_direct_xl(K, s, c)
+
+
+def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
+    """Block cyclic reduction with the operator state IN VMEM SCRATCH,
+    updated in place per level (the role of the reference's in-shared-memory
+    elimination, gato_utils.cuh:409-586) instead of carried as SSA values.
+    The functional direct_fused._cr_solve is the wrong shape at XL scale:
+    its Python-unrolled log2(Kp) levels keep every level's intermediates
+    live on Mosaic's scoped-vmem stack — measured 20.2 MB at Kp=1024
+    (> the 16 MB scoped limit), and still 18.7 MB with in-place scratch
+    alone (Mosaic does not coalesce stack slots across unrolled levels).
+    Same per-level algebra and masked-blend schedule as
+    direct_fused._cr_solve (incl. the merged Dinv-in-D-slot store); every
+    read of a level completes before its writes, so the computed values are
+    identical.  ``S_vm`` slots follow the blocktri convention 0=L, 1=D, 2=U;
+    the operator is DESTROYED (retired lanes hold their Dinv).  Returns x
+    with S x = b."""
+    dt = bv.dtype
+    levels = max(1, (Kp - 1).bit_length())
+
+    # The levels run as a fori_loop with a DYNAMIC shift h = 1 << lev
+    # (pltpu.roll takes traced shifts), not a Python unroll: unrolled, every
+    # level's transients occupy distinct Mosaic stack slots and the scoped-
+    # vmem footprint scales with level count (measured 18.7 MB at Kp=1024
+    # even with the in-place scratch — still over the 16 MB limit); as a
+    # loop the stack holds exactly one level's transients.
+
+    def _elim_level(lev, bv):
+        h = jnp.int32(1) << lev
+
+        def rp(x):   # value of lane k-h at lane k (left neighbor)
+            return pltpu.roll(x, shift=h, axis=x.ndim - 1)
+
+        def rm(x):   # value of lane k+h at lane k (right neighbor)
+            return pltpu.roll(x, shift=Kp - h, axis=x.ndim - 1)
+
+        Lc = [S_vm[0, col] for col in range(s)]
+        Dc = [S_vm[1, col] for col in range(s)]
+        Uc = [S_vm[2, col] for col in range(s)]
+        Dinv_cur = _gj_inv(Dc, s, sp)
+        odd_f = (lane % (2 * h) == h).astype(dt)
+        even_f = (lane % (2 * h) == 0).astype(dt)
+
+        Am = _mat_mat(Lc, [rp(x) for x in Dinv_cur], s)   # L_e D_{o,l}^-1
+        Bm = _mat_mat(Uc, [rm(x) for x in Dinv_cur], s)   # U_e D_{o,r}^-1
+        AU = _mat_mat(Am, [rp(x) for x in Uc], s)
+        BL = _mat_mat(Bm, [rm(x) for x in Lc], s)
+        b_new = bv - _mat_vec(Am, rp(bv), s) - _mat_vec(Bm, rm(bv), s)
+        L_new = [-x for x in _mat_mat(Am, [rp(x) for x in Lc], s)]
+        U_new = [-x for x in _mat_mat(Bm, [rm(x) for x in Uc], s)]
+
+        for col in range(s):
+            S_vm[1, col] = (even_f * (Dc[col] - AU[col] - BL[col])
+                            + odd_f * Dinv_cur[col]
+                            + (1.0 - even_f - odd_f) * Dc[col])
+        for col in range(s):
+            S_vm[0, col] = even_f * L_new[col] + (1.0 - even_f) * Lc[col]
+            S_vm[2, col] = even_f * U_new[col] + (1.0 - even_f) * Uc[col]
+        return even_f * b_new + (1.0 - even_f) * bv
+
+    bv = jax.lax.fori_loop(0, levels, _elim_level, bv)
+
+    # Root solve: lane 0 holds the only live D (see direct_fused._cr_solve).
+    root_f = (lane == 0).astype(dt)
+    Dinv_root = _gj_inv([S_vm[1, col] for col in range(s)], s, sp)
+    x = root_f * _mat_vec(Dinv_root, bv, s)
+
+    # Back-substitution: x_odd = Dinv (b - L x_left - U x_right); this
+    # level's odd lanes hold their Dinv in the D slot.
+    def _back_level(i, x):
+        h = jnp.int32(1) << (levels - 1 - i)
+
+        def rp(x_):
+            return pltpu.roll(x_, shift=h, axis=x_.ndim - 1)
+
+        def rm(x_):
+            return pltpu.roll(x_, shift=Kp - h, axis=x_.ndim - 1)
+
+        odd_f = (lane % (2 * h) == h).astype(dt)
+        rhs = (bv
+               - _mat_vec([S_vm[0, col] for col in range(s)], rp(x), s)
+               - _mat_vec([S_vm[2, col] for col in range(s)], rm(x), s))
+        x_odd = _mat_vec([S_vm[1, col] for col in range(s)], rhs, s)
+        return odd_f * x_odd + (1.0 - odd_f) * x
+
+    return jax.lax.fori_loop(0, levels, _back_level, x)
+
+
+def _direct_xl_call(Sb, gamb, *, s, sp, Kp, interpret):
+    """Exact solve of S lam = gamma with the WHOLE block cyclic reduction in
+    one kernel: grid over problems; each program DMAs its condensed operator
+    from HBM into single-buffered VMEM scratch once (the _pcg_xl_call idiom)
+    and runs :func:`_cr_solve_scratch` IN that scratch — log2(Kp)
+    lane-parallel elimination levels instead of the XLA path's K-sequential
+    Thomas sweep or its relayout-diseased batched CR (direct.btd_solve_cr).
+    The CR destroys the scratch copy; the true-residual eta is computed by
+    the caller in XLA from the HBM-resident Sb (one extra operator pass —
+    cheaper than a second operator-sized VMEM residency here).  Returns
+    packed lam (B, sp, Kp)."""
+    Bn = gamb.shape[0]
+    dt = gamb.dtype
+
+    def kernel(S_hbm, gam_ref, lam_out, S_vm, sems):
+        b = pl.program_id(0)
+        cp = pltpu.make_async_copy(S_hbm.at[b], S_vm, sems.at[0])
+        cp.start()
+        cp.wait()
+        lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+        lam_out[0] = _cr_solve_scratch(
+            S_vm, gam_ref[0], lane, s=s, sp=sp, Kp=Kp)
+
+    vec = pl.BlockSpec((1, sp, Kp), lambda b: (b, 0, 0),
+                       memory_space=pltpu.VMEM)
+    hbm = pl.BlockSpec(memory_space=pl.ANY)
+
+    levels = max(1, (Kp - 1).bit_length())
+    cost = pl.CostEstimate(
+        flops=int(Bn * Kp * sp * s * s * 8 * levels),
+        bytes_accessed=int(Sb.size * 4 + 2 * gamb.size * 4),
+        transcendentals=0,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(Bn,),
+        out_shape=jax.ShapeDtypeStruct((Bn, sp, Kp), dt),
+        in_specs=[hbm, vec],
+        out_specs=vec,
+        scratch_shapes=[
+            pltpu.VMEM((3, s, sp, Kp), dt),
+            pltpu.SemaphoreType.DMA((1,)),
+        ],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(Sb, gamb)
+
+
+def _direct_residual(Sb, gamb, lamb, *, s: int):
+    """Packed-layout squared true residual |gam - S lam|^2 and rhs norm
+    |gam|^2 per problem, in XLA on the HBM-resident packed operator (the
+    kernel's scratch copy is destroyed by the in-place CR).  Pad lanes and
+    pad sublanes contribute exact zeros (structurally zero blocks times the
+    finite pad-lane lam — _gj_inv clamps zero pivots).  Same roll convention
+    as the in-kernel matvec (_roll_p1: lane k reads k-1)."""
+    lamL = jnp.roll(lamb, 1, axis=-1)
+    lamR = jnp.roll(lamb, -1, axis=-1)
+
+    def mv(slot, x):
+        return sum(Sb[:, slot, col] * x[:, col:col + 1, :]
+                   for col in range(s))
+
+    resid = gamb - (mv(0, lamL) + mv(1, lamb) + mv(2, lamR))
+    eta = jnp.sum(resid * resid, axis=(-2, -1))
+    gnorm = jnp.sum(gamb * gamb, axis=(-2, -1))
+    return eta, gnorm
+
+
+def _solve_direct_longk_packed(
+    Qb, Rb, Ab, Bb, qb, rb, cb, rho, *,
+    s, cdim, sp, Kp, Lc, n_chunks, interpret,
+):
+    """Direct (exact) analog of :func:`_solve_longk_packed`: condense ->
+    one-kernel cyclic reduction -> recovery on PRE-PACKED (B, ·, sp, Kp)
+    arrays; returns packed (lamb, dzxb, dzub, eta, gnorm) with eta/gnorm as
+    (B,) per-problem scalars (:func:`_direct_residual`).  The seam the
+    packed serving surface (gato_tpu.packed) calls with zero public-surface
+    relayout."""
+    Sb, _Pb, gamb, Qinvb, Rinvb = _condense_call(
+        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        precond="jacobi", interpret=interpret,
+    )
+    lamb = _direct_xl_call(Sb, gamb, s=s, sp=sp, Kp=Kp, interpret=interpret)
+    eta, gnorm = _direct_residual(Sb, gamb, lamb, s=s)
+    lamnb = _shift_left_lane(lamb)
+    dzxb, dzub = _recover_call(
+        Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb,
+        s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        interpret=interpret,
+    )
+    return lamb, dzxb, dzub, eta, gnorm
+
+
+def solve_direct_longk_batched(
+    Q, R, A, B, q, r, c, *,
+    rho=0.0, interpret: bool = False, chunk_lanes: "int | None" = None,
+):
+    """Whole batched DIRECT (exact) solve for long horizons, all stages in
+    lane-packed Pallas kernels: chunked condensation (:func:`_condense_call`
+    with the cheap Jacobi branch — the preconditioner output is unused) ->
+    one-kernel block cyclic reduction on the DMA'd operator
+    (:func:`_direct_xl_call`) -> packed recovery.  Extends
+    kernels/direct_fused.py one tier up in K exactly as
+    :func:`solve_longk_batched` extends fused_solve for PCG; no reference
+    equivalent (the CUDA reference has no direct solver at all).
+
+    Contract matches solve_direct_fused_batched: returns (PCGResult with
+    batch axis — iters = 0, eta = squared true residual, converged =
+    direct.residual_converged — , dz_x (B,K,s), dz_u (B,K-1,c)).
+    ``chunk_lanes`` forces the condense chunking for tests."""
+    Bn, K, s, _ = Q.shape
+    cdim = R.shape[-1]
+    if not fits_direct_xl(K, s, cdim):
+        raise ValueError(
+            f"trajectory K={K} (s={s}, c={cdim}) exceeds the "
+            f"{_DIRECT_XL_BUDGET_BYTES >> 20} MB VMEM reach of the long-"
+            "horizon direct tier; use method='direct' with pcg_backend "
+            "None/'jax' (XLA path) for horizons this long")
+    sp, Kp, Lc, n_chunks, _, _ = _plan_dispatch(K, s, cdim, "xl", chunk_lanes)
+    interpret = interpret or jax.default_backend() != "tpu"
+
+    pm = functools.partial(_pack_mat, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    pv = functools.partial(_pack_vec, K_sub=Kp, g=1, L=Kp, n_groups=Bn, sp=sp)
+    Qb, Rb, Ab, Bb = pm(Q), pm(R), pm(A), pm(B)
+    qb, rb, cb = pv(q), pv(r), pv(c)
+
+    lamb, dzxb, dzub, eta, gnorm = _solve_direct_longk_packed(
+        Qb, Rb, Ab, Bb, qb, rb, cb, rho,
+        s=s, cdim=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        interpret=interpret,
+    )
+
+    lam = _unpack_vec(lamb, Bn, K, s, Kp, 1)
+    dz_x = _unpack_vec(dzxb, Bn, K, s, Kp, 1)
+    dz_u = _unpack_vec(dzub, Bn, K, cdim, Kp, 1)[:, : K - 1, :]
+
+    from ..direct import residual_converged
+
+    res = PCGResult(
+        lam=lam,
+        iters=jnp.zeros((Bn,), jnp.int32),
+        converged=residual_converged(eta, gnorm),
+        eta=eta,
+    )
+    return res, dz_x, dz_u
+
+
+def solve_direct_longk(Q, R, A, B, q, r, c, **kw):
+    """Single-problem wrapper (the B=1 case of solve_direct_longk_batched)."""
+    res, dz_x, dz_u = solve_direct_longk_batched(
+        Q[None], R[None], A[None], B[None], q[None], r[None], c[None], **kw,
+    )
+    return (
+        PCGResult(lam=res.lam[0], iters=res.iters[0],
+                  converged=res.converged[0], eta=res.eta[0]),
+        dz_x[0], dz_u[0],
+    )
+
+
+# --------------------------------------------------------------------------
 # Recovery, gridded over lane chunks (lane-local given the shifted lambda).
 
 

@@ -110,6 +110,21 @@ def _solve_core(
             iters=res.iters[0], converged=res.converged[0] != 0,
             eta=res.eta[0],
         )
+    if pcg_backend == "pallas" and method == "direct":
+        from .kernels import longk
+
+        # Long-horizon EXACT tier: chunked condensation + whole block
+        # cyclic reduction in one kernel + packed recovery
+        # (longk.solve_direct_longk) — the method='direct' analog of the
+        # longk PCG tiers below.  _resolve_backend already validated the
+        # VMEM reach (explicit over-reach requests raise there).
+        res, dz_x, dz_u = longk.solve_direct_longk(
+            Q, R, A, B, q, r, c, rho=rho,
+        )
+        return SolveResult(
+            lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+            iters=res.iters, converged=res.converged, eta=res.eta,
+        )
     if pcg_backend == "pallas" and method == "pcg":
         from .kernels import longk
 
@@ -226,10 +241,12 @@ def default_pcg_backend(
       preconditioners assembled in-kernel); method='direct' runs the
       cyclic-reduction kernel (kernels/direct_fused.py).
     * TPU, horizon too long for the fused kernel's VMEM residency: 'pallas'
-      for PCG — XLA condensation + the resident-or-HBM-streamed PCG kernel
-      (kernels/pcg_streamed.py), the role of the reference's strided
-      ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its ``check_sms``
-      capacity decision (gato_utils.cuh:829-854) — and 'jax' for direct.
+      — for PCG the long-horizon whole-solve tiers (kernels/longk.py, then
+      kernels/pcg_streamed.py past them), the role of the reference's
+      strided ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its
+      ``check_sms`` capacity decision (gato_utils.cuh:829-854); for direct
+      the one-kernel cyclic-reduction tier (longk.solve_direct_longk) while
+      it fits VMEM, 'jax' beyond.
     """
     del batched  # the fused kernels pack lanes well at any batch size
     if jnp.dtype(dtype) != jnp.float32:
@@ -252,6 +269,16 @@ def default_pcg_backend(
         if spec is not None and not direct_fused.fits_vmem(
             spec.knot_points, spec.state_size, spec.control_size
         ):
+            from .kernels import longk
+
+            # Past the fused cyclic-reduction kernel's packing budget:
+            # the long-horizon direct tier (one-kernel whole CR on the
+            # DMA'd operator, longk.solve_direct_longk) while it fits,
+            # the XLA path beyond.
+            if longk.fits_direct_xl(
+                spec.knot_points, spec.state_size, spec.control_size
+            ):
+                return "pallas"
             return "jax"
         return "fused"
     if spec is not None and not fused_solve.fits_vmem(
@@ -275,22 +302,34 @@ def _resolve_backend(
     gato_utils.cuh:836-839).  Auto-selection (None) picks the fastest
     backend compatible with the options and problem size."""
     if pcg_backend is None:
-        backend = default_pcg_backend(batched, spec=spec,
-                                      method=options.method,
-                                      dtype=options.dtype)
-        if backend == "pallas" and options.method != "pcg":
-            backend = "jax"
-        return backend
+        # default_pcg_backend is method-aware: 'pallas' means the longk
+        # PCG tiers for method='pcg' and the longk direct tier for
+        # method='direct' (both within their VMEM reach by construction).
+        return default_pcg_backend(batched, spec=spec,
+                                   method=options.method,
+                                   dtype=options.dtype)
     if pcg_backend not in VALID_PCG_BACKENDS:
         raise ValueError(
             f"unknown pcg_backend {pcg_backend!r}; valid choices are "
             f"{VALID_PCG_BACKENDS} or None for auto-selection"
         )
     if options.method == "direct" and pcg_backend == "pallas":
-        raise ValueError(
-            "method='direct' runs no PCG; pcg_backend must be None, 'jax', "
-            "or 'fused' (the whole-solve cyclic-reduction kernel)"
-        )
+        # 'pallas' + direct = the long-horizon cyclic-reduction tier
+        # (kernels/longk.py), valid at any K within its VMEM reach; an
+        # explicit request past the reach raises rather than silently
+        # degrading to the XLA path.
+        from .kernels import longk
+
+        if spec is not None and not longk.fits_direct_xl(
+            spec.knot_points, spec.state_size, spec.control_size
+        ):
+            raise ValueError(
+                f"pcg_backend='pallas' with method='direct' is the long-"
+                f"horizon cyclic-reduction tier; knot_points="
+                f"{spec.knot_points} exceeds its VMEM reach — use "
+                "pcg_backend None or 'jax' (XLA path) for horizons this "
+                "long"
+            )
     _reject_non_f32_kernels(pcg_backend, options.dtype)
     return pcg_backend
 
@@ -369,6 +408,17 @@ def _solve_batched_core(
                 rho=rho, exit_tol=exit_tol, max_iters=max_iters,
                 poly_degree=poly_degree, preconditioner=preconditioner.value,
             )
+        return SolveResult(
+            lam=res.lam, dz_x=dz_x, dz_u=dz_u,
+            iters=res.iters, converged=res.converged, eta=res.eta,
+        )
+    if pcg_backend == "pallas" and method == "direct":
+        from .kernels import longk
+
+        # Long-horizon EXACT tier (see _solve_core).
+        res, dz_x, dz_u = longk.solve_direct_longk_batched(
+            Q, R, A, B, q, r, c, rho=rho,
+        )
         return SolveResult(
             lam=res.lam, dz_x=dz_x, dz_u=dz_u,
             iters=res.iters, converged=res.converged, eta=res.eta,

@@ -63,12 +63,20 @@ def test_fused_all_preconditioners(precond):
                                rtol=1e-4, atol=1e-4)
 
 
-def test_direct_rejects_pcg_backends():
+def test_direct_pallas_is_the_longk_tier():
+    """'pallas' + method='direct' is the long-horizon cyclic-reduction tier:
+    valid within its VMEM reach (agreeing with the XLA path), a loud
+    ValueError past it — never a silent degrade."""
     opts = SolverOptions(rho=0.01, method="direct")
+    ref = solve(SPEC, _blocks(), opts, pcg_backend="jax")
+    got = solve(SPEC, _blocks(), opts, pcg_backend="pallas")
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-5)
+    assert int(got.iters) == 0 and bool(got.converged)
+    # Past the direct-XL VMEM reach: explicit request raises.
     with pytest.raises(ValueError, match="direct"):
-        solve(SPEC, _blocks(), opts, pcg_backend="pallas")
-    # None and 'jax' stay fine.
-    solve(SPEC, _blocks(), opts, pcg_backend="jax")
+        _resolve_backend("pallas", opts, batched=False,
+                         spec=ProblemSpec(14, 7, 4096))
 
 
 def test_sequence_rejects_unknown():

@@ -89,6 +89,18 @@ def test_annotate_roofline_fields_and_bounds():
     assert r3["restream_ms"] > r3["roofline_ms"]
 
 
+def test_direct_xl_kind():
+    """The long-horizon direct tier's model: one-pass resident (floor ==
+    restream), MORE arithmetic than the XLA cyclic reduction (lane-parallel
+    CR computes on all Kp lanes at every level, not a halving schedule) but
+    LESS HBM traffic than the XLA path's zero-reuse model."""
+    fl_xl, by_xl, re_xl = bench._solve_flops_bytes("direct_xl", 14, 7, 1024, 0)
+    fl_j, _, re_j = bench._solve_flops_bytes("direct_jax", 14, 7, 1024, 0)
+    assert by_xl == re_xl
+    assert fl_xl > fl_j
+    assert by_xl < re_j
+
+
 def test_annotate_roofline_skips_unmeasured():
     spec = ProblemSpec(14, 7, 50)
     e = bench.annotate_roofline({"avg_ms_device": 0.0}, spec, "pcg_fused")

@@ -120,12 +120,20 @@ def test_direct_input_paths_identical():
     np.testing.assert_array_equal(np.asarray(dzu_b), np.asarray(dzu_d))
 
 
-def test_direct_still_rejects_pallas_backend():
+def test_direct_pallas_runs_longk_tier():
+    """pcg_backend='pallas' + method='direct' dispatches the long-horizon
+    cyclic-reduction tier (kernels/longk.py) and agrees with the XLA path;
+    the converged flag stays residual-derived through it."""
     spec = ProblemSpec(4, 2, 10)
     blocks = random_blocks(spec, seed=3)
-    with pytest.raises(ValueError, match="direct"):
-        solve(spec, blocks, SolverOptions(rho=1e-2, method="direct"),
-              pcg_backend="pallas")
+    opts = SolverOptions(rho=1e-2, method="direct")
+    ref = solve(spec, blocks, opts, pcg_backend="jax")
+    got = solve(spec, blocks, opts, pcg_backend="pallas")
+    np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.dz_x), np.asarray(ref.dz_x),
+                               rtol=1e-4, atol=1e-5)
+    assert int(got.iters) == 0 and bool(got.converged)
 
 
 def test_sequence_rejects_direct_method():
@@ -215,5 +223,9 @@ def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
     long_spec = ProblemSpec(14, 7, 4096)
     assert default_pcg_backend(spec=long_spec, method="direct") == "jax"
     assert default_pcg_backend(spec=long_spec, method="pcg") == "pallas"
+    # Mid-range K past the fused packing budget but within direct-XL
+    # residency: the long-horizon cyclic-reduction tier owns it.
+    mid_spec = ProblemSpec(14, 7, 1024)
+    assert default_pcg_backend(spec=mid_spec, method="direct") == "pallas"
     short_spec = ProblemSpec(14, 7, 50)
     assert default_pcg_backend(spec=short_spec, method="direct") == "fused"

@@ -154,6 +154,108 @@ def test_fits_tiers_are_ordered():
     assert not longk.fits_vmem(65536, s, c)
 
 
+def test_direct_tier_parity_vs_oracle():
+    """The long-horizon DIRECT tier (chunked condense -> whole block cyclic
+    reduction in one kernel -> packed recovery) must reproduce the Thomas
+    oracle to f32 round-off across several condense chunks, with the exact-
+    solve contract (iters=0, converged, tiny squared true residual)."""
+    from gato_tpu import direct
+
+    Q, R, A, B, q, r, cc = _arrs(SPEC, seed=7)
+    sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
+    lam_ref = direct.btd_solve(sys.S, sys.gamma)
+    dzx_ref, dzu_ref = recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, lam_ref)
+
+    res, dzx, dzu = longk.solve_direct_longk(
+        Q, R, A, B, q, r, cc, rho=RHO, chunk_lanes=128)
+    assert int(res.iters) == 0 and bool(res.converged)
+    assert float(res.eta) < 1e-6
+    scale = float(jnp.max(jnp.abs(lam_ref)))
+    assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-4
+    sx = float(jnp.max(jnp.abs(dzx_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzx - dzx_ref))) / sx < 5e-4
+    su = float(jnp.max(jnp.abs(dzu_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzu - dzu_ref))) / su < 5e-4
+
+
+def test_direct_tier_batched_parity():
+    """Batched direct tier vs the vmapped Thomas oracle (one grid program
+    per problem; no lane packing across problems in this tier)."""
+    from gato_tpu import direct
+
+    pro = [random_blocks(SPEC, seed=40 + i) for i in range(3)]
+    ab = [jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+          for f in range(7)]
+    sysb = jax.vmap(lambda *xs: assemble.condense(*xs, RHO, None))(*ab)
+    lam_ref = direct.btd_solve(sysb.S, sysb.gamma)
+    resb, _, _ = longk.solve_direct_longk_batched(
+        *ab, rho=RHO, chunk_lanes=128)
+    assert [int(x) for x in resb.iters] == [0, 0, 0]
+    assert bool(jnp.all(resb.converged))
+    scale = float(jnp.max(jnp.abs(lam_ref)))
+    assert float(jnp.max(jnp.abs(resb.lam - lam_ref))) / scale < 5e-4
+
+
+def test_direct_tier_over_budget_raises():
+    assert not longk.fits_direct_xl(4096, 14, 7)
+    Q = jnp.zeros((1, 4096, 14, 14), jnp.float32)
+    R = jnp.zeros((1, 4095, 7, 7), jnp.float32)
+    A = jnp.zeros((1, 4095, 14, 14), jnp.float32)
+    B = jnp.zeros((1, 4095, 14, 7), jnp.float32)
+    q = jnp.zeros((1, 4096, 14), jnp.float32)
+    r = jnp.zeros((1, 4095, 7), jnp.float32)
+    cc = jnp.zeros((1, 4096, 14), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM reach"):
+        longk.solve_direct_longk_batched(Q, R, A, B, q, r, cc)
+
+
+def test_direct_tier_boundaries():
+    """Tier ownership at IIWA width: should_dispatch_direct is True exactly
+    between the fused cyclic-reduction kernel's packing budget and direct-XL
+    residency."""
+    from gato_tpu.kernels import direct_fused
+
+    s, c = 14, 7
+    assert direct_fused.fits_vmem(50, s, c)
+    assert not longk.should_dispatch_direct(50, s, c)
+    assert not direct_fused.fits_vmem(1024, s, c)
+    assert longk.fits_direct_xl(1024, s, c)
+    assert longk.should_dispatch_direct(1024, s, c)
+    assert not longk.fits_direct_xl(4096, s, c)
+    assert not longk.should_dispatch_direct(4096, s, c)
+
+
+def test_direct_tier_converged_is_residual_derived():
+    """A singular condensed system through the longk direct tier must report
+    converged=False (same construction as
+    test_direct.test_direct_converged_is_residual_derived)."""
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.problem import SolverOptions
+    from gato_tpu.solver import solve
+
+    s, c, K = 2, 2, 3
+    spec = ProblemSpec(s, c, K)
+    eye = np.eye(s, dtype=np.float32)
+    blocks = KKTBlocks(
+        Q=np.stack([eye, eye, eye]),
+        R=np.stack([np.eye(c, dtype=np.float32),
+                    -np.eye(c, dtype=np.float32)]),
+        A=np.stack([eye, eye]),
+        B=np.stack([np.zeros((s, c), np.float32), eye[:, :c]]),
+        q=np.arange(K * s, dtype=np.float32).reshape(K, s) + 1.0,
+        r=np.ones((K - 1, c), np.float32),
+        c=np.ones((K, s), np.float32),
+    )
+    opts = SolverOptions(rho=0.0, method="direct")
+    res = solve(spec, blocks, opts, pcg_backend="pallas")
+    assert not bool(res.converged)
+
+    good = blocks._replace(R=np.stack([np.eye(c, dtype=np.float32)] * 2))
+    res = solve(spec, good, opts, pcg_backend="pallas")
+    assert bool(res.converged)
+    assert float(res.eta) < 1e-6
+
+
 def test_sequence_packed_carry_matches_per_step_loop():
     """solve_longk_sequence_batched (inputs packed once, lambda carried in
     the packed lane layout) must reproduce a per-step solve_longk_batched
