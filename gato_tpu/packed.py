@@ -33,8 +33,10 @@ Scope: float32 kernel tiers — method='pcg' (VMEM-resident fused kernel,
 or the long-horizon whole-solve tier kernels/longk.py past the fused VMEM
 budget: the plan carries tier='longk' and solves through the same packed
 seam the MPC sequence path uses, longk._solve_longk_packed) and
-method='direct' (cyclic-reduction kernel, fused tier only).  Shapes no
-kernel tier owns (direct over budget; PCG in the gap where only the
+method='direct' (cyclic-reduction kernel; past its packing budget the
+long-horizon one-kernel cyclic-reduction tier while fits_direct_xl holds,
+through longk._solve_direct_longk_packed).  Shapes no kernel tier owns
+(direct past direct-XL residency; PCG in the gap where only the
 split XLA-condense + resident-PCG path applies, or beyond the longk
 tiers) raise at :func:`pack` time — use the standard solve() API there.
 """
@@ -157,6 +159,17 @@ def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
             return PackPlan(method=method, batched=batched, batch=Bn, K=K,
                             s=s, c=c, K_sub=Kp, g=1, L=Kp, n_groups=Bn,
                             sp=sp, tier="longk")
+    if method == "direct" and not direct_fused.fits_vmem(K, s, c):
+        from .kernels import longk
+
+        if longk.should_dispatch_direct(K, s, c):
+            # Long-horizon EXACT tier (longk.solve_direct_longk) — same
+            # one-problem-per-group geometry as the PCG longk plan, so a
+            # long-K pack serves both methods (the relabel rule below).
+            sp, Kp, _, _ = longk.plan_longk(K, s, c)
+            return PackPlan(method=method, batched=batched, batch=Bn, K=K,
+                            s=s, c=c, K_sub=Kp, g=1, L=Kp, n_groups=Bn,
+                            sp=sp, tier="longk")
     mod = direct_fused if method == "direct" else fused_solve
     K_sub, g, L, n_groups, sp = mod.plan_packing(Bn, K, s, c)
     return PackPlan(method=method, batched=batched, batch=Bn, K=K, s=s, c=c,
@@ -201,11 +214,13 @@ def pack(
         methods; ``solve_packed`` relabels when geometries match and raises
         otherwise.
 
-    For method='pcg', horizons past the fused VMEM budget plan the
-    long-horizon whole-solve tier (kernels/longk.py) automatically
-    (``plan.tier == 'longk'``).  Raises ValueError when no kernel tier owns
-    the shape (see module docstring) or when the blocks are not float32
-    (the Mosaic kernels lower float32 only).
+    For BOTH methods, horizons past the fused kernels' VMEM budgets plan
+    the long-horizon tiers (kernels/longk.py) automatically
+    (``plan.tier == 'longk'``): the whole-solve PCG ladder for 'pcg', the
+    one-kernel cyclic-reduction tier for 'direct' (within fits_direct_xl).
+    Raises ValueError when no kernel tier owns the shape (see module
+    docstring) or when the blocks are not float32 (the Mosaic kernels lower
+    float32 only).
     """
     if method not in ("pcg", "direct"):
         raise ValueError(f"unknown method {method!r}; valid: 'pcg', 'direct'")
@@ -304,6 +319,30 @@ def _solve_packed_direct(
         iters=jnp.zeros((plan.batch,), jnp.int32),
         converged=residual_converged(eta_b, per(gnorm)),
         eta=eta_b, plan=plan,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def _solve_packed_direct_longk(
+    Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
+):
+    from .direct import residual_converged
+    from .kernels import longk
+
+    # Chunking statics re-derived from the shape (the _solve_packed_longk
+    # convention); the tier itself was validated at pack() time.
+    sp, Kp, Lc, n_chunks, _, _ = longk._plan_dispatch(
+        plan.K, plan.s, plan.c, "xl", None)
+    lamb, dzxb, dzub, eta, gnorm = longk._solve_direct_longk_packed(
+        Qb, Rb, Ab, Bb, qb, rb, cb, rho,
+        s=plan.s, cdim=plan.c, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        interpret=interpret,
+    )
+    return PackedSolveResult(
+        lam_p=lamb, dzx_p=dzxb, dzu_p=dzub,
+        iters=jnp.zeros((plan.batch,), jnp.int32),
+        converged=residual_converged(eta, gnorm),
+        eta=eta, plan=plan,
     )
 
 
@@ -416,6 +455,12 @@ def solve_packed(
     rho = _cached_const(options.rho, dt)
 
     if plan.method == "direct":
+        if plan.tier == "longk":
+            return _solve_packed_direct_longk(
+                packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+                packed.qb, packed.rb, packed.cb, rho,
+                plan=plan, interpret=interpret,
+            )
         return _solve_packed_direct(
             packed.Qb, packed.Rb, packed.Ab, packed.Bb,
             packed.qb, packed.rb, packed.cb, rho,

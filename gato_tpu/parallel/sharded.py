@@ -502,6 +502,10 @@ def _solve_packed_dp_core(
 
     def body(Qs, Rs, As, Bs, qs, rs, cs, ls, rho_, tol_, mi_):
         if local_plan.method == "direct":
+            if local_plan.tier == "longk":
+                return pk._solve_packed_direct_longk(
+                    Qs, Rs, As, Bs, qs, rs, cs, rho_,
+                    plan=local_plan, interpret=interpret)
             return pk._solve_packed_direct(
                 Qs, Rs, As, Bs, qs, rs, cs, rho_,
                 plan=local_plan, interpret=interpret)

@@ -240,6 +240,55 @@ def test_packed_longk_tier(monkeypatch):
     np.testing.assert_array_equal(np.asarray(r2.iters),
                                   np.asarray(ref2.iters))
 
-    # direct has no long-horizon kernel: the cross-method relabel refuses.
+    # At this shape the direct method still plans its FUSED geometry
+    # (direct_fused's budget is not patched here), which differs from the
+    # longk plan: the cross-method relabel refuses.
     with pytest.raises(ValueError, match="different packing geometry"):
         pk.solve_packed(packed, dataclasses.replace(opts, method="direct"))
+
+
+def test_packed_direct_longk_tier(monkeypatch):
+    """Past the direct kernel's packing budget, pack(method='direct') plans
+    the long-horizon cyclic-reduction tier and solve_packed runs the same
+    packed seam as solve_direct_longk_batched — bitwise.  And because the
+    direct longk plan shares the PCG longk geometry (one problem per group),
+    one long-K pack serves BOTH methods via the relabel rule."""
+    from gato_tpu.kernels import direct_fused as df
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.kernels import pcg_pallas as pp
+    from gato_tpu.kernels import longk
+
+    monkeypatch.setattr(df, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES", 10_000)
+    spec = ProblemSpec(3, 2, 48)
+    assert not df.fits_vmem(48, 3, 2)
+    assert longk.should_dispatch_direct(48, 3, 2)
+
+    n = 2
+    _, bb = _stack(spec, n, seed0=600)
+    opts = dataclasses.replace(OPTS, method="direct")
+    packed = pk.pack(spec, bb, method="direct")
+    assert packed.plan.tier == "longk"
+    res = pk.solve_packed(packed, opts).unpack()
+
+    ref, dzx_ref, dzu_ref = longk.solve_direct_longk_batched(
+        *bb, rho=opts.rho)
+    np.testing.assert_array_equal(np.asarray(res.lam), np.asarray(ref.lam))
+    np.testing.assert_array_equal(np.asarray(res.dz_x), np.asarray(dzx_ref))
+    np.testing.assert_array_equal(np.asarray(res.dz_u), np.asarray(dzu_ref))
+    assert [int(i) for i in res.iters] == [0] * n
+    assert bool(np.all(res.converged))
+
+    # Exactness vs the XLA direct path.
+    jref = solve_batched(spec, bb, opts, pcg_backend="jax")
+    scale = float(np.max(np.abs(np.asarray(jref.lam))))
+    err = float(np.max(np.abs(np.asarray(res.lam)
+                              - np.asarray(jref.lam)))) / scale
+    assert err < 5e-4, err
+
+    # One pack serves both methods at long K: relabel the PCG pack.
+    pcg_pack = pk.pack(spec, bb, method="pcg")
+    assert pcg_pack.plan.tier == "longk"
+    res2 = pk.solve_packed(pcg_pack, opts).unpack()
+    np.testing.assert_array_equal(np.asarray(res2.lam), np.asarray(res.lam))

@@ -304,14 +304,19 @@ def test_solve_packed_dp_matches_single_device(monkeypatch):
 
 
 def test_solve_packed_dp_longk_tier(monkeypatch):
-    """The long-horizon tier dp-shards too (each group IS one problem)."""
+    """The long-horizon tier dp-shards too (each group IS one problem) —
+    for PCG and for the direct (one-kernel cyclic-reduction) tier."""
+    import dataclasses
+
     from gato_tpu import packed as pk
+    from gato_tpu.kernels import direct_fused as df
     from gato_tpu.kernels import fused_solve as fs
     from gato_tpu.kernels import pcg_pallas as pp
     from gato_tpu.parallel.sharded import solve_packed_dp
 
     monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
     monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(df, "_VMEM_BUDGET_BYTES", 10_000)
     spec = ProblemSpec(3, 2, 48)
     B = 4
     problems = [random_blocks(spec, seed=80 + i) for i in range(B)]
@@ -327,6 +332,16 @@ def test_solve_packed_dp_longk_tier(monkeypatch):
                                   np.asarray(single.iters))
     np.testing.assert_allclose(np.asarray(dp.unpack().lam),
                                np.asarray(single.unpack().lam),
+                               rtol=1e-4, atol=1e-4)
+
+    opts_d = dataclasses.replace(opts, method="direct")
+    pd = pk.pack(spec, bb, method="direct")
+    assert pd.plan.tier == "longk"
+    sd = pk.solve_packed(pd, opts_d)
+    dp_d = solve_packed_dp(_mesh(2, "dp"), pd, opts_d)
+    assert bool(np.all(np.asarray(dp_d.converged)))
+    np.testing.assert_allclose(np.asarray(dp_d.unpack().lam),
+                               np.asarray(sd.unpack().lam),
                                rtol=1e-4, atol=1e-4)
 
 
