@@ -230,7 +230,7 @@ def pcg_sharded(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "poly_degree", "preconditioner",
-                     "method"),
+                     "method", "tier"),
 )
 def _solve_batched_dp_core(
     Q, R, A, B, q, r, c, lam0, rho, exit_tol, max_iters,
@@ -239,16 +239,30 @@ def _solve_batched_dp_core(
     poly_degree: int,
     preconditioner: str,
     method: str = "pcg",
+    tier: str = "fused",
 ):
-    from ..kernels import direct_fused, fused_solve
+    from ..kernels import direct_fused, fused_solve, longk
     from ..pcg import PCGResult
 
     def body(Ql, Rl, Al, Bl, ql, rl, cl, l0, rho_, tol_, mi_):
         if method == "direct":
+            if tier == "longk":
+                # Long-horizon exact tier per shard (one-kernel whole
+                # cyclic reduction, longk.solve_direct_longk_batched).
+                return longk.solve_direct_longk_batched(
+                    Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
+                )
             # Exact per-shard solves via the fused cyclic-reduction kernel
             # (kernels/direct_fused.py); tol/max_iters/lam0 are unused.
             return direct_fused.solve_direct_fused_batched(
                 Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
+            )
+        if tier == "longk":
+            # Long-horizon whole-solve ladder per shard (kernels/longk.py).
+            return longk.solve_longk_batched(
+                Ql, Rl, Al, Bl, ql, rl, cl, l0,
+                rho=rho_, exit_tol=tol_, max_iters=mi_,
+                poly_degree=poly_degree, preconditioner=preconditioner,
             )
         return fused_solve.solve_fused_batched(
             Ql, Rl, Al, Bl, ql, rl, cl, l0,
@@ -288,7 +302,11 @@ def solve_batched_dp(
     """Data-parallel batched solves: the problem batch shards across the mesh
     and every device runs the whole-solve fused kernel on its local shard.
     ``method='direct'`` runs the fused cyclic-reduction kernel per shard
-    instead of PCG — exact batched solves across the mesh.
+    instead of PCG — exact batched solves across the mesh.  Horizons past
+    the fused kernels' VMEM budgets route to the long-horizon tiers
+    (kernels/longk.py) per shard, same boundary definitions as single-chip
+    dispatch (longk.should_dispatch / should_dispatch_direct); shapes no
+    kernel tier owns raise.
 
     The natural multi-chip deployment for MPC farms / batched QP serving:
     problems are independent, so there is NO cross-device communication at
@@ -312,6 +330,21 @@ def solve_batched_dp(
     if Bn % n:
         raise ValueError(
             f"batch {Bn} not divisible by mesh axis {axis_name}={n}")
+    K, s = q.shape[1], q.shape[2]
+    cdim = r.shape[2]
+    from ..kernels import direct_fused, fused_solve, longk
+
+    fused_mod = direct_fused if method == "direct" else fused_solve
+    if fused_mod.fits_vmem(K, s, cdim):
+        tier = "fused"
+    elif (longk.should_dispatch_direct(K, s, cdim) if method == "direct"
+          else longk.should_dispatch(K, s, cdim)):
+        tier = "longk"
+    else:
+        raise ValueError(
+            f"no kernel tier owns K={K} (s={s}, c={cdim}) for "
+            f"method={method!r}; use the single-chip solve_batched API "
+            "(pcg_backend None/'jax') for horizons this long")
     if lam0 is None:
         lam0 = jnp.zeros_like(q)
     dt = q.dtype
@@ -323,7 +356,7 @@ def solve_batched_dp(
         _cached_const(rho, dt), _cached_const(exit_tol, dt),
         _cached_const(max_iters, jnp.int32),
         mesh=mesh, axis_name=axis_name, poly_degree=poly_degree,
-        preconditioner=preconditioner, method=method,
+        preconditioner=preconditioner, method=method, tier=tier,
     )
 
 

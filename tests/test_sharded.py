@@ -178,6 +178,61 @@ def test_solve_batched_dp_direct():
         solve_batched_dp(mesh, *batch, rho=1e-2, method="thomas")
 
 
+def test_solve_batched_dp_longk_tiers(monkeypatch):
+    """Horizons past the fused kernels' budgets route solve_batched_dp to
+    the long-horizon tiers per shard, for BOTH methods — same boundary
+    definitions as single-chip dispatch (budgets shrunk so the boundary
+    sits at an interpret-affordable shape)."""
+    from jax.sharding import Mesh
+
+    from gato_tpu.kernels import direct_fused as df
+    from gato_tpu.kernels import fused_solve as fs
+    from gato_tpu.kernels import pcg_pallas as pp
+    from gato_tpu.kernels import longk
+    from gato_tpu.parallel.sharded import solve_batched_dp
+
+    monkeypatch.setattr(fs, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(pp, "_VMEM_BUDGET_BYTES", 10_000)
+    monkeypatch.setattr(df, "_VMEM_BUDGET_BYTES", 10_000)
+    spec = ProblemSpec(3, 2, 48)
+    assert longk.should_dispatch(48, 3, 2)
+    assert longk.should_dispatch_direct(48, 3, 2)
+
+    B = 4
+    problems = [random_blocks(spec, seed=500 + i) for i in range(B)]
+    batch = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f])
+                                              for p in problems]))
+                        for f in range(7)))
+    mesh = Mesh(np.array(jax.devices()[:2]), ("dp",))
+
+    res, _, _ = solve_batched_dp(mesh, *batch, rho=1e-2, exit_tol=1e-10,
+                                 max_iters=300)
+    res_d, dzx_d, _ = solve_batched_dp(mesh, *batch, rho=1e-2,
+                                       method="direct")
+    for i in range(B):
+        opts = SolverOptions(rho=1e-2, exit_tol=1e-10, max_iters=300)
+        ref = solve(spec, problems[i], opts, pcg_backend="jax")
+        assert int(np.asarray(res.iters)[i]) == int(ref.iters), i
+        np.testing.assert_allclose(np.asarray(res.lam)[i],
+                                   np.asarray(ref.lam), rtol=1e-4, atol=1e-4)
+        ref_d = solve(spec, problems[i],
+                      SolverOptions(rho=1e-2, method="direct"),
+                      pcg_backend="jax")
+        assert int(np.asarray(res_d.iters)[i]) == 0
+        assert bool(np.asarray(res_d.converged)[i])
+        np.testing.assert_allclose(np.asarray(res_d.lam)[i],
+                                   np.asarray(ref_d.lam),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dzx_d)[i],
+                                   np.asarray(ref_d.dz_x),
+                                   rtol=1e-4, atol=1e-4)
+
+    # Shapes no kernel tier owns raise loudly.
+    monkeypatch.setattr(longk, "_DIRECT_XL_BUDGET_BYTES", 10_000)
+    with pytest.raises(ValueError, match="no kernel tier"):
+        solve_batched_dp(mesh, *batch, rho=1e-2, method="direct")
+
+
 def test_solve_sequence_batched_dp():
     """MPC farm sharded over the mesh: each device scans its local streams
     with the fused kernel; matches the single-mesh farm exactly."""
