@@ -854,6 +854,79 @@ def _direct_xl_call(Sb, gamb, *, s, sp, Kp, interpret):
     )(Sb, gamb)
 
 
+def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
+    """Lane-packed block cyclic reduction in PURE XLA — the unlimited-K
+    direct tier.  Same per-level algebra as :func:`_cr_solve_scratch`
+    (reusing the column-stack primitives, which are plain jnp code), with
+    ``jnp.roll`` for the lane shifts and the state carried through a
+    ``fori_loop``; no VMEM residency constraint, so this covers every K the
+    chunked condense kernel can produce.  Unlike direct.btd_solve_cr (which
+    gathers/reshapes (K, 3, s, s) blocks every level — the measured
+    "relayout-diseased" path), the state here never leaves the packed lane
+    layout the condense kernel emitted: each level is a handful of fused
+    elementwise passes over (s, sp, Kp) stacks, bandwidth-bound, log2(Kp)
+    deep instead of the Thomas scan's K-sequential chain.
+
+    Sp: (3, s, sp, Kp) packed operator (slots L/D/U), bv: (sp, Kp).
+    Returns x with S x = b."""
+    dt = bv.dtype
+    levels = max(1, (Kp - 1).bit_length())
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
+
+    def elim(lev, carry):
+        Lst, Dst, Ust, b = carry
+        h = jnp.int32(1) << lev
+
+        def rp(x):
+            return jnp.roll(x, h, axis=-1)
+
+        def rm(x):
+            return jnp.roll(x, -h, axis=-1)
+
+        Lc = [Lst[i] for i in range(s)]
+        Dc = [Dst[i] for i in range(s)]
+        Uc = [Ust[i] for i in range(s)]
+        Dinv_cur = _gj_inv(Dc, s, sp)
+        odd_f = (lane % (2 * h) == h).astype(dt)
+        even_f = (lane % (2 * h) == 0).astype(dt)
+
+        Am = _mat_mat(Lc, [rp(x) for x in Dinv_cur], s)
+        Bm = _mat_mat(Uc, [rm(x) for x in Dinv_cur], s)
+        AU = _mat_mat(Am, [rp(x) for x in Uc], s)
+        BL = _mat_mat(Bm, [rm(x) for x in Lc], s)
+        b_new = b - _mat_vec(Am, rp(b), s) - _mat_vec(Bm, rm(b), s)
+        L_new = [-x for x in _mat_mat(Am, [rp(x) for x in Lc], s)]
+        U_new = [-x for x in _mat_mat(Bm, [rm(x) for x in Uc], s)]
+
+        keep = 1.0 - even_f
+        Dn = jnp.stack([even_f * (Dc[i] - AU[i] - BL[i])
+                        + odd_f * Dinv_cur[i]
+                        + (keep - odd_f) * Dc[i] for i in range(s)])
+        Ln = jnp.stack([even_f * L_new[i] + keep * Lc[i] for i in range(s)])
+        Un = jnp.stack([even_f * U_new[i] + keep * Uc[i] for i in range(s)])
+        return Ln, Dn, Un, even_f * b_new + keep * b
+
+    Lst, Dst, Ust, bv = jax.lax.fori_loop(
+        0, levels, elim, (Sp[0], Sp[1], Sp[2], bv))
+
+    root_f = (lane == 0).astype(dt)
+    Dinv_root = _gj_inv([Dst[i] for i in range(s)], s, sp)
+    x = root_f * _mat_vec(Dinv_root, bv, s)
+
+    def back(i, x):
+        h = jnp.int32(1) << (levels - 1 - i)
+        odd_f = (lane % (2 * h) == h).astype(dt)
+        rhs = (bv
+               - _mat_vec([Lst[i_] for i_ in range(s)],
+                          jnp.roll(x, h, axis=-1), s)
+               - _mat_vec([Ust[i_] for i_ in range(s)],
+                          jnp.roll(x, -h, axis=-1), s))
+        x_odd = _mat_vec([Dst[i_] for i_ in range(s)], rhs, s)
+        return odd_f * x_odd + (1.0 - odd_f) * x
+
+    return jax.lax.fori_loop(0, levels, back, x)
+
+
 def _direct_residual(Sb, gamb, lamb, *, s: int):
     """Packed-layout squared true residual |gam - S lam|^2 and rhs norm
     |gam|^2 per problem, in XLA on the HBM-resident packed operator (the
@@ -876,20 +949,28 @@ def _direct_residual(Sb, gamb, lamb, *, s: int):
 
 def _solve_direct_longk_packed(
     Qb, Rb, Ab, Bb, qb, rb, cb, rho, *,
-    s, cdim, sp, Kp, Lc, n_chunks, interpret,
+    s, cdim, sp, Kp, Lc, n_chunks, interpret, tier="xl",
 ):
     """Direct (exact) analog of :func:`_solve_longk_packed`: condense ->
-    one-kernel cyclic reduction -> recovery on PRE-PACKED (B, ·, sp, Kp)
-    arrays; returns packed (lamb, dzxb, dzub, eta, gnorm) with eta/gnorm as
+    whole cyclic reduction -> recovery on PRE-PACKED (B, ·, sp, Kp) arrays;
+    returns packed (lamb, dzxb, dzub, eta, gnorm) with eta/gnorm as
     (B,) per-problem scalars (:func:`_direct_residual`).  The seam the
     packed serving surface (gato_tpu.packed) calls with zero public-surface
-    relayout."""
+    relayout.  ``tier``: 'xl' = the one-kernel CR on the DMA'd operator
+    (within fits_direct_xl), 'xla' = the lane-packed XLA CR
+    (:func:`_cr_solve_xla`, unlimited K)."""
     Sb, _Pb, gamb, Qinvb, Rinvb = _condense_call(
         rho, Qb, Rb, Ab, Bb, qb, rb, cb,
         s=s, c=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
         precond="jacobi", interpret=interpret,
     )
-    lamb = _direct_xl_call(Sb, gamb, s=s, sp=sp, Kp=Kp, interpret=interpret)
+    if tier == "xl":
+        lamb = _direct_xl_call(Sb, gamb, s=s, sp=sp, Kp=Kp,
+                               interpret=interpret)
+    else:
+        lamb = jax.vmap(
+            functools.partial(_cr_solve_xla, s=s, sp=sp, Kp=Kp)
+        )(Sb, gamb)
     eta, gnorm = _direct_residual(Sb, gamb, lamb, s=s)
     lamnb = _shift_left_lane(lamb)
     dzxb, dzub = _recover_call(
@@ -900,31 +981,37 @@ def _solve_direct_longk_packed(
     return lamb, dzxb, dzub, eta, gnorm
 
 
+def direct_tier(K: int, s: int, c: int) -> str:
+    """The long-horizon direct tier for a shape: 'xl' (one-kernel CR on the
+    DMA'd operator) within fits_direct_xl, 'xla' (lane-packed XLA CR,
+    unlimited K) beyond.  One definition — solver dispatch and the packed
+    surface both call this."""
+    return "xl" if fits_direct_xl(K, s, c) else "xla"
+
+
 def solve_direct_longk_batched(
     Q, R, A, B, q, r, c, *,
     rho=0.0, interpret: bool = False, chunk_lanes: "int | None" = None,
+    force_tier: "str | None" = None,
 ):
-    """Whole batched DIRECT (exact) solve for long horizons, all stages in
-    lane-packed Pallas kernels: chunked condensation (:func:`_condense_call`
-    with the cheap Jacobi branch — the preconditioner output is unused) ->
-    one-kernel block cyclic reduction on the DMA'd operator
-    (:func:`_direct_xl_call`) -> packed recovery.  Extends
-    kernels/direct_fused.py one tier up in K exactly as
-    :func:`solve_longk_batched` extends fused_solve for PCG; no reference
-    equivalent (the CUDA reference has no direct solver at all).
+    """Whole batched DIRECT (exact) solve for long horizons: chunked
+    condensation (:func:`_condense_call` with the cheap Jacobi branch — the
+    preconditioner output is unused) -> whole block cyclic reduction — in
+    ONE kernel on the DMA'd operator within fits_direct_xl
+    (:func:`_direct_xl_call`), in lane-packed XLA beyond
+    (:func:`_cr_solve_xla`, unlimited K) -> packed recovery.  Extends
+    kernels/direct_fused.py up in K exactly as :func:`solve_longk_batched`
+    extends fused_solve for PCG; no reference equivalent (the CUDA
+    reference has no direct solver at all).
 
     Contract matches solve_direct_fused_batched: returns (PCGResult with
     batch axis — iters = 0, eta = squared true residual, converged =
     direct.residual_converged — , dz_x (B,K,s), dz_u (B,K-1,c)).
-    ``chunk_lanes`` forces the condense chunking for tests."""
+    ``chunk_lanes`` / ``force_tier`` pin the condense chunking and CR tier
+    for tests."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
-    if not fits_direct_xl(K, s, cdim):
-        raise ValueError(
-            f"trajectory K={K} (s={s}, c={cdim}) exceeds the "
-            f"{_DIRECT_XL_BUDGET_BYTES >> 20} MB VMEM reach of the long-"
-            "horizon direct tier; use method='direct' with pcg_backend "
-            "None/'jax' (XLA path) for horizons this long")
+    tier = force_tier or direct_tier(K, s, cdim)
     sp, Kp, Lc, n_chunks, _, _ = _plan_dispatch(K, s, cdim, "xl", chunk_lanes)
     interpret = interpret or jax.default_backend() != "tpu"
 
@@ -936,7 +1023,7 @@ def solve_direct_longk_batched(
     lamb, dzxb, dzub, eta, gnorm = _solve_direct_longk_packed(
         Qb, Rb, Ab, Bb, qb, rb, cb, rho,
         s=s, cdim=cdim, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
-        interpret=interpret,
+        interpret=interpret, tier=tier,
     )
 
     lam = _unpack_vec(lamb, Bn, K, s, Kp, 1)

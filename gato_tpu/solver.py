@@ -113,11 +113,12 @@ def _solve_core(
     if pcg_backend == "pallas" and method == "direct":
         from .kernels import longk
 
-        # Long-horizon EXACT tier: chunked condensation + whole block
-        # cyclic reduction in one kernel + packed recovery
-        # (longk.solve_direct_longk) — the method='direct' analog of the
-        # longk PCG tiers below.  _resolve_backend already validated the
-        # VMEM reach (explicit over-reach requests raise there).
+        # Long-horizon EXACT ladder: chunked condensation + whole block
+        # cyclic reduction — one kernel on the DMA'd operator within
+        # fits_direct_xl, lane-packed XLA CR beyond (longk.direct_tier
+        # picks; valid at any K) — + packed recovery
+        # (longk.solve_direct_longk), the method='direct' analog of the
+        # longk PCG tiers below.
         res, dz_x, dz_u = longk.solve_direct_longk(
             Q, R, A, B, q, r, c, rho=rho,
         )
@@ -313,23 +314,10 @@ def _resolve_backend(
             f"unknown pcg_backend {pcg_backend!r}; valid choices are "
             f"{VALID_PCG_BACKENDS} or None for auto-selection"
         )
-    if options.method == "direct" and pcg_backend == "pallas":
-        # 'pallas' + direct = the long-horizon cyclic-reduction tier
-        # (kernels/longk.py), valid at any K within its VMEM reach; an
-        # explicit request past the reach raises rather than silently
-        # degrading to the XLA path.
-        from .kernels import longk
-
-        if spec is not None and not longk.fits_direct_xl(
-            spec.knot_points, spec.state_size, spec.control_size
-        ):
-            raise ValueError(
-                f"pcg_backend='pallas' with method='direct' is the long-"
-                f"horizon cyclic-reduction tier; knot_points="
-                f"{spec.knot_points} exceeds its VMEM reach — use "
-                "pcg_backend None or 'jax' (XLA path) for horizons this "
-                "long"
-            )
+    # 'pallas' + method='direct' = the long-horizon cyclic-reduction ladder
+    # (kernels/longk.py): the one-kernel CR on the DMA'd operator within
+    # fits_direct_xl, the lane-packed XLA CR beyond (unlimited K, longk
+    # .direct_tier picks) — so the explicit request is valid at any K.
     _reject_non_f32_kernels(pcg_backend, options.dtype)
     return pcg_backend
 

@@ -64,19 +64,19 @@ def test_fused_all_preconditioners(precond):
 
 
 def test_direct_pallas_is_the_longk_tier():
-    """'pallas' + method='direct' is the long-horizon cyclic-reduction tier:
-    valid within its VMEM reach (agreeing with the XLA path), a loud
-    ValueError past it — never a silent degrade."""
+    """'pallas' + method='direct' is the long-horizon cyclic-reduction
+    ladder: the one-kernel CR within its VMEM reach, the lane-packed XLA CR
+    beyond — valid at any K, agreeing with the XLA path."""
     opts = SolverOptions(rho=0.01, method="direct")
     ref = solve(SPEC, _blocks(), opts, pcg_backend="jax")
     got = solve(SPEC, _blocks(), opts, pcg_backend="pallas")
     np.testing.assert_allclose(np.asarray(got.lam), np.asarray(ref.lam),
                                rtol=1e-4, atol=1e-5)
     assert int(got.iters) == 0 and bool(got.converged)
-    # Past the direct-XL VMEM reach: explicit request raises.
-    with pytest.raises(ValueError, match="direct"):
-        _resolve_backend("pallas", opts, batched=False,
-                         spec=ProblemSpec(14, 7, 4096))
+    # Past the direct-XL VMEM reach the explicit request stays valid (the
+    # 'xla' tier of longk.direct_tier owns it).
+    assert _resolve_backend("pallas", opts, batched=False,
+                            spec=ProblemSpec(14, 7, 4096)) == "pallas"
 
 
 def test_sequence_rejects_unknown():

@@ -196,17 +196,31 @@ def test_direct_tier_batched_parity():
     assert float(jnp.max(jnp.abs(resb.lam - lam_ref))) / scale < 5e-4
 
 
-def test_direct_tier_over_budget_raises():
-    assert not longk.fits_direct_xl(4096, 14, 7)
-    Q = jnp.zeros((1, 4096, 14, 14), jnp.float32)
-    R = jnp.zeros((1, 4095, 7, 7), jnp.float32)
-    A = jnp.zeros((1, 4095, 14, 14), jnp.float32)
-    B = jnp.zeros((1, 4095, 14, 7), jnp.float32)
-    q = jnp.zeros((1, 4096, 14), jnp.float32)
-    r = jnp.zeros((1, 4095, 7), jnp.float32)
-    cc = jnp.zeros((1, 4096, 14), jnp.float32)
-    with pytest.raises(ValueError, match="VMEM reach"):
-        longk.solve_direct_longk_batched(Q, R, A, B, q, r, cc)
+def test_direct_xla_tier_parity_vs_oracle():
+    """The unlimited-K direct tier (lane-packed XLA cyclic reduction,
+    _cr_solve_xla) must match the Thomas oracle like the kernel tier does;
+    forced here at a small shape (the auto boundary sits at Kp~1400 IIWA,
+    longk.direct_tier picks 'xla' beyond fits_direct_xl)."""
+    from gato_tpu import direct
+
+    assert longk.direct_tier(4096, 14, 7) == "xla"
+    assert longk.direct_tier(200, 3, 2) == "xl"
+
+    Q, R, A, B, q, r, cc = _arrs(SPEC, seed=13)
+    sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
+    lam_ref = direct.btd_solve(sys.S, sys.gamma)
+    dzx_ref, dzu_ref = recover_dz(sys.Qinv, sys.Rinv, A, B, q, r, lam_ref)
+
+    res, dzx, dzu = longk.solve_direct_longk(
+        Q, R, A, B, q, r, cc, rho=RHO, chunk_lanes=128, force_tier="xla")
+    assert int(res.iters) == 0 and bool(res.converged)
+    assert float(res.eta) < 1e-6
+    scale = float(jnp.max(jnp.abs(lam_ref)))
+    assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-4
+    sx = float(jnp.max(jnp.abs(dzx_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzx - dzx_ref))) / sx < 5e-4
+    su = float(jnp.max(jnp.abs(dzu_ref))) or 1.0
+    assert float(jnp.max(jnp.abs(dzu - dzu_ref))) / su < 5e-4
 
 
 def test_direct_tier_boundaries():

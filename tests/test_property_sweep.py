@@ -87,7 +87,9 @@ def test_direct_backends_match_dense_oracle(spec, rho):
     opts = SolverOptions(rho=rho, method="direct")
     lam_ref, dz_ref = dense_oracle(spec, blocks, rho=rho)
     scale = max(float(np.max(np.abs(lam_ref))), 1.0)
-    for be in ("jax", "fused"):
+    # 'pallas' = the long-horizon one-kernel CR tier — valid at any K
+    # within its VMEM reach, so it joins the sweep at these small shapes.
+    for be in ("jax", "fused", "pallas"):
         res = solve(spec, blocks, opts, pcg_backend=be)
         assert int(res.iters) == 0 and bool(res.converged)
         np.testing.assert_allclose(res.lam_flat() / scale, lam_ref / scale,
