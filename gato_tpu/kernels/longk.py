@@ -867,6 +867,16 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
     elementwise passes over (s, sp, Kp) stacks, bandwidth-bound, log2(Kp)
     deep instead of the Thomas scan's K-sequential chain.
 
+    Measured (v5e, IIWA width, whole solve through this tier vs the XLA
+    path): K=2048 1.68 ms vs 1.00, K=4096 3.76 ms vs 2.12 — every level
+    re-touches the FULL (s, sp, Kp) stacks (roll-based CR never compacts),
+    so past the kernel tiers the Thomas scan's single pass wins on
+    bandwidth.  The auto default therefore stays 'jax' beyond
+    fits_direct_xl (solver.default_pcg_backend); this tier exists so an
+    EXPLICIT 'pallas' + method='direct' request is honored at any K
+    (packed condense/recovery kernels + this solve) instead of raising at
+    an arbitrary VMEM boundary.
+
     Sp: (3, s, sp, Kp) packed operator (slots L/D/U), bv: (sp, Kp).
     Returns x with S x = b."""
     dt = bv.dtype
