@@ -60,16 +60,18 @@ def _bindings(detail: dict):
     bind(r, r"fused PCG kernel: K=100: ([\d.]+) ms", ms("iiwa_horizon_100_fused"), ".3f")
     bind(r, r"K=250: ([\d.]+)", ms("iiwa_horizon_250_fused"), ".3f")
     bind(r, r"K=500:\n  ([\d.]+)\.", ms("iiwa_horizon_500_fused"), ".3f")
-    bind(r, r"\*\*K=1024: ([\d.]+) ms vs", ms("iiwa_horizon_1024_kernel_xl"), ".3f")
-    bind(r, r"K=1024: [\d.]+ ms vs ([\d.]+) for the XLA loop", ms("iiwa_horizon_1024_pcg"), ".3f")
-    bind(r, r"for the XLA loop \((\d+)x\)",
-         round(ms("iiwa_horizon_1024_pcg") / ms("iiwa_horizon_1024_kernel_xl")), "d")
-    bind(r, r"\*\*K=2048: ([\d.]+) vs", ms("iiwa_horizon_2048_kernel_stream"), ".3f")
-    bind(r, r"K=2048: [\d.]+ vs ([\d.]+);", ms("iiwa_horizon_2048_pcg"), ".3f")
+    bind(r, r"\*\*K=1024: ([\d.]+) ms vs", ms("iiwa_horizon_1024_kernel_fused_xl"), ".3f")
+    bind(r, r"K=1024: [\d.]+ ms vs ([\d.]+) for the XLA\n  loop", ms("iiwa_horizon_1024_pcg"), ".3f")
+    bind(r, r"for the XLA\n  loop \((\d+)x\)",
+         round(ms("iiwa_horizon_1024_pcg") / ms("iiwa_horizon_1024_kernel_fused_xl")), "d")
+    bind(r, r"\*\*K=2048: ([\d.]+) vs", ms("iiwa_horizon_2048_kernel_xl"), ".3f")
+    bind(r, r"K=2048: [\d.]+ vs ([\d.]+)\*\*", ms("iiwa_horizon_2048_pcg"), ".3f")
     bind(r, r"K=4096: ([\d.]+) vs", ms("iiwa_horizon_4096_kernel_stream"), ".3f")
     bind(r, r"K=4096: [\d.]+ vs ([\d.]+) \(", ms("iiwa_horizon_4096_pcg"), ".3f")
     bind(r, r"K=4096: [\d.]+ vs [\d.]+ \(([\d.]+)x\)",
          ms("iiwa_horizon_4096_pcg") / ms("iiwa_horizon_4096_kernel_stream"), ".1f")
+    bind(r, r"K=1024 whole-CR kernel ([\d.]+) ms vs", ms("iiwa_horizon_1024_direct_xl"), ".3f")
+    bind(r, r"whole-CR kernel [\d.]+ ms vs ([\d.]+) XLA", ms("iiwa_horizon_1024_direct"), ".3f")
     # Batch.
     bind(r, r"Batched 256× IIWA: \*\*([\d.]+) µs/solve", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
     bind(r, r"\(~(\d+k) solves/s\)\*\* PCG", c["iiwa_batch_256_fused"]["solves_per_sec"], "k")
@@ -87,7 +89,7 @@ def _bindings(detail: dict):
 
     p = "PARITY.md"
     bind(p, r"\(([\d.]+) ms XLA -> ", ms("iiwa_horizon_1024_pcg"), ".3f")
-    bind(p, r"ms XLA -> ([\d.]+) ms at K=1024", ms("iiwa_horizon_1024_kernel_xl"), ".3f")
+    bind(p, r"ms XLA -> ([\d.]+) ms at K=1024", ms("iiwa_horizon_1024_kernel_fused_xl"), ".3f")
     bind(p, r"~(\d+) us single", round(1e3 * ms("iiwa_direct_fused")), "d")
     bind(p, r"~([\d.]+) us/solve at 256-batch", c["iiwa_batch_256_direct_fused"]["us_per_solve"], ".1f")
     bind(p, r"ceiling ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
