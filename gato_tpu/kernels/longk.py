@@ -1021,6 +1021,10 @@ def solve_direct_longk_batched(
     for tests."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
+    if force_tier not in (None, "xl", "xla"):
+        raise ValueError(
+            f"force_tier={force_tier!r}; valid direct tiers are 'xl' "
+            "(one-kernel CR) and 'xla' (lane-packed XLA CR)")
     tier = force_tier or direct_tier(K, s, cdim)
     sp, Kp, Lc, n_chunks, _, _ = _plan_dispatch(K, s, cdim, "xl", chunk_lanes)
     interpret = interpret or jax.default_backend() != "tpu"

@@ -206,6 +206,10 @@ def test_direct_xla_tier_parity_vs_oracle():
     assert longk.direct_tier(4096, 14, 7) == "xla"
     assert longk.direct_tier(200, 3, 2) == "xl"
 
+    with pytest.raises(ValueError, match="force_tier"):
+        longk.solve_direct_longk(
+            *_arrs(SPEC, seed=13), rho=RHO, force_tier="bogus")
+
     Q, R, A, B, q, r, cc = _arrs(SPEC, seed=13)
     sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
     lam_ref = direct.btd_solve(sys.S, sys.gamma)
