@@ -994,8 +994,11 @@ def _solve_direct_longk_packed(
 def direct_tier(K: int, s: int, c: int) -> str:
     """The long-horizon direct tier for a shape: 'xl' (one-kernel CR on the
     DMA'd operator) within fits_direct_xl, 'xla' (lane-packed XLA CR,
-    unlimited K) beyond.  One definition — solver dispatch and the packed
-    surface both call this."""
+    unlimited K) beyond.  The in-ladder rule behind an explicit
+    'pallas'+direct request (solve_direct_longk_batched); the packed and dp
+    surfaces instead gate on :func:`should_dispatch_direct` (they serve
+    only the kernel tier and route past-reach shapes to the XLA path,
+    which wins there — see :func:`_cr_solve_xla`)."""
     return "xl" if fits_direct_xl(K, s, c) else "xla"
 
 
