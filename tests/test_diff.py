@@ -133,10 +133,13 @@ def _batched_args(B=3, rho=0.05, seed0=50):
                  for i in range(7)) + (jnp.float32(rho),)
 
 
+@pytest.mark.slow
 def test_batched_matches_vmapped_single():
     """kkt_solve_batched (explicit batch axis) == vmap(kkt_solve): same
     primal and same gradients — the batched API only changes the dispatch,
-    not the math."""
+    not the math.  (slow tier: batched custom-VJP traces are minutes-scale
+    on CPU; test_batched_fused_branch keeps the batched-diff path in the
+    fast tier.)"""
     args = _batched_args()
     rho = args[-1]
     out_b = kkt_solve_batched(*args)

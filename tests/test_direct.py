@@ -111,7 +111,11 @@ def test_direct_grad_flows():
 
 
 @pytest.mark.parametrize("K,s", [(2, 3), (3, 2), (5, 2), (7, 3), (16, 4),
-                                 (50, 14), (127, 4), (128, 4)])
+                                 pytest.param(50, 14,
+                                              marks=pytest.mark.slow),
+                                 pytest.param(127, 4,
+                                              marks=pytest.mark.slow),
+                                 (128, 4)])
 def test_btd_solve_cr_matches_thomas(K, s):
     """Cyclic reduction (the parallel direct solver) vs block Thomas on
     random SPD block-tridiagonal systems, including odd/power-of-two K and
@@ -128,6 +132,7 @@ def test_btd_solve_cr_matches_thomas(K, s):
                                np.asarray(ref) / scale, rtol=2e-4, atol=2e-4)
 
 
+@pytest.mark.slow
 def test_btd_solve_cr_batched():
     from gato_tpu.direct import btd_solve_cr
 

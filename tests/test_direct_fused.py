@@ -29,8 +29,12 @@ def _arrs(spec, seed=0):
     # (9, 2, 8) keeps the sp=16 (two-sublane-tile) layout axis that
     # (14, 7, 50) exercised, at interpret-mode-affordable cost: the IIWA
     # shape itself runs compiled in bench.py's on-device parity gate every
-    # round.
-    "shape", [(4, 2, 2), (2, 1, 5), (5, 3, 8), (9, 2, 8)]
+    # round.  The two heavy shapes are `slow`-tier (the fast tier keeps the
+    # kernel-vs-oracle pair via the small shapes; sp=16 runs compiled in the
+    # bench parity gate).
+    "shape", [(4, 2, 2), (2, 1, 5),
+              pytest.param((5, 3, 8), marks=pytest.mark.slow),
+              pytest.param((9, 2, 8), marks=pytest.mark.slow)]
 )
 def test_matches_oracle_single(shape):
     s, c, K = shape

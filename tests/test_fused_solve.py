@@ -22,7 +22,7 @@ def _stack(spec, n, seed0=0):
     ProblemSpec(3, 2, 10),
     # sp=16 (two sublane tiles) at interpret-mode-affordable size; the IIWA
     # shape itself runs compiled in bench.py's on-device parity gate.
-    ProblemSpec(9, 4, 24),
+    pytest.param(ProblemSpec(9, 4, 24), marks=pytest.mark.slow),
 ])
 def test_fused_solve_matches_pure_single(spec):
     problems, bb = _stack(spec, 1, seed0=7)

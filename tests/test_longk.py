@@ -69,7 +69,8 @@ def test_preconditioner_parity(kind, name):
     assert float(jnp.max(jnp.abs(res.lam - ref.lam))) / scale < 1e-3
 
 
-@pytest.mark.parametrize("tier", ["stream", "fused_xl"])
+@pytest.mark.parametrize("tier", [
+    pytest.param("stream", marks=pytest.mark.slow), "fused_xl"])
 def test_batched_warm_start_poly(tier):
     """Ragged batch + warm start + poly_degree=2 through the streamed-loop
     and single-kernel tiers: per-problem iteration counts must match the
@@ -274,12 +275,15 @@ def test_direct_tier_converged_is_residual_derived():
     assert float(res.eta) < 1e-6
 
 
+@pytest.mark.slow
 def test_sequence_packed_carry_matches_per_step_loop():
     """solve_longk_sequence_batched (inputs packed once, lambda carried in
     the packed lane layout) must reproduce a per-step solve_longk_batched
     loop EXACTLY: pack/unpack are pure permutations plus zero padding, so
     the hoisted-relayout chain is the same computation, not an
-    approximation."""
+    approximation.  (slow tier: T x B x K=200 interpret-mode solves; the
+    fused-kernel sequence analog covers the carried-packing logic in the
+    fast tier.)"""
     T, Bn = 3, 2
     pro = [random_blocks(SPEC, seed=60 + b) for b in range(Bn)]
     base = [jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]),

@@ -48,7 +48,7 @@ def test_packed_matches_fused_batched(method):
     np.testing.assert_array_equal(np.asarray(res.eta), np.asarray(ref.eta))
 
 
-@pytest.mark.parametrize("method", ["pcg", "direct"])
+@pytest.mark.parametrize("method", ["pcg", pytest.param("direct", marks=pytest.mark.slow)])
 def test_packed_single_problem(method):
     problems, _ = _stack(SPEC, 1, seed0=40)
     opts = dataclasses.replace(OPTS, method=method)
@@ -247,6 +247,7 @@ def test_packed_longk_tier(monkeypatch):
         pk.solve_packed(packed, dataclasses.replace(opts, method="direct"))
 
 
+@pytest.mark.slow
 def test_packed_direct_longk_tier(monkeypatch):
     """Past the direct kernel's packing budget, pack(method='direct') plans
     the long-horizon cyclic-reduction tier and solve_packed runs the same

@@ -24,9 +24,12 @@ def _sys(spec, seed=3, rho=0.01):
 
 @pytest.mark.parametrize("spec", [
     ProblemSpec(2, 1, 5),      # pendulum shape
-    ProblemSpec(14, 7, 50),    # IIWA shape
+    # IIWA and the just-over-one-tile shape are slow-tier: the IIWA shape
+    # runs compiled in bench.py's on-device parity gate every round, and the
+    # exact-tile wraparound case below keeps the tile-edge axis fast.
+    pytest.param(ProblemSpec(14, 7, 50), marks=pytest.mark.slow),
     ProblemSpec(4, 2, 128),    # K == lane tile exactly (wraparound case)
-    ProblemSpec(8, 3, 130),    # K just over one lane tile
+    pytest.param(ProblemSpec(8, 3, 130), marks=pytest.mark.slow),
 ])
 def test_fused_matches_pure(spec):
     sys = _sys(spec)

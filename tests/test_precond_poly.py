@@ -48,7 +48,7 @@ def test_degree2_matches_oracle():
                                rtol=1e-3, atol=1e-4)
 
 
-@pytest.mark.parametrize("degree", [2, 3])
+@pytest.mark.parametrize("degree", [2, pytest.param(3, marks=pytest.mark.slow)])
 def test_backend_parity_poly(degree):
     """jax / pallas / fused must agree on iteration counts exactly at any
     degree (the repo invariant extends to the composed preconditioner).
@@ -80,6 +80,7 @@ def test_batched_parity_poly():
                                    rtol=1e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_sharded_poly_matches_single_chip():
     from jax.sharding import Mesh
     from gato_tpu import assemble

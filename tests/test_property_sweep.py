@@ -11,14 +11,22 @@ from gato_tpu.solver import solve
 from gato_tpu.testing import dense_oracle, random_blocks
 
 
+# The sweep is deliberately WIDER than the per-feature tests (extra
+# confidence, same invariant); the heavy interpret-mode cases carry the
+# `slow` marker — the fast tier keeps every backend x method pair plus poly
+# and long-horizon representatives, `-m ''` runs the full grid.
+_slow = pytest.mark.slow
+
 CASES = [
     # (spec, rho, exit_tol, degree)
     (ProblemSpec(2, 1, 5), 1e-3, 1e-8, 1),      # pendulum shape
     (ProblemSpec(2, 1, 5), 1e-3, 1e-8, 2),
-    (ProblemSpec(5, 4, 7), 1e-2, 1e-10, 1),     # control wider than usual
+    pytest.param(ProblemSpec(5, 4, 7), 1e-2, 1e-10, 1,  # control > state
+                 marks=_slow),
     (ProblemSpec(3, 2, 64), 1e-4, 1e-8, 1),     # longer horizon, tiny rho
-    (ProblemSpec(3, 2, 64), 1e-4, 1e-8, 3),
-    (ProblemSpec(9, 5, 21), 1e-1, 1e-6, 2),     # heavy regularization
+    pytest.param(ProblemSpec(3, 2, 64), 1e-4, 1e-8, 3, marks=_slow),
+    pytest.param(ProblemSpec(9, 5, 21), 1e-1, 1e-6, 2,  # heavy reg, sp=16
+                 marks=_slow),
     (ProblemSpec(1, 1, 4), 1e-3, 1e-10, 1),     # minimal sizes
 ]
 
@@ -75,8 +83,8 @@ def test_solutions_match_dense_oracle(spec, rho):
 
 @pytest.mark.parametrize("spec,rho", [
     (ProblemSpec(2, 1, 5), 1e-3),
-    (ProblemSpec(5, 4, 7), 1e-2),
-    (ProblemSpec(3, 2, 64), 1e-4),
+    pytest.param(ProblemSpec(5, 4, 7), 1e-2, marks=_slow),
+    pytest.param(ProblemSpec(3, 2, 64), 1e-4, marks=_slow),
     (ProblemSpec(1, 1, 4), 1e-3),
 ])
 def test_direct_backends_match_dense_oracle(spec, rho):

@@ -269,7 +269,7 @@ def test_solve_sequence_batched_dp():
             Mesh(np.array(jax.devices()[:3]), ("dp",)), *batched, rho=1e-2)
 
 
-@pytest.mark.parametrize("n_dev", [2, 4])
+@pytest.mark.parametrize("n_dev", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_pcg_sharded_kernel_tier_matches_einsum(n_dev):
     """use_kernel=True (lane-packed Pallas matvec per shard, boundary-column
     ppermute) must agree with the einsum path on iteration count and
@@ -358,6 +358,7 @@ def test_solve_packed_dp_matches_single_device(monkeypatch):
                                    rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_solve_packed_dp_longk_tier(monkeypatch):
     """The long-horizon tier dp-shards too (each group IS one problem) —
     for PCG and for the direct (one-kernel cyclic-reduction) tier."""
