@@ -88,10 +88,17 @@ def _perturb(blocks, q0, lam_carry, t):
 # counts).
 
 _V5E = {
-    # Public v5e numbers: 197 bf16 TFLOP/s on the MXU; the solver's kernels
-    # are f32 VPU work (lane FMAs), peak 8*128 lanes x 4 ALUs x 2 flops at
-    # ~940 MHz ~= 7.5 TFLOP/s; HBM 819 GB/s.
-    "vpu_f32_flops": 7.5e12,
+    # The solver's kernels are f32 VPU work (lane FMAs).  The 4-ALU paper
+    # peak (8*128 lanes x 4 ALUs x 2 flops at ~940 MHz ~= 7.5 TFLOP/s) is
+    # NOT sustainable for the serial column-FMA mix these kernels issue:
+    # measured on this chip (tools/probe_throughput.py probe D, an R-round
+    # matvec chain at the kernels' own (16, 896) tile), a 14-column FMA
+    # matvec costs ~109 ns = ~0.46 ns per (8,128) vreg-FMA = ~2 vreg
+    # ops/cycle, i.e. ~4.1 TFLOP/s.  The roofline uses the MEASURED ceiling
+    # so pct_of_roofline states distance to what the hardware actually
+    # delivers on this op mix (round-2 used 7.5e12, overstating every
+    # compute-bound gap by ~1.8x).  HBM 819 GB/s.
+    "vpu_f32_flops": 4.1e12,
     "hbm_Bps": 819e9,
 }
 
@@ -380,6 +387,60 @@ def bench_batch(spec, options, backend, batch=256, *, T=12):
         "solves_per_sec": round(batch / (ms / 1e3), 1),
         "us_per_solve": round(1e3 * ms / batch, 4),
         **info,
+    }
+
+
+def bench_batch_split(spec, options, batch=256, *, T=12):
+    """Measured throughput decomposition of the batched fused solve
+    (VERDICT round-2 weak #1): with exit_tol=0 every problem runs EXACTLY
+    max_iters iterations, so differencing max_iters=8 vs 16 yields the
+    marginal per-iteration cost with no exit-test variance, and max_iters=0
+    is the fixed cost (pack + input DMA + condense + preconditioner +
+    recovery + unpack).  Alongside: the lockstep-exit accounting — each
+    lane group runs until its SLOWEST member converges, so the effective
+    iteration count is the group max, not the mean."""
+    from gato_tpu.kernels import fused_solve as _fs
+    from gato_tpu.problem import SolverOptions
+    from gato_tpu.solver import solve_batched
+    from gato_tpu.timing import time_solve
+
+    blocks = _staged_blocks(spec, seed=1000, batch=batch)
+
+    def timed(max_iters, tol):
+        o = SolverOptions(rho=options.rho, exit_tol=tol, max_iters=max_iters,
+                          preconditioner=options.preconditioner,
+                          precond_poly_degree=options.precond_poly_degree)
+        ms, _ = time_solve(spec, blocks, o, pcg_backend="fused", T=T,
+                           label=f"batch_split/maxit{max_iters}", log=_log)
+        return ms
+
+    ms0 = timed(0, 0.0)
+    ms8 = timed(8, 0.0)
+    ms16 = timed(16, 0.0)
+    msf = timed(options.max_iters, options.exit_tol)
+    per_iter_ms = (ms16 - ms8) / 8.0
+
+    res = solve_batched(spec, blocks, options, pcg_backend="fused")
+    it = np.asarray(res.iters).astype(np.int64)
+    _, g, _, n_groups, _ = _fs.plan_packing(
+        batch, spec.knot_points, spec.state_size, spec.control_size)
+    gmax = it.reshape(n_groups, g).max(axis=1)
+    return {
+        "batch": batch,
+        "fixed_ms": round(ms0, 4),
+        "fixed_us_per_solve": round(1e3 * ms0 / batch, 4),
+        "per_iter_ms_batch": round(per_iter_ms, 5),
+        "per_iter_us_per_solve": round(1e3 * per_iter_ms / batch, 4),
+        "full_ms": round(msf, 4),
+        "full_us_per_solve": round(1e3 * msf / batch, 4),
+        # consistency: fixed + 8*per_iter should track maxit8
+        "model_maxit8_ms": round(ms0 + 8 * per_iter_ms, 4),
+        "maxit8_ms": round(ms8, 4),
+        "g": g, "n_groups": n_groups,
+        "iters_mean": round(float(it.mean()), 2),
+        "group_max_mean": round(float(gmax.mean()), 2),
+        "lockstep_waste_pct": round(
+            100 * (1 - it.mean() / gmax.mean()), 1),
     }
 
 
@@ -759,16 +820,42 @@ def main():
         annotate_roofline(C["iiwa_direct_fused"], iiwa, "direct_fused")
         _log(f"iiwa direct fused: {C['iiwa_direct_fused']}")
     C["iiwa_split_jax"] = bench_split(iiwa, opts, T=256)
+    annotate_roofline(C["iiwa_split_jax"], iiwa, "pcg_jax",
+                      ms_per_solve=C["iiwa_split_jax"]["full_ms"],
+                      iters=C["iiwa_pcg"]["pcg_iters"])
     _log(f"iiwa split: {C['iiwa_split_jax']}")
     if have_pallas:
+        # Split-pallas tier: XLA condense writes packed S+Pinv once, the
+        # resident kernel reads them once — the pcg_xl byte model.
         C["iiwa_pcg_pallas"] = bench_single(iiwa, opts, "pallas", T=256)
+        annotate_roofline(C["iiwa_pcg_pallas"], iiwa, "pcg_xl")
         _log(f"iiwa pallas: {C['iiwa_pcg_pallas']}")
         C["iiwa_fused"] = bench_single(iiwa, opts, "fused", T=512)
         annotate_roofline(C["iiwa_fused"], iiwa, "pcg_fused")
         _log(f"iiwa fused: {C['iiwa_fused']}")
         C["iiwa_fused_split"] = bench_fused_split(
             iiwa, opts, C["iiwa_fused"])
+        annotate_roofline(C["iiwa_fused_split"], iiwa, "pcg_fused",
+                          ms_per_solve=C["iiwa_fused_split"][
+                              "packed_serving_ms"],
+                          iters=C["iiwa_fused"]["pcg_iters"])
         _log(f"iiwa fused split: {C['iiwa_fused_split']}")
+        # Small-problem latency floor (VERDICT r2 weak #6): the pendulum on
+        # the KERNEL path, with the same fixed-cost split — separates the
+        # tiny-shape surface/relayout cost from the in-kernel work, next to
+        # the XLA-path entry above whose cost is per-HLO overhead at
+        # trivial sizes.
+        pend = ProblemSpec(2, 1, 5)
+        C["pendulum_2_1_5_fused"] = bench_single(pend, opts, "fused", T=512)
+        annotate_roofline(C["pendulum_2_1_5_fused"], pend, "pcg_fused")
+        _log(f"pendulum fused: {C['pendulum_2_1_5_fused']}")
+        C["pendulum_2_1_5_fused_split"] = bench_fused_split(
+            pend, opts, C["pendulum_2_1_5_fused"], T=4096)
+        annotate_roofline(C["pendulum_2_1_5_fused_split"], pend, "pcg_fused",
+                          ms_per_solve=C["pendulum_2_1_5_fused_split"][
+                              "packed_serving_ms"],
+                          iters=C["pendulum_2_1_5_fused"]["pcg_iters"])
+        _log(f"pendulum fused split: {C['pendulum_2_1_5_fused_split']}")
         poly2 = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3,
                               precond_poly_degree=2)
         C["iiwa_fused_poly2"] = bench_single(iiwa, poly2, "fused", T=512)
@@ -858,7 +945,23 @@ def main():
             iters=C["iiwa_pcg"]["pcg_iters"])
         _log(f"batch fused: {C['iiwa_batch_256_fused']}")
         C["iiwa_batch_256_pcg_pallas"] = bench_batch(iiwa, opts, "pallas", T=6)
+        annotate_roofline(
+            C["iiwa_batch_256_pcg_pallas"], iiwa, "pcg_xl",
+            ms_per_solve=C["iiwa_batch_256_pcg_pallas"]["us_per_solve"] / 1e3,
+            iters=C["iiwa_pcg"]["pcg_iters"])
         _log(f"batch pcg: {C['iiwa_batch_256_pcg_pallas']}")
+        # Measured throughput breakdown at the headline batch (VERDICT r2
+        # weak #1): fixed (condense+precond+recover+surface) vs marginal
+        # per-iteration cost by exit_tol=0 max_iters differencing, plus the
+        # lockstep-exit waste of the g-problem groups.
+        C["iiwa_batch_256_fused_split"] = bench_batch_split(iiwa, opts,
+                                                            batch=256)
+        annotate_roofline(
+            C["iiwa_batch_256_fused_split"], iiwa, "pcg_fused",
+            ms_per_solve=C["iiwa_batch_256_fused_split"][
+                "full_us_per_solve"] / 1e3,
+            iters=C["iiwa_pcg"]["pcg_iters"])
+        _log(f"batch fused split: {C['iiwa_batch_256_fused_split']}")
     C["iiwa_batch_256_direct"] = bench_batch(iiwa, direct_opts, "jax", T=6)
     annotate_roofline(
         C["iiwa_batch_256_direct"], iiwa, "direct_jax",
@@ -874,6 +977,10 @@ def main():
         _log(f"batch direct fused: {C['iiwa_batch_256_direct_fused']}")
     C["iiwa_mpc_sequence"] = bench_mpc_sequence(iiwa, opts, T=128,
                                                 pcg_backend="jax")
+    annotate_roofline(C["iiwa_mpc_sequence"], iiwa, "pcg_jax",
+                      ms_per_solve=C["iiwa_mpc_sequence"]["ms_per_solve"],
+                      iters=max(1, round(
+                          C["iiwa_mpc_sequence"]["iters_rest_mean"])))
     _log(f"mpc sequence (jax): {C['iiwa_mpc_sequence']}")
     if have_pallas:
         # The fused step is ~10x faster, so the sequence-length differencing
@@ -881,6 +988,11 @@ def main():
         # T such that the T-vs-2T difference (~4.4 us/step) clears the ~8 ms
         # noise floor: 2048 * 4.4 us ~= 9 ms.
         C["iiwa_mpc_sequence_fused"] = bench_mpc_sequence(iiwa, opts, T=2048)
+        annotate_roofline(
+            C["iiwa_mpc_sequence_fused"], iiwa, "pcg_fused",
+            ms_per_solve=C["iiwa_mpc_sequence_fused"]["ms_per_solve"],
+            iters=max(1, round(
+                C["iiwa_mpc_sequence_fused"]["iters_rest_mean"])))
         _log(f"mpc sequence (fused): {C['iiwa_mpc_sequence_fused']}")
         # Farm throughput sweep: find the ceiling and the crossover vs the
         # independent 256-batch path (VERDICT round-1 #4).  T per B balances

@@ -334,10 +334,15 @@ def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
         p_n = r_tilde + lanes(beta) * p
 
         live = jnp.logical_and(conv == 0, it < max_iters)  # (1, g)
-        live_l = lanes(live.astype(dt))                    # (1, L) 1.0/0.0
-        lam = live_l * lam_n + (1.0 - live_l) * lam
-        r = live_l * r_n + (1.0 - live_l) * r
-        p = live_l * p_n + (1.0 - live_l) * p
+        # Lane mask as a SELECT, not an arithmetic blend: lanes() emits
+        # exact 1.0/0.0 (0/1 segment matmul), so where() is value-identical
+        # to live_l*new + (1-live_l)*old while costing one select per
+        # vector instead of two multiplies and an add (and it cannot
+        # propagate a frozen lane's garbage through 0*x).
+        live_l = lanes(live.astype(dt)) > 0.5              # (1, L) bool
+        lam = jnp.where(live_l, lam_n, lam)
+        r = jnp.where(live_l, r_n, r)
+        p = jnp.where(live_l, p_n, p)
         eta = jnp.where(live, eta_new, eta)
         n_iters = jnp.where(jnp.logical_and(live, conv_now), it, n_iters)
         conv = jnp.maximum(conv, jnp.logical_and(live, conv_now).astype(i32))
