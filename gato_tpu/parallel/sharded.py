@@ -38,7 +38,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .. import assemble, recover
+from .. import assemble, blocktri, direct, recover
 from ..pcg import PCGResult, pcg
 from ..problem import Preconditioner
 from ..solver import _cached_const
@@ -225,6 +225,159 @@ def pcg_sharded(
     if lam0 is None:
         lam0 = jnp.zeros_like(gamma)
     return run(S, Pinv, gamma, lam0)
+
+
+# ---- Sharded EXACT solve: substructuring (SPIKE) over the mesh -------------
+#
+# The knot-sharded exact solver the reference cannot express (its only solver
+# is the single-GPU cooperative PCG, /root/reference/src/gato_pcg.cuh): each
+# shard eliminates its INTERIOR rows locally with one multi-RHS block-Thomas
+# sweep (three simultaneous right-hand sides: the data b, and the two
+# coupling columns to the neighbouring interface unknowns), producing one
+# reduced block row per shard.  The n-row reduced block-tridiagonal interface
+# system is all_gathered (3n s x s blocks — O(n s^2) floats, once per solve)
+# and solved REDUNDANTLY on every device by log-depth cyclic reduction; the
+# interior is then recovered locally with no further communication.  Total
+# wire traffic: one ppermute of (2s+1) s-vectors + one small all_gather —
+# against 2 ppermutes + 2 psums PER ITERATION for sharded PCG.
+#
+# Numerics: every interior system is a contiguous principal submatrix of the
+# SPD Schur complement, and the reduced system is the interface Schur
+# complement of those — both SPD, so block elimination without pivoting is
+# stable for the same reason as direct.btd_solve (direct.py:21-22).
+
+
+def _local_thomas_multi(Lr, Dr, Ur, Bm):
+    """Block-Thomas solve with a MATRIX right-hand side.
+
+    Shapes: Lr/Dr/Ur (m, s, s) — the local block tridiagonal (Lr[0] and
+    Ur[m-1] must already be zero); Bm (m, s, nrhs).  Returns X (m, s, nrhs)
+    with T X = Bm.  One factorization serves all nrhs columns: the forward
+    scan's C_k / w_k depend only on the operator, and the rhs recurrences
+    are (s, s) x (s, nrhs) products that batch over columns for free.
+    """
+    s = Dr.shape[-1]
+    nrhs = Bm.shape[-1]
+    U_prev = jnp.concatenate([jnp.zeros_like(Ur[:1]), Ur[:-1]], axis=0)
+
+    def fwd(carry, xs):
+        c_prev_inv, Y_prev = carry
+        Lk, Dk, Upk, Bk = xs
+        w = jnp.einsum("ab,bc->ac", Lk, c_prev_inv, precision=_PRECISION)
+        Ck = Dk - jnp.einsum("ab,bc->ac", w, Upk, precision=_PRECISION)
+        Yk = Bk - jnp.einsum("ab,bc->ac", w, Y_prev, precision=_PRECISION)
+        ck_inv = blocktri.block_inv(Ck)
+        return (ck_inv, Yk), (ck_inv, Yk)
+
+    # Derive the zero inits from the operands so their vma matches the scan
+    # outputs under shard_map's varying-axes tracking.
+    init = (Dr[0] * 0.0, Bm[0] * 0.0)
+    _, (C_inv, Y) = lax.scan(fwd, init, (Lr, Dr, U_prev, Bm))
+
+    def bwd(X_next, xs):
+        ck_inv, Yk, Uk = xs
+        Xk = jnp.einsum(
+            "ab,bc->ac", ck_inv,
+            Yk - jnp.einsum("ab,bc->ac", Uk, X_next, precision=_PRECISION),
+            precision=_PRECISION)
+        return Xk, Xk
+
+    _, X = lax.scan(bwd, Bm[0] * 0.0, (C_inv, Y, Ur), reverse=True)
+    return X
+
+
+def _btd_solve_direct_local(S_l, b_l, *, axis_name: str):
+    """Per-shard SPIKE body (inside shard_map): solve the globally block-
+    tridiagonal S x = b exactly, returning this shard's x rows.
+
+    Local layout: rows 0..Kl-2 are the INTERIOR, row Kl-1 is the INTERFACE
+    unknown t_p (the last shard's t_{n-1} is simply x_{K-1}: its U block is
+    the global trajectory-end zero, so its reduced row decouples on the
+    right by construction — no masking).
+    """
+    Kl, s = b_l.shape
+    L, D, U = S_l[:, 0], S_l[:, 1], S_l[:, 2]
+    n = lax.axis_size(axis_name)
+
+    # Interior operator: the couplings OUT of the interior (row 0's L to
+    # t_{p-1}, row Kl-2's U to t_p) move to the V/W right-hand sides.
+    m = Kl - 1
+    Lint = L[:m].at[0].set(0.0)
+    Uint = U[:m].at[m - 1].set(0.0)
+    Dint = D[:m]
+
+    # Stacked RHS: [b | V-cols | W-cols]  ->  x_int = y - V t_{p-1} - W t_p.
+    Bm = jnp.zeros((m, s, 1 + 2 * s), b_l.dtype)
+    Bm = Bm.at[:, :, 0].set(b_l[:m])
+    Bm = Bm.at[0, :, 1 : 1 + s].set(L[0])
+    Bm = Bm.at[m - 1, :, 1 + s :].add(U[m - 1])
+    X = _local_thomas_multi(Lint, Dint, Uint, Bm)
+    y, V, W = X[:, :, 0], X[:, :, 1 : 1 + s], X[:, :, 1 + s :]
+
+    # Reduced interface row p, from the interface equation
+    #   L_l x_{Kl-2} + D_l t_p + U_l x'_0 = b_l
+    # with x_{Kl-2} and the right neighbour's x'_0 written in terms of the
+    # interface unknowns.  The neighbour's first-row (y', V', W') arrive by
+    # one ppermute; the mesh edge receives zeros, matched by U_l = 0 there.
+    first = jnp.concatenate(
+        [y[0][:, None], V[0], W[0]], axis=1)           # (s, 1+2s)
+    nbr = lax.ppermute(first, axis_name,
+                       [(i, i - 1) for i in range(1, n)])
+    y_n, V_n, W_n = nbr[:, 0], nbr[:, 1 : 1 + s], nbr[:, 1 + s :]
+
+    L_l, D_l, U_l, b_int = L[Kl - 1], D[Kl - 1], U[Kl - 1], b_l[Kl - 1]
+    mm = functools.partial(jnp.einsum, "ab,bc->ac", precision=_PRECISION)
+    mv = functools.partial(jnp.einsum, "ab,b->a", precision=_PRECISION)
+    L_red = -mm(L_l, V[m - 1])
+    D_red = D_l - mm(L_l, W[m - 1]) - mm(U_l, V_n)
+    U_red = -mm(U_l, W_n)
+    b_red = b_int - mv(L_l, y[m - 1]) - mv(U_l, y_n)
+
+    # Gather the n-row interface system and solve it redundantly everywhere
+    # (log-depth CR; the system is tiny — 3n (s,s) blocks).
+    S_red = lax.all_gather(
+        jnp.stack([L_red, D_red, U_red], axis=0), axis_name)  # (n, 3, s, s)
+    b_gath = lax.all_gather(b_red, axis_name)                  # (n, s)
+    t = direct.btd_solve_cr(S_red, b_gath)                     # (n, s)
+
+    p = lax.axis_index(axis_name)
+    t_p = t[p]
+    t_prev = jnp.where(p > 0, t[jnp.maximum(p - 1, 0)], 0.0)
+    x_int = (y - jnp.einsum("mab,b->ma", V, t_prev, precision=_PRECISION)
+             - jnp.einsum("mab,b->ma", W, t_p, precision=_PRECISION))
+    return jnp.concatenate([x_int, t_p[None]], axis=0)
+
+
+def btd_solve_sharded(
+    mesh: Mesh,
+    S: jnp.ndarray,
+    b: jnp.ndarray,
+    *,
+    axis_name: str = "knot",
+) -> jnp.ndarray:
+    """Exact block-tridiagonal solve with the row axis sharded over the mesh.
+
+    Same contract as direct.btd_solve (single problem: S (K, 3, s, s),
+    b (K, s)); K must be divisible by the axis size with >= 2 rows per shard
+    (a 1-row shard has no interior — that placement is the reduced system
+    itself, i.e. a single-device solve).
+    """
+    K = b.shape[0]
+    n = mesh.shape[axis_name]
+    if K % n:
+        raise ValueError(
+            f"knot_points={K} not divisible by mesh axis {axis_name}={n}")
+    if K // n < 2:
+        raise ValueError(
+            f"btd_solve_sharded needs >= 2 rows per shard (K={K}, mesh "
+            f"{axis_name}={n}); use direct.btd_solve on one device")
+    run = jax.shard_map(
+        functools.partial(_btd_solve_direct_local, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(axis_name), P(axis_name)),
+        out_specs=P(axis_name),
+    )
+    return run(S, b)
 
 
 @functools.partial(
@@ -617,7 +770,7 @@ def _solve_sharded_kernel_body(
 @functools.partial(
     jax.jit,
     static_argnames=("mesh", "axis_name", "preconditioner", "poly_degree",
-                     "use_kernel"),
+                     "use_kernel", "method"),
 )
 def _solve_sharded_core(
     Q, Rp, Ap, Bp, q, rp, c, lam0, rho, exit_tol, max_iters,
@@ -626,6 +779,7 @@ def _solve_sharded_core(
     preconditioner: Preconditioner,
     poly_degree: int,
     use_kernel: Optional[bool],
+    method: str = "pcg",
 ):
     """ONE jitted program for the whole knot-sharded solve, zero host hops
     between stages.  Module-level jit with (mesh, axis, preconditioner)
@@ -644,6 +798,42 @@ def _solve_sharded_core(
       XLA sharding propagation, the PCG loop under shard_map with the
       einsum matvec.  Iteration counts must agree (tests).
     """
+    if method == "direct":
+        # Exact knot-sharded solve (substructuring — btd_solve_sharded):
+        # condensation and recovery run under XLA sharding propagation (the
+        # einsum tier; the preconditioner is skipped entirely, as on the
+        # single-chip direct path), the interface elimination under
+        # shard_map.  ``converged`` derives from the true residual, exactly
+        # like solver._direct_result.
+        sys = assemble.condense(
+            Q, Rp[:-1], Ap[:-1], Bp[:-1], q, rp[:-1], c, rho, None
+        )
+        n = mesh.shape[axis_name]
+        if q.shape[0] // n < 2:
+            # 1-row shards have no interior; the reduced system is the whole
+            # system — solve it in place (XLA gathers, K == n is tiny).
+            lam = direct.btd_solve_auto(sys.S, sys.gamma)
+        else:
+            run = jax.shard_map(
+                functools.partial(_btd_solve_direct_local,
+                                  axis_name=axis_name),
+                mesh=mesh,
+                in_specs=(P(axis_name), P(axis_name)),
+                out_specs=P(axis_name),
+            )
+            lam = run(sys.S, sys.gamma)
+        resid = sys.gamma - blocktri.btd_matvec(sys.S, lam)
+        eta = jnp.sum(resid * resid)
+        gamma_sq = jnp.sum(sys.gamma * sys.gamma)
+        res = PCGResult(
+            lam=lam, iters=jnp.zeros((), jnp.int32),
+            converged=direct.residual_converged(eta, gamma_sq), eta=eta,
+        )
+        dz_x, dz_u = recover.recover_dz(
+            sys.Qinv, sys.Rinv, Ap[:-1], Bp[:-1], q, rp[:-1], res.lam
+        )
+        return res, dz_x, dz_u
+
     if use_kernel is None:
         use_kernel = jax.default_backend() == "tpu"
     if q.shape[0] // mesh.shape[axis_name] < 2:
@@ -705,6 +895,7 @@ def solve_sharded(
     poly_degree: int = 1,
     axis_name: str = "knot",
     use_kernel: Optional[bool] = None,
+    method: str = "pcg",
 ):
     """Full solve with the knot axis sharded across the mesh.
 
@@ -713,11 +904,26 @@ def solve_sharded(
     The wrapper only stages inputs (device_put with the knot sharding) and
     calls the single jitted core; repeated calls with new data/scalars hit
     the jit cache.  ``use_kernel`` selects the per-shard PCG executor (see
-    pcg_sharded)."""
+    pcg_sharded).
+
+    ``method='direct'`` runs the exact knot-sharded solver (substructuring,
+    see btd_solve_sharded): one multi-RHS Thomas sweep per shard, the n-row
+    interface system solved redundantly after an all_gather, no iteration.
+    Condensation/recovery run in the einsum tier (sharding propagation);
+    ``use_kernel`` applies to the PCG executor only and is rejected here —
+    explicit incompatible requests raise rather than silently degrade."""
     K, s = q.shape
     n = mesh.shape[axis_name]
     if K % n:
         raise ValueError(f"knot_points={K} not divisible by mesh axis {axis_name}={n}")
+    if method not in ("pcg", "direct"):
+        raise ValueError(
+            f"solve_sharded supports method in ('pcg', 'direct'); got {method!r}")
+    if method == "direct" and use_kernel:
+        raise ValueError(
+            "method='direct' has no kernel-tier PCG executor to select; "
+            "drop use_kernel (the exact tier is substructuring under "
+            "shard_map)")
 
     knot_sharded = NamedSharding(mesh, P(axis_name))
 
@@ -736,7 +942,7 @@ def solve_sharded(
         _cached_const(rho, dt) if not isinstance(rho, jnp.ndarray) else rho,
         _cached_const(exit_tol, dt), _cached_const(max_iters, jnp.int32),
         mesh=mesh, axis_name=axis_name, preconditioner=preconditioner,
-        poly_degree=poly_degree, use_kernel=use_kernel,
+        poly_degree=poly_degree, use_kernel=use_kernel, method=method,
     )
 
 

@@ -557,3 +557,93 @@ def test_solve_packed_dp_second_call_hits_jit_cache(monkeypatch):
                                   bb.r, bb.c)
     sh.solve_packed_dp(mesh, refreshed, opts, lam0=first.lam_packed)
     assert sh._solve_packed_dp_core._cache_size() == size
+
+
+# ---- Sharded EXACT solve (substructuring) ---------------------------------
+
+
+@pytest.mark.parametrize("n_dev", [2, 4, 8])
+def test_btd_solve_sharded_matches_thomas(n_dev):
+    """The SPIKE interface solve is exact: agrees with single-device block
+    Thomas to f32 round-off on a random SPD Schur system."""
+    from gato_tpu.direct import btd_solve
+    from gato_tpu.parallel.sharded import btd_solve_sharded
+
+    spec = ProblemSpec(4, 2, 32)
+    blocks = random_blocks(spec, seed=91)
+    sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
+
+    x_single = btd_solve(sys.S, sys.gamma)
+    x_sharded = btd_solve_sharded(_mesh(n_dev), sys.S, sys.gamma)
+    np.testing.assert_allclose(
+        np.asarray(x_sharded), np.asarray(x_single), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_btd_solve_sharded_rejects_thin_shards():
+    from gato_tpu.parallel.sharded import btd_solve_sharded
+
+    spec = ProblemSpec(3, 1, 8)
+    blocks = random_blocks(spec, seed=5)
+    sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
+    with pytest.raises(ValueError, match="2 rows per shard"):
+        btd_solve_sharded(_mesh(8), sys.S, sys.gamma)
+
+
+@pytest.mark.parametrize("n_dev", [2, 8])
+def test_solve_sharded_direct_matches_single(n_dev):
+    """Full exact knot-sharded solve: lam/dz agree with the single-device
+    method='direct' path; converged derives from the true residual."""
+    spec = ProblemSpec(4, 2, 64)
+    blocks = random_blocks(spec, seed=23)
+    rho = 0.01
+    res, dz_x, dz_u = solve_sharded(
+        _mesh(n_dev), *(jnp.asarray(a) for a in blocks),
+        rho=rho, method="direct",
+    )
+    single = solve(spec, blocks, SolverOptions(rho=rho, method="direct"),
+                   pcg_backend="jax")
+    assert bool(res.converged)
+    assert int(res.iters) == 0
+    np.testing.assert_allclose(
+        np.asarray(res.lam), np.asarray(single.lam), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dz_x), np.asarray(single.dz_x), rtol=2e-4, atol=2e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(dz_u), np.asarray(single.dz_u), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_solve_sharded_direct_thin_shards_fall_back():
+    """K == mesh size: no interior rows — the core solves the (tiny) whole
+    system in place instead of substructuring."""
+    spec = ProblemSpec(3, 2, 8)
+    blocks = random_blocks(spec, seed=31)
+    res, dz_x, dz_u = solve_sharded(
+        _mesh(8), *(jnp.asarray(a) for a in blocks),
+        rho=0.01, method="direct",
+    )
+    single = solve(spec, blocks, SolverOptions(rho=0.01, method="direct"),
+                   pcg_backend="jax")
+    assert bool(res.converged)
+    np.testing.assert_allclose(
+        np.asarray(res.lam), np.asarray(single.lam), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_solve_sharded_direct_rejects_kernel_request():
+    spec = ProblemSpec(4, 2, 16)
+    blocks = random_blocks(spec, seed=3)
+    with pytest.raises(ValueError, match="direct"):
+        solve_sharded(_mesh(2), *(jnp.asarray(a) for a in blocks),
+                      rho=0.01, method="direct", use_kernel=True)
+
+
+def test_solve_sharded_rejects_unknown_method():
+    spec = ProblemSpec(4, 2, 16)
+    blocks = random_blocks(spec, seed=3)
+    with pytest.raises(ValueError, match="method"):
+        solve_sharded(_mesh(2), *(jnp.asarray(a) for a in blocks),
+                      rho=0.01, method="thomas")
