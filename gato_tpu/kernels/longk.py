@@ -695,8 +695,11 @@ def _pcg_stream_call(Sb, Pb, gamb, lb, exit_tol, max_iters, *,
 # level's transients: ~(10s + 6) (sp, Kp) f32 arrays (Dinv + its rolls
 # against the L/U reads, the four neighbor-product stacks, the D/L/U
 # updates, b/x vectors).  The formula below models that per-level stack;
-# 13 MB of modeled transients keeps the real stack under Mosaic's 16
-# (validated on-device at Kp=1024).
+# 13 MB of modeled transients keeps the real stack under Mosaic's 16,
+# validated on-device AT THE BOUNDARY, not extrapolated: the largest
+# admitted K per width compiles and solves on v5e (IIWA s=14: K=1280,
+# plan Kp=1280 sp=16; s=8: K=4480; s=4: K=8960 — all converged,
+# rel err vs the XLA path ~3e-6).
 _DIRECT_XL_BUDGET_BYTES = 13 * 1024 * 1024
 
 

@@ -562,7 +562,10 @@ def test_solve_packed_dp_second_call_hits_jit_cache(monkeypatch):
 # ---- Sharded EXACT solve (substructuring) ---------------------------------
 
 
-@pytest.mark.parametrize("n_dev", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n_dev",
+    [2, pytest.param(4, marks=pytest.mark.slow),
+     pytest.param(8, marks=pytest.mark.slow)])
 def test_btd_solve_sharded_matches_thomas(n_dev):
     """The SPIKE interface solve is exact: agrees with single-device block
     Thomas to f32 round-off on a random SPD Schur system."""

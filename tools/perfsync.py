@@ -92,6 +92,13 @@ def _bindings(detail: dict):
          1e3 * c["iiwa_fused_split"]["condense_recover_ms"], ".1f")
     bind(r, r"([\d.]+) µs per PCG iteration", c["iiwa_fused_split"]["us_per_iteration"], ".2f")
     bind(r, r"Pendulum \(2,1,5\): (\d+) µs/solve", round(1e3 * ms("pendulum_2_1_5_pcg")), "d")
+    bind(r, r"XLA path, \*\*([\d.]+) µs\*\* on the fused", 1e3 * ms("pendulum_2_1_5_fused"), ".1f")
+    bind(r, r"overhead — ([\d.]+) µs condense\+recover\+launch",
+         1e3 * c["pendulum_2_1_5_fused_split"]["condense_recover_ms"], ".1f")
+    bind(r, r"and ([\d.]+) µs per \(trivial\)\n  iteration",
+         c["pendulum_2_1_5_fused_split"]["us_per_iteration"], ".1f")
+    bind(r, r"path's extra ~(\d+) µs is per-HLO dispatch",
+         round(1e3 * (ms("pendulum_2_1_5_pcg") - ms("pendulum_2_1_5_fused"))), "d")
     # Horizon scaling.
     bind(r, r"fused PCG kernel: K=100: ([\d.]+) ms", ms("iiwa_horizon_100_fused"), ".3f")
     bind(r, r"K=250: ([\d.]+)", ms("iiwa_horizon_250_fused"), ".3f")
@@ -117,18 +124,24 @@ def _bindings(detail: dict):
          round(c["iiwa_batch_256_direct"]["us_per_solve"]), "d")
     # MPC.
     bind(r, r"\*\*([\d.]+) ms/solve\*\* vs", c["iiwa_mpc_sequence_fused"]["ms_per_solve"], ".4f")
-    bind(r, r"throughput ceiling at\n  B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
+    bind(r, r"row B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
     bind(r, r"\(~(\d+k) warm-started solves/s\)\*\*", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
     bind(r, r"beating cold\n  independent batching \(([\d.]+) µs\)", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
     bind(r, r"independent batching \([\d.]+ µs\) by ([\d.]+)x",
          c["iiwa_batch_256_fused"]["us_per_solve"] / c["iiwa_mpc_farm_128"]["us_per_solve"], ".1f")
+    bind(r, r"putting ([\d.]+) µs/solve in\nfixed work",
+         c["iiwa_batch_256_fused_split"]["fixed_us_per_solve"], ".1f")
+    bind(r, r"unpack\), ([\d.]+) µs\nper iteration marginal",
+         c["iiwa_batch_256_fused_split"]["per_iter_us_per_solve"], ".2f")
+    bind(r, r"and (\d+)% lockstep-exit waste",
+         c["iiwa_batch_256_fused_split"]["lockstep_waste_pct"], ".0f")
 
     p = "PARITY.md"
     bind(p, r"\(([\d.]+) ms XLA -> ", ms("iiwa_horizon_1024_pcg"), ".3f")
     bind(p, r"ms XLA -> ([\d.]+) ms at K=1024", ms("iiwa_horizon_1024_kernel_fused_xl"), ".3f")
     bind(p, r"~(\d+) us single", round(1e3 * ms("iiwa_direct_fused")), "d")
     bind(p, r"~([\d.]+) us/solve at 256-batch", c["iiwa_batch_256_direct_fused"]["us_per_solve"], ".1f")
-    bind(p, r"ceiling ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
+    bind(p, r"best measured row ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
     bind(p, r"= ~(\d+k) solves/s at B=128", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
     return B
 

