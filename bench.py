@@ -418,6 +418,28 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
     ms8 = timed(8, 0.0)
     ms16 = timed(16, 0.0)
     msf = timed(options.max_iters, options.exit_tol)
+
+    # Pack-only chain: the per-step share of the fixed cost that is input
+    # relayout, NOT kernel work.  Only the perturbed arrays (Q, q) repack
+    # per step — XLA hoists the loop-invariant R/A/B/r/c packs out of the
+    # scan in BOTH this chain and the solve chains above, so the two
+    # measurements subtract cleanly: fixed - pack = launch + input DMA +
+    # in-kernel condense/precond/recover + output unpack.
+    import functools as _ft
+    K_sub_p, g_p, L_p, n_groups_p, sp_p = _fs.plan_packing(
+        batch, spec.knot_points, spec.state_size, spec.control_size)
+    pm = _ft.partial(_fs._pack_mat, K_sub=K_sub_p, g=g_p, L=L_p,
+                     n_groups=n_groups_p, sp=sp_p)
+    pv = _ft.partial(_fs._pack_vec, K_sub=K_sub_p, g=g_p, L=L_p,
+                     n_groups=n_groups_p, sp=sp_p)
+
+    def step_pack(q0, lam_carry, t):
+        Q, q = _perturb(blocks, q0, lam_carry, t)
+        tot = jnp.sum(pm(Q)) + jnp.sum(pv(q))
+        return jnp.broadcast_to(tot, q0.shape)
+
+    ms_pack, _ = scan_chain_time(step_pack, blocks.q, T,
+                                 label="batch_split/pack_only")
     # Longest lever (0 -> 16) for the marginal cost: the ladder is linear
     # (validated on-device at maxit in {0,8,16,32,64}: 0.0200-0.0221
     # ms/iter per 256-batch on every segment), and anchoring at ms0 makes
@@ -429,13 +451,17 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
 
     res = solve_batched(spec, blocks, options, pcg_backend="fused")
     it = np.asarray(res.iters).astype(np.int64)
-    _, g, _, n_groups, _ = _fs.plan_packing(
-        batch, spec.knot_points, spec.state_size, spec.control_size)
+    g, n_groups = g_p, n_groups_p
     gmax = it.reshape(n_groups, g).max(axis=1)
     return {
         "batch": batch,
         "fixed_ms": round(ms0, 4),
         "fixed_us_per_solve": round(1e3 * ms0 / batch, 4),
+        "pack_ms": round(ms_pack, 4),
+        "pack_us_per_solve": round(1e3 * ms_pack / batch, 4),
+        "kernel_fixed_ms": round(max(ms0 - ms_pack, 0.0), 4),
+        "kernel_fixed_us_per_solve": round(
+            1e3 * max(ms0 - ms_pack, 0.0) / batch, 4),
         "per_iter_ms_batch": round(per_iter_ms, 5),
         "per_iter_us_per_solve": round(1e3 * per_iter_ms / batch, 4),
         "full_ms": round(msf, 4),

@@ -167,10 +167,17 @@ def test_batched_matches_vmapped_single():
                                atol=2e-3 * max(1.0, abs(float(gr_v))))
 
 
+@pytest.mark.slow
 def test_batched_fused_branch(monkeypatch):
     """The fused cyclic-reduction dispatch (TPU default) must produce the
     same primal and gradients as the XLA direct path — forced on here
-    (the kernel runs in interpret mode off-TPU)."""
+    (the kernel runs in interpret mode off-TPU).
+
+    slow tier: the custom VJP never differentiates THROUGH the kernel (it
+    solves two extra systems via the same dispatch), so the fast tier's
+    test_grads_match_native_ad + test_primal_matches_direct plus the fused
+    oracle tests cover the same contract; the fused-branch AD cross-check
+    runs in the slow tier and on TPU via examples/advanced.py."""
     args = _batched_args(seed0=90)
     ref_out = kkt_solve_batched(*args)
 

@@ -115,7 +115,8 @@ def test_direct_grad_flows():
                                               marks=pytest.mark.slow),
                                  pytest.param(127, 4,
                                               marks=pytest.mark.slow),
-                                 (128, 4)])
+                                 pytest.param(128, 4,
+                                              marks=pytest.mark.slow)])
 def test_btd_solve_cr_matches_thomas(K, s):
     """Cyclic reduction (the parallel direct solver) vs block Thomas on
     random SPD block-tridiagonal systems, including odd/power-of-two K and

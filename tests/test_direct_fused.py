@@ -32,7 +32,8 @@ def _arrs(spec, seed=0):
     # round.  The two heavy shapes are `slow`-tier (the fast tier keeps the
     # kernel-vs-oracle pair via the small shapes; sp=16 runs compiled in the
     # bench parity gate).
-    "shape", [(4, 2, 2), (2, 1, 5),
+    "shape", [pytest.param((4, 2, 2), marks=pytest.mark.slow),
+              (2, 1, 5),
               pytest.param((5, 3, 8), marks=pytest.mark.slow),
               pytest.param((9, 2, 8), marks=pytest.mark.slow)]
 )
@@ -79,9 +80,15 @@ def test_matches_oracle_lane_packed_batch():
     assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-5
 
 
+@pytest.mark.slow
 def test_solver_dispatch_fused_direct():
     """solve/solve_batched accept pcg_backend='fused' with method='direct'
-    and agree with the 'jax' direct path."""
+    and agree with the 'jax' direct path.
+
+    slow tier: the fast tier keeps fused-direct solver-level numerics via
+    test_packed.test_packed_matches_fused_batched[direct] and the routing
+    logic via test_backend_select's monkeypatched dispatch tests; the
+    genuine kernel runs compiled in bench.py's on-device parity gate."""
     spec = ProblemSpec(4, 2, 10)
     blocks = random_blocks(spec, seed=3)
     opts = SolverOptions(rho=1e-2, method="direct")
@@ -104,10 +111,15 @@ def test_solver_dispatch_fused_direct():
     assert [int(i) for i in gotb.iters] == [0, 0, 0]
 
 
+@pytest.mark.slow
 def test_direct_input_paths_identical():
     """The manual-DMA and pipeline-BlockSpec input paths wrap the same
     kernel body — forcing each on a multi-problem packed config (where DMA
-    is the auto choice) must give bit-identical outputs."""
+    is the auto choice) must give bit-identical outputs.
+
+    slow tier: both input paths are exercised individually by the fast
+    oracle tests (auto picks DMA on the packed batch, BlockSpec on the
+    single); this cross-check is structural, not numeric."""
     spec = ProblemSpec(5, 3, 12)
     pro = [random_blocks(spec, seed=200 + i) for i in range(7)]
     arrs = [
@@ -189,11 +201,15 @@ def test_fused_direct_ill_conditioned():
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_power_of_two_segments_no_pad_lanes():
     """K equal to a power of two makes K_sub == K: NO pad lanes inside the
     segment, so every cross-segment roll lands on a REAL lane of the
     neighboring problem — correctness rests entirely on the structural-zero
-    induction (L zero at row 0, U zero at the last row, per level)."""
+    induction (L zero at row 0, U zero at the last row, per level).
+
+    slow tier: structural edge case; the non-power-of-two induction runs
+    fast via test_matches_oracle_single[(2,1,5)] and the packed batch."""
     s, c, K = 3, 2, 16
     spec = ProblemSpec(s, c, K)
     K_sub, g, L, n_groups, sp = direct_fused.plan_packing(6, K, s, c)

@@ -287,8 +287,14 @@ def test_pcg_sharded_kernel_tier_matches_einsum(n_dev):
                                rtol=1e-4, atol=1e-5)
 
 
-@pytest.mark.parametrize("precond", ["symmetric_stair", "block_jacobi",
-                                     "jacobi"])
+@pytest.mark.parametrize(
+    # symmetric_stair (the default) keeps the lane-granular operator check
+    # fast; the other preconditioners' full-path parity stays fast via
+    # test_solve_sharded_kernel_tier_matches_einsum.
+    "precond",
+    ["symmetric_stair",
+     pytest.param("block_jacobi", marks=pytest.mark.slow),
+     pytest.param("jacobi", marks=pytest.mark.slow)])
 def test_sharded_kernel_condense_operators_match_oracle(precond):
     """The per-shard kernel condensation with its cross-shard boundary
     patches must reproduce assemble.condense's S / Pinv / gamma at EVERY
@@ -564,7 +570,8 @@ def test_solve_packed_dp_second_call_hits_jit_cache(monkeypatch):
 
 @pytest.mark.parametrize(
     "n_dev",
-    [2, pytest.param(4, marks=pytest.mark.slow),
+    [pytest.param(2, marks=pytest.mark.slow),
+     pytest.param(4, marks=pytest.mark.slow),
      pytest.param(8, marks=pytest.mark.slow)])
 def test_btd_solve_sharded_matches_thomas(n_dev):
     """The SPIKE interface solve is exact: agrees with single-device block
