@@ -141,7 +141,7 @@ def _bindings(detail: dict):
     bind(p, r"ms XLA -> ([\d.]+) ms at K=1024", ms("iiwa_horizon_1024_kernel_fused_xl"), ".3f")
     bind(p, r"~(\d+) us single", round(1e3 * ms("iiwa_direct_fused")), "d")
     bind(p, r"~([\d.]+) us/solve at 256-batch", c["iiwa_batch_256_direct_fused"]["us_per_solve"], ".1f")
-    bind(p, r"best measured row ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
+    bind(p, r"steady-state row ([\d.]+) us/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
     bind(p, r"= ~(\d+k) solves/s at B=128", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
     return B
 
