@@ -135,6 +135,28 @@ def _flops_direct_cr(s, K):
     return K * (_gj(s) + 6 * 2 * s ** 3) + K * 3 * 2 * s * s
 
 
+def _flops_direct_thomas(s, K):
+    # Batch-in-lanes block-Thomas (kernels/thomas_batch.py), beyond the
+    # condensation: per knot one GJ (Dhat inverse) + two (s,s) products
+    # (M = phi Cinv, M phi^T) forward, and ~10 matvecs across
+    # back-substitution, true residual and the carried recovery terms.
+    return K * (_gj(s) + 2 * 2 * s ** 3 + 10 * 2 * s * s)
+
+
+def _flops_issued_thomas(s, c, K, B):
+    """ISSUED-work model for the batch-in-lanes Thomas kernel: every tile op
+    runs on (sp, Lb) with s live sublanes and B/(Lb*n_groups) of the lane
+    plan live per solve — at full batches the only waste is the sublane pad
+    (sp/s, 16/14 at IIWA width), which is why this layout recovers the
+    occupancy the knots-in-lanes CR kernel gives up (4.8x issued there)."""
+    from gato_tpu.kernels import thomas_batch as _tb
+
+    sp, Lb, n_groups = _tb.plan_packing(B, s, c)
+    needed = (_flops_condense(s, c, K, precond=None)
+              + _flops_direct_thomas(s, K) + _flops_recover(s, c, K))
+    return int(needed * (sp / s) * (Lb * n_groups / B))
+
+
 def _flops_issued_direct_fused(s, c, K, B=1):
     """ISSUED-work model for the fused cyclic-reduction kernel: every
     elimination/back-substitution level executes full-width masked vector
@@ -216,6 +238,17 @@ def _solve_flops_bytes(kind, s, c, K, iters, poly_degree=1):
         fl = (_flops_condense(s, c, K, precond=None) + _flops_direct_cr(s, K)
               + _flops_recover(s, c, K))
         return fl, io, io
+    if kind == "direct_thomas":
+        # Two-pass kernel: the forward factor stacks (Cinv, bhat, Qinv, Rinv,
+        # phi, theta, gamma — thomas_batch._cols out_cols) round-trip through
+        # HBM between the passes, and the reverse pass re-reads q/A/B/r
+        # (~half the input bytes).  Per-step work is VMEM-resident, so
+        # floor == restream.
+        fl = (_flops_condense(s, c, K, precond=None)
+              + _flops_direct_thomas(s, K) + _flops_recover(s, c, K))
+        rt = 2 * 4 * (4 * s + c + 2) * _round_up(s, 8) * K
+        b = io + rt + io // 2
+        return fl, b, b
     if kind == "direct_jax":         # CR materializes ~2x operator per level sum
         fl = (_flops_condense(s, c, K, precond=None) + _flops_direct_cr(s, K)
               + _flops_recover(s, c, K))
@@ -302,6 +335,15 @@ def annotate_roofline(entry, spec, kind, *, ms_per_solve=None,
             100.0 * iss_s / t, 1)
         if entry["roofline"]["bound"] == "latency" and iss_s / t >= 0.33:
             entry["roofline"]["bound"] = "occupancy"
+    if kind == "direct_thomas":
+        # Same issued-vs-needed accounting for the batch-in-lanes layout:
+        # here issued ~= needed * sp/s (sublane pad only), so pct_of_issued
+        # close to pct_of_roofline certifies the occupancy fix landed.
+        issued = _flops_issued_thomas(s, c, K, B=batch)
+        iss_s = issued / _V5E["vpu_f32_flops"]
+        entry["roofline"]["flops_issued_per_solve"] = int(issued)
+        entry["roofline"]["pct_of_issued_ceiling"] = round(
+            100.0 * iss_s / t, 1)
     return entry
 
 
@@ -1206,10 +1248,21 @@ def main():
         ms_per_solve=C["iiwa_batch_256_direct"]["us_per_solve"] / 1e3)
     _log(f"batch direct: {C['iiwa_batch_256_direct']}")
     if have_pallas:
+        # The fused backend picks its exact kernel by batch width
+        # (solver._solve_batched_core): batch-in-lanes Thomas at wide
+        # batches, knots-in-lanes CR below — annotate whichever tier B=256
+        # actually dispatched to, and record it.
+        from gato_tpu.kernels import thomas_batch as _tb
+
         C["iiwa_batch_256_direct_fused"] = bench_batch(iiwa, direct_opts,
                                                        "fused", T=32)
+        _thomas = _tb.should_dispatch(256, iiwa.knot_points,
+                                      iiwa.state_size, iiwa.control_size)
+        C["iiwa_batch_256_direct_fused"]["tier"] = (
+            "thomas_batch" if _thomas else "direct_fused")
         annotate_roofline(
-            C["iiwa_batch_256_direct_fused"], iiwa, "direct_fused",
+            C["iiwa_batch_256_direct_fused"], iiwa,
+            "direct_thomas" if _thomas else "direct_fused",
             ms_per_solve=(C["iiwa_batch_256_direct_fused"]["us_per_solve"]
                           / 1e3), batch=256)
         _log(f"batch direct fused: {C['iiwa_batch_256_direct_fused']}")

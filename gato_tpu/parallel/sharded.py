@@ -405,8 +405,18 @@ def _solve_batched_dp_core(
                 return longk.solve_direct_longk_batched(
                     Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
                 )
-            # Exact per-shard solves via the fused cyclic-reduction kernel
-            # (kernels/direct_fused.py); tol/max_iters/lam0 are unused.
+            # Exact per-shard solves; same batch-width kernel pick as
+            # solver._solve_batched_core — batch-in-lanes Thomas when the
+            # PER-SHARD batch is wide enough, the fused cyclic-reduction
+            # kernel below (tol/max_iters/lam0 are unused either way).
+            from ..kernels import thomas_batch
+
+            if thomas_batch.should_dispatch(
+                Ql.shape[0], Ql.shape[1], Ql.shape[2], Rl.shape[-1]
+            ):
+                return thomas_batch.solve_direct_thomas_batched(
+                    Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
+                )
             return direct_fused.solve_direct_fused_batched(
                 Ql, Rl, Al, Bl, ql, rl, cl, rho=rho_,
             )

@@ -380,14 +380,24 @@ def _solve_batched_core(
 ):
     if pcg_backend == "fused":
         # Whole solve (condense + solve + recovery) in one Pallas program —
-        # skips assemble.condense entirely.  method='direct' uses the
-        # cyclic-reduction kernel.
+        # skips assemble.condense entirely.  method='direct' picks between
+        # two fused exact kernels by batch width: batch-in-lanes block-
+        # Thomas at wide batches (full lane occupancy, ~1x issued FLOPs),
+        # knots-in-lanes cyclic reduction below (knot-parallel latency) —
+        # see thomas_batch.should_dispatch for the measured crossover.
         if method == "direct":
-            from .kernels import direct_fused
+            from .kernels import direct_fused, thomas_batch
 
-            res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
-                Q, R, A, B, q, r, c, rho=rho,
-            )
+            if thomas_batch.should_dispatch(
+                Q.shape[0], Q.shape[1], Q.shape[2], R.shape[-1]
+            ):
+                res, dz_x, dz_u = thomas_batch.solve_direct_thomas_batched(
+                    Q, R, A, B, q, r, c, rho=rho,
+                )
+            else:
+                res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
+                    Q, R, A, B, q, r, c, rho=rho,
+                )
         else:
             from .kernels import fused_solve
 

@@ -1,0 +1,150 @@
+"""Batch-in-lanes block-Thomas direct kernel (kernels/thomas_batch.py) vs
+the pure-path oracle, plus the batch-width dispatch inside
+pcg_backend='fused' + method='direct'.
+
+The pure path (assemble.condense + direct.btd_solve + recover.recover_dz) is
+the numerics oracle; the kernel must reproduce its solution to f32 round-off
+on every shape — including multi-group lane packing (problems split across
+programs) and non-multiple-of-128 batch widths (pad-lane hygiene)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from gato_tpu import assemble, direct
+from gato_tpu.kernels import thomas_batch
+from gato_tpu.problem import ProblemSpec, SolverOptions
+from gato_tpu.recover import recover_dz
+from gato_tpu.solver import solve_batched
+from gato_tpu.testing import random_blocks
+
+
+def _batch(spec, B, seed=0):
+    pro = [random_blocks(spec, seed=seed + i) for i in range(B)]
+    return [
+        jnp.asarray(np.stack([np.asarray(p[f]) for p in pro]), jnp.float32)
+        for f in range(7)
+    ]
+
+
+def _oracle(arrs, rho):
+    sys = jax.vmap(lambda *xs: assemble.condense(*xs, rho, None))(*arrs)
+    lam = direct.btd_solve(sys.S, sys.gamma)
+    Q, R, A, B, q, r, _ = arrs
+    dzx, dzu = jax.vmap(recover_dz)(sys.Qinv, sys.Rinv, A, B, q, r, lam)
+    return lam, dzx, dzu
+
+
+def _assert_close(got, ref, tol=5e-5):
+    scale = float(jnp.max(jnp.abs(ref))) or 1.0
+    assert float(jnp.max(jnp.abs(got - ref))) / scale < tol
+
+
+@pytest.mark.parametrize(
+    # Batch stays in lanes whatever its width; K is the sequential grid.
+    # (3, 2, 7) x B=5 covers pad lanes (5 of 128 live); the sp=16 two-tile
+    # sublane layout runs compiled in bench.py's on-device parity gate.
+    "shape,B", [((3, 2, 7), 5),
+                pytest.param((5, 3, 12), 9, marks=pytest.mark.slow)]
+)
+def test_matches_oracle(shape, B):
+    s, c, K = shape
+    spec = ProblemSpec(s, c, K)
+    arrs = _batch(spec, B, seed=31)
+    rho = 1e-2
+    lam_ref, dzx_ref, dzu_ref = _oracle(arrs, rho)
+    res, dzx, dzu = thomas_batch.solve_direct_thomas_batched(*arrs, rho=rho)
+    _assert_close(res.lam, lam_ref)
+    _assert_close(dzx, dzx_ref)
+    _assert_close(dzu, dzu_ref)
+    assert bool(jnp.all(res.converged)) and bool(jnp.all(res.iters == 0))
+    # eta is the squared TRUE residual of an exact solve: tiny.
+    assert float(jnp.max(res.eta)) < 1e-6
+
+
+def test_multi_group_packing(monkeypatch):
+    """Problems split across programs (n_groups > 1): the carry must reset at
+    each group boundary (grid axis 0), not leak the previous group's rows."""
+    # Shrink the VMEM budget so the lane plan forces a second group at a
+    # CPU-affordable batch width.
+    monkeypatch.setattr(thomas_batch, "_VMEM_BUDGET_BYTES", 1 << 19)
+    spec = ProblemSpec(3, 2, 4)
+    sp, Lb, n_groups = thomas_batch.plan_packing(130, 3, 2)
+    assert n_groups > 1, "this test must exercise multi-group packing"
+    arrs = _batch(spec, 130, seed=77)
+    rho = 1e-3
+    lam_ref, dzx_ref, dzu_ref = _oracle(arrs, rho)
+    res, dzx, dzu = thomas_batch.solve_direct_thomas_batched(*arrs, rho=rho)
+    _assert_close(res.lam, lam_ref)
+    _assert_close(dzx, dzx_ref)
+    _assert_close(dzu, dzu_ref)
+
+
+def test_solver_dispatch_boundary(monkeypatch):
+    """fused+direct routes by batch width: thomas_batch at B >= _MIN_BATCH,
+    the CR kernel below — and the routed result keeps oracle parity."""
+    calls = []
+    orig = thomas_batch.solve_direct_thomas_batched
+
+    def spy(*a, **k):
+        calls.append(a[0].shape[0])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(thomas_batch, "solve_direct_thomas_batched", spy)
+    spec = ProblemSpec(3, 2, 5)
+    opts = SolverOptions(method="direct", rho=1e-2)
+
+    wide = thomas_batch._MIN_BATCH
+    arrs = _batch(spec, wide, seed=5)
+    res = solve_batched(spec, arrs, opts, pcg_backend="fused")
+    assert calls == [wide]
+    lam_ref, _, _ = _oracle(arrs, 1e-2)
+    _assert_close(res.lam, lam_ref)
+
+    narrow = _batch(spec, 2, seed=9)
+    solve_batched(spec, narrow, opts, pcg_backend="fused")
+    assert calls == [wide], "below _MIN_BATCH must stay on the CR kernel"
+
+
+def test_dp_per_shard_dispatch(monkeypatch):
+    """solve_batched_dp(method='direct') picks by the PER-SHARD batch width:
+    wide shards run the Thomas kernel, and results keep oracle parity."""
+    from gato_tpu.parallel.sharded import solve_batched_dp
+
+    calls = []
+    orig = thomas_batch.solve_direct_thomas_batched
+
+    def spy(*a, **k):
+        calls.append(a[0].shape[0])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(thomas_batch, "solve_direct_thomas_batched", spy)
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("dp",))
+    spec = ProblemSpec(3, 2, 4)
+    B = 2 * thomas_batch._MIN_BATCH
+    arrs = _batch(spec, B, seed=41)
+    rho = 1e-2
+    res, dzx, dzu = solve_batched_dp(mesh, *arrs, rho=rho, method="direct")
+    assert calls == [thomas_batch._MIN_BATCH], \
+        "each shard's local batch must route to the Thomas kernel"
+    lam_ref, dzx_ref, dzu_ref = _oracle(arrs, rho)
+    _assert_close(res.lam, lam_ref)
+    _assert_close(dzx, dzx_ref)
+    _assert_close(dzu, dzu_ref)
+
+
+def test_should_dispatch_gates():
+    s, c = 14, 7
+    B = thomas_batch._MIN_BATCH
+    assert thomas_batch.should_dispatch(B, 50, s, c)
+    assert not thomas_batch.should_dispatch(B - 1, 50, s, c)
+    # Past the HBM factor budget the tier declines (CR kernel serves it).
+    assert not thomas_batch.fits(B, 10**9, s, c)
+    # A state size too wide for even one lane tile raises at plan time...
+    with pytest.raises(ValueError):
+        thomas_batch.plan_packing(128, 200, 7)
+    # ...and fits/should_dispatch report False instead of raising.
+    assert not thomas_batch.fits(128, 50, 200, 7)
+    assert not thomas_batch.should_dispatch(128, 50, 200, 7)
