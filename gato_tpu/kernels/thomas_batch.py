@@ -428,6 +428,31 @@ def _rev_call(Cinv, bhat, Qinv, Rinv, phi, theta, gamma, qb, Ab, Bb, rb, *,
 # --------------------------------------------------------------------------
 
 
+def _call_thomas(rho, Qb, Rb, Ab, Bb, qb, rb, cb, *,
+                 s, c, sp, K, Lb, n_groups, flops_scale, interpret):
+    """Forward + reverse kernels on PRE-PACKED arrays (knot-major flat
+    (n_groups*K, ...) batch-in-lanes layout, interval arrays pre-shifted —
+    _pack_mat_bt/_pack_vec_bt/_shift1).  The seam the packed serving surface
+    (gato_tpu.packed, tier='thomas') calls so a stored pack skips the
+    relayout; returns (lam_p, dzx_p, dzu_p, eta, gnorm) in packed layout."""
+    Cinv, bhat, Qinv, Rinv, phi, theta, gamma = _fwd_call(
+        rho, Qb, Rb, Ab, Bb, qb, rb, cb,
+        s=s, c=c, sp=sp, K=K, Lb=Lb, n_groups=n_groups,
+        flops_scale=flops_scale, interpret=interpret,
+    )
+    return _rev_call(
+        Cinv, bhat, Qinv, Rinv, phi, theta, gamma, qb, Ab, Bb, rb,
+        s=s, c=c, sp=sp, K=K, Lb=Lb, n_groups=n_groups,
+        flops_scale=flops_scale, interpret=interpret,
+    )
+
+
+def _per_problem_bt(x, *, B: int, Lb: int, n_groups: int):
+    """(n_groups, sublanes, Lb) aux output -> (B,) per-problem values (one
+    problem per lane — row 0 holds the reduction, pad lanes sliced off)."""
+    return x[:, 0, :].reshape(n_groups * Lb)[:B]
+
+
 def solve_direct_thomas_batched(
     Q, R, A, B, q, r, c, *,
     rho=0.0, interpret: bool = False,
@@ -450,13 +475,8 @@ def solve_direct_thomas_batched(
     Ab, Bb, Rb = pm(_shift1(A)), pm(_shift1(B)), pm(_shift1(R))
     qb, cb, rb = pv(q), pv(c), pv(_shift1(r))
 
-    Cinv, bhat, Qinv, Rinv, phi, theta, gamma = _fwd_call(
+    lam_p, dzx_p, dzu_p, eta, gnorm = _call_thomas(
         rho, Qb, Rb, Ab, Bb, qb, rb, cb,
-        s=s, c=cdim, sp=sp, K=K, Lb=Lb, n_groups=n_groups,
-        flops_scale=Bn * K, interpret=interpret,
-    )
-    lam_p, dzx_p, dzu_p, eta, gnorm = _rev_call(
-        Cinv, bhat, Qinv, Rinv, phi, theta, gamma, qb, Ab, Bb, rb,
         s=s, c=cdim, sp=sp, K=K, Lb=Lb, n_groups=n_groups,
         flops_scale=Bn * K, interpret=interpret,
     )
@@ -467,8 +487,8 @@ def solve_direct_thomas_batched(
     dz_x = up(dzx_p, n=s)
     dz_u = up(dzu_p, n=cdim)[:, : K - 1, :]
 
-    def per_problem(x):
-        return x[:, 0, :].reshape(n_groups * Lb)[:Bn]
+    per_problem = functools.partial(_per_problem_bt, B=Bn, Lb=Lb,
+                                    n_groups=n_groups)
 
     from ..direct import residual_converged
 

@@ -33,9 +33,12 @@ Scope: float32 kernel tiers — method='pcg' (VMEM-resident fused kernel,
 or the long-horizon whole-solve tier kernels/longk.py past the fused VMEM
 budget: the plan carries tier='longk' and solves through the same packed
 seam the MPC sequence path uses, longk._solve_longk_packed) and
-method='direct' (cyclic-reduction kernel; past its packing budget the
-long-horizon one-kernel cyclic-reduction tier while fits_direct_xl holds,
-through longk._solve_direct_longk_packed).  Shapes no kernel tier owns
+method='direct' (batch-width kernel pick like solve_batched: batch-in-lanes
+block-Thomas geometry at wide batches, tier='thomas' — overridable at
+pack(tier=...) — knots-in-lanes cyclic reduction below; past the CR packing
+budget the long-horizon one-kernel cyclic-reduction tier while
+fits_direct_xl holds, through longk._solve_direct_longk_packed).  Shapes no
+kernel tier owns
 (direct past direct-XL residency; PCG in the gap where only the
 split XLA-condense + resident-PCG path applies, or beyond the longk
 tiers) raise at :func:`pack` time — use the standard solve() API there.
@@ -146,9 +149,37 @@ class PackedSolveResult:
 
 
 def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
-              batched: bool) -> PackPlan:
+              batched: bool, tier: Optional[str] = None) -> PackPlan:
     from .kernels import direct_fused, fused_solve
 
+    if tier is not None and not (method == "direct" and tier in ("cr",
+                                                                 "thomas")):
+        raise ValueError(
+            f"tier={tier!r} is not a packable choice for method={method!r}; "
+            "explicit tiers exist for method='direct' only: 'thomas' "
+            "(batch-in-lanes block-Thomas) or 'cr' (knots-in-lanes cyclic "
+            "reduction)")
+    if method == "direct" and tier != "cr":
+        # Wide batches pack batch-in-lanes for the block-Thomas kernel
+        # (kernels/thomas_batch.py) — the measured-fastest exact tier from
+        # B >= _MIN_BATCH (0.9 vs 6.9 us/solve at B=256, v5e).  tier='cr'
+        # opts out (e.g. to match a CR-geometry fleet deployment);
+        # tier='thomas' forces it below the auto boundary.
+        from .kernels import thomas_batch
+
+        forced = tier == "thomas"
+        if forced and not thomas_batch.fits(Bn, K, s, c):
+            raise ValueError(
+                f"tier='thomas' was requested but the batch-Thomas kernel "
+                f"declines (B={Bn}, K={K}, s={s}, c={c}): lane plan or HBM "
+                f"factor budget exceeded (thomas_batch.fits)")
+        if forced or thomas_batch.should_dispatch(Bn, K, s, c):
+            sp, Lb, n_groups = thomas_batch.plan_packing(Bn, s, c)
+            # g = Lb: one problem per lane, groups hold contiguous problem
+            # blocks (the dp-sharding convention shared with the CR plan).
+            return PackPlan(method=method, batched=batched, batch=Bn, K=K,
+                            s=s, c=c, K_sub=K, g=Lb, L=Lb,
+                            n_groups=n_groups, sp=sp, tier="thomas")
     if method == "pcg" and not fused_solve.fits_vmem(K, s, c):
         from .kernels import longk
 
@@ -176,8 +207,28 @@ def _plan_for(method: str, Bn: int, K: int, s: int, c: int,
                     K_sub=K_sub, g=g, L=L, n_groups=n_groups, sp=sp)
 
 
+def _regroup_bt(x, *, plan: PackPlan):
+    """thomas layout (n_groups*K, ...) -> (n_groups, K, ...): a free
+    contiguous reshape that puts the GROUP axis leading, so the dp fleet
+    sharding (solve_packed_dp, P(axis) on dim 0) works for every tier."""
+    return x.reshape((plan.n_groups, plan.K) + x.shape[1:])
+
+
 @functools.partial(jax.jit, static_argnames=("plan",))
 def _pack_all(Q, R, A, B, q, r, c, *, plan: PackPlan):
+    if plan.tier == "thomas":
+        from .kernels import thomas_batch as tb
+
+        pm = functools.partial(tb._pack_mat_bt, sp=plan.sp, Lb=plan.L,
+                               n_groups=plan.n_groups)
+        pv = functools.partial(tb._pack_vec_bt, sp=plan.sp, Lb=plan.L,
+                               n_groups=plan.n_groups)
+        g = functools.partial(_regroup_bt, plan=plan)
+        # Interval arrays stored PRE-SHIFTED one knot right (tb._shift1) —
+        # the form the kernels consume, so serving pays zero relayout.
+        return (g(pm(Q)), g(pm(tb._shift1(R))), g(pm(tb._shift1(A))),
+                g(pm(tb._shift1(B))), g(pv(q)), g(pv(tb._shift1(r))),
+                g(pv(c)))
     from .kernels.fused_solve import _pack_mat, _pack_vec
 
     pm = functools.partial(_pack_mat, K_sub=plan.K_sub, g=plan.g, L=plan.L,
@@ -189,6 +240,13 @@ def _pack_all(Q, R, A, B, q, r, c, *, plan: PackPlan):
 
 @functools.partial(jax.jit, static_argnames=("plan",))
 def _pack_vectors(q, r, c, *, plan: PackPlan):
+    if plan.tier == "thomas":
+        from .kernels import thomas_batch as tb
+
+        pv = functools.partial(tb._pack_vec_bt, sp=plan.sp, Lb=plan.L,
+                               n_groups=plan.n_groups)
+        g = functools.partial(_regroup_bt, plan=plan)
+        return g(pv(q)), g(pv(tb._shift1(r))), g(pv(c))
     from .kernels.fused_solve import _pack_vec
 
     pv = functools.partial(_pack_vec, K_sub=plan.K_sub, g=plan.g, L=plan.L,
@@ -201,6 +259,7 @@ def pack(
     blocks: KKTBlocks,
     *,
     method: str = "pcg",
+    tier: Optional[str] = None,
 ) -> PackedKKT:
     """Relayout KKT blocks into the fused kernels' lane-packed form.
 
@@ -213,6 +272,14 @@ def pack(
         geometry (most small/medium configs) one packed value serves both
         methods; ``solve_packed`` relabels when geometries match and raises
         otherwise.
+      tier: method='direct' only — override the batch-width kernel pick.
+        None (default) follows thomas_batch.should_dispatch: batch-in-lanes
+        block-Thomas geometry at wide batches (the measured-fastest exact
+        tier, 0.9 vs 6.9 us/solve at B=256 on v5e), knots-in-lanes cyclic
+        reduction below.  'cr' forces the CR geometry (e.g. to share one
+        pack between methods at a geometry-coinciding shape); 'thomas'
+        forces the Thomas geometry below the auto boundary (raises past
+        its lane/HBM budgets).
 
     For BOTH methods, horizons past the fused kernels' VMEM budgets plan
     the long-horizon tiers (kernels/longk.py) automatically
@@ -238,7 +305,7 @@ def pack(
     from .formats import check_block_shapes
 
     check_block_shapes(spec, b, lead=(Bn,))  # every field — kernels zero-pad
-    plan = _plan_for(method, Bn, K, s, cdim, batched)
+    plan = _plan_for(method, Bn, K, s, cdim, batched, tier=tier)
     Qb, Rb, Ab, Bb, qb, rb, cb = _pack_all(*b, plan=plan)
     return PackedKKT(Qb=Qb, Rb=Rb, Ab=Ab, Bb=Bb, qb=qb, rb=rb, cb=cb,
                      plan=plan)
@@ -323,6 +390,38 @@ def _solve_packed_direct(
 
 
 @functools.partial(jax.jit, static_argnames=("plan", "interpret"))
+def _solve_packed_direct_thomas(
+    Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
+):
+    """Batch-in-lanes Thomas solve from a stored pack.  Measured v5e IIWA
+    B=256 (chain-differenced, rhs-refresh serving loop): 0.77 us/solve vs
+    0.90 through solve_batched — the frozen-linearization serving path
+    skips the four matrix relayouts and pays only the O(s) vector repack."""
+    from .direct import residual_converged
+    from .kernels import thomas_batch as tb
+
+    def flat(x):
+        return x.reshape((plan.n_groups * plan.K,) + x.shape[2:])
+
+    lam_p, dzx_p, dzu_p, eta, gnorm = tb._call_thomas(
+        rho, flat(Qb), flat(Rb), flat(Ab), flat(Bb),
+        flat(qb), flat(rb), flat(cb),
+        s=plan.s, c=plan.c, sp=plan.sp, K=plan.K, Lb=plan.L,
+        n_groups=plan.n_groups, flops_scale=plan.batch * plan.K,
+        interpret=interpret,
+    )
+    per = functools.partial(tb._per_problem_bt, B=plan.batch, Lb=plan.L,
+                            n_groups=plan.n_groups)
+    eta_b = per(eta)
+    return PackedSolveResult(
+        lam_p=lam_p, dzx_p=dzx_p, dzu_p=dzu_p,
+        iters=jnp.zeros((plan.batch,), jnp.int32),
+        converged=residual_converged(eta_b, per(gnorm)),
+        eta=eta_b, plan=plan,
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("plan", "interpret"))
 def _solve_packed_direct_longk(
     Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
 ):
@@ -385,11 +484,17 @@ def _per_problem(x, *, plan: PackPlan):
 def _unpack_result(res: PackedSolveResult) -> SolveResult:
     # ``plan`` rides in the pytree's static metadata (a meta field of the
     # registered dataclass), so the jit cache keys on it automatically.
-    from .kernels.fused_solve import _unpack_vec
-
     plan = res.plan
-    up = functools.partial(_unpack_vec, B=plan.batch, K=plan.K,
-                           K_sub=plan.K_sub, g=plan.g)
+    if plan.tier == "thomas":
+        from .kernels.thomas_batch import _unpack_vec_bt
+
+        up = functools.partial(_unpack_vec_bt, B=plan.batch, K=plan.K,
+                               Lb=plan.L, n_groups=plan.n_groups)
+    else:
+        from .kernels.fused_solve import _unpack_vec
+
+        up = functools.partial(_unpack_vec, B=plan.batch, K=plan.K,
+                               K_sub=plan.K_sub, g=plan.g)
     lam = up(res.lam_p, n=plan.s)
     dz_x = up(res.dzx_p, n=plan.s)
     dz_u = up(res.dzu_p, n=plan.c)[:, : plan.K - 1, :]
@@ -455,6 +560,12 @@ def solve_packed(
     rho = _cached_const(options.rho, dt)
 
     if plan.method == "direct":
+        if plan.tier == "thomas":
+            return _solve_packed_direct_thomas(
+                packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+                packed.qb, packed.rb, packed.cb, rho,
+                plan=plan, interpret=interpret,
+            )
         if plan.tier == "longk":
             return _solve_packed_direct_longk(
                 packed.Qb, packed.Rb, packed.Ab, packed.Bb,

@@ -974,6 +974,14 @@ def _solve_packed_dp_core(
 
     def body(Qs, Rs, As, Bs, qs, rs, cs, ls, rho_, tol_, mi_):
         if local_plan.method == "direct":
+            if local_plan.tier == "thomas":
+                # Batch-in-lanes Thomas pack: groups hold contiguous
+                # problem blocks here too (packed._regroup_bt put the
+                # group axis leading), so the same group-axis sharding
+                # serves the fleet.
+                return pk._solve_packed_direct_thomas(
+                    Qs, Rs, As, Bs, qs, rs, cs, rho_,
+                    plan=local_plan, interpret=interpret)
             if local_plan.tier == "longk":
                 return pk._solve_packed_direct_longk(
                     Qs, Rs, As, Bs, qs, rs, cs, rho_,

@@ -135,6 +135,72 @@ def test_dp_per_shard_dispatch(monkeypatch):
     _assert_close(dzu, dzu_ref)
 
 
+def test_packed_thomas_tier(monkeypatch):
+    """pack(method='direct') plans the Thomas geometry at wide batches; the
+    packed solve matches solve_batched (which routes the same kernel), the
+    rhs-only refresh repacks correctly (shifted r), and tier='cr' opts out."""
+    from gato_tpu import packed as pk
+
+    spec = ProblemSpec(3, 2, 6)
+    B = thomas_batch._MIN_BATCH
+    arrs = _batch(spec, B, seed=13)
+    opts = SolverOptions(method="direct", rho=1e-2)
+
+    packed = pk.pack(spec, arrs, method="direct")
+    assert packed.plan.tier == "thomas"
+    assert packed.Qb.shape[0] == packed.plan.n_groups  # group axis leading
+    res = pk.solve_packed(packed, opts).unpack()
+    ref = solve_batched(spec, arrs, opts, pcg_backend="fused")
+    _assert_close(res.lam, ref.lam, tol=1e-6)
+    _assert_close(res.dz_x, ref.dz_x, tol=1e-6)
+    _assert_close(res.dz_u, ref.dz_u, tol=1e-6)
+    assert bool(jnp.all(res.converged))
+
+    # rhs-only refresh: new q/r/c must reproduce a fresh full pack's solve.
+    arrs2 = _batch(spec, B, seed=14)
+    refreshed = pk.update_vectors(packed, arrs2[4], arrs2[5], arrs2[6])
+    got = pk.solve_packed(refreshed, opts).unpack()
+    fresh = pk.solve_packed(
+        pk.pack(spec, arrs[:4] + arrs2[4:], method="direct"), opts).unpack()
+    _assert_close(got.lam, fresh.lam, tol=1e-6)
+
+    # tier='cr' keeps the cyclic-reduction geometry at the same batch.
+    cr = pk.pack(spec, arrs, method="direct", tier="cr")
+    assert cr.plan.tier == "fused"
+    res_cr = pk.solve_packed(cr, opts).unpack()
+    _assert_close(res_cr.lam, ref.lam)
+
+    # An invalid tier string raises.
+    with pytest.raises(ValueError):
+        pk.pack(spec, arrs, method="direct", tier="nope")
+    with pytest.raises(ValueError):
+        pk.pack(spec, arrs, method="pcg", tier="thomas")
+
+
+def test_packed_thomas_dp(monkeypatch):
+    """A Thomas pack fleet-serves over a dp mesh: the group axis shards,
+    each device runs its local groups, results match the oracle."""
+    from gato_tpu import packed as pk
+    from gato_tpu.parallel.sharded import solve_packed_dp
+
+    # Force two lane groups at a CPU-affordable width (cf.
+    # test_multi_group_packing), so a 2-device mesh gets one group each.
+    monkeypatch.setattr(thomas_batch, "_VMEM_BUDGET_BYTES", 1 << 19)
+    spec = ProblemSpec(3, 2, 4)
+    sp, Lb, n_groups = thomas_batch.plan_packing(256, 3, 2)
+    assert (Lb, n_groups) == (128, 2)
+    arrs = _batch(spec, 256, seed=55)
+    opts = SolverOptions(method="direct", rho=1e-2)
+    packed = pk.pack(spec, arrs, method="direct")
+    assert packed.plan.tier == "thomas"
+    mesh = jax.sharding.Mesh(np.array(jax.devices()[:2]), ("dp",))
+    res = solve_packed_dp(mesh, packed, opts).unpack()
+    lam_ref, dzx_ref, dzu_ref = _oracle(arrs, 1e-2)
+    _assert_close(res.lam, lam_ref)
+    _assert_close(res.dz_x, dzx_ref)
+    _assert_close(res.dz_u, dzu_ref)
+
+
 def test_should_dispatch_gates():
     s, c = 14, 7
     B = thomas_batch._MIN_BATCH
