@@ -467,6 +467,43 @@ def bench_batch(spec, options, backend, batch=256, *, T=12):
     }
 
 
+def bench_direct_served(spec, options, batch=256, *, T=32):
+    """EXACT batched serving on pre-packed inputs (gato_tpu.packed,
+    tier='thomas' at this batch): the fleet-serving loop's cost with no
+    matrix relayout in the loop — same protocol as bench_batch_split's
+    packed_serving chain (packed arrays perturbed in place; a rhs-refresh
+    loop additionally pays the O(s)-per-knot vector repack)."""
+    import dataclasses as _dc
+
+    from gato_tpu import packed as _pk
+
+    blocks = _staged_blocks(spec, seed=1000, batch=batch)
+    packed = _pk.pack(spec, blocks, method="direct")
+    float(jnp.sum(packed.Qb) + jnp.sum(packed.qb))  # fence staging
+
+    def step_served(q0, lam_carry, t):
+        pert = (1.0 + 1e-6 * jnp.cos(t)
+                + 1e-7 * jnp.tanh(jnp.sum(lam_carry)))
+        p_t = _dc.replace(packed, Qb=packed.Qb * pert,
+                          qb=q0 * (1.0 + 1e-6 * jnp.sin(t)))
+        res = _pk.solve_packed(p_t, options)
+        # The thomas tier returns flat (n_groups*K, sp, Lb) kernel layout;
+        # fold it back to qb's (n_groups, K, sp, Lb) so the scan carry
+        # type-checks (same bytes, free reshape).
+        return (res.lam_p + res.dzx_p + res.dzu_p).reshape(q0.shape)
+
+    ms, info = scan_chain_time(step_served, packed.qb, T,
+                               label=f"batch{batch}/direct_served")
+    return {
+        "batch": batch,
+        "tier": packed.plan.tier,
+        "ms_per_batch": round(ms, 4),
+        "solves_per_sec": round(batch / (ms / 1e3), 1),
+        "us_per_solve": round(1e3 * ms / batch, 4),
+        **info,
+    }
+
+
 def bench_batch_split(spec, options, batch=256, *, T=12):
     """Measured throughput decomposition of the batched fused solve
     (VERDICT round-2 weak #1): with exit_tol=0 every problem runs EXACTLY
@@ -1266,6 +1303,15 @@ def main():
             ms_per_solve=(C["iiwa_batch_256_direct_fused"]["us_per_solve"]
                           / 1e3), batch=256)
         _log(f"batch direct fused: {C['iiwa_batch_256_direct_fused']}")
+        if _thomas:
+            C["iiwa_batch_256_direct_served"] = bench_direct_served(
+                iiwa, direct_opts, batch=256)
+            annotate_roofline(
+                C["iiwa_batch_256_direct_served"], iiwa, "direct_thomas",
+                ms_per_solve=(C["iiwa_batch_256_direct_served"]
+                              ["us_per_solve"] / 1e3), batch=256)
+            _log(f"batch direct served: "
+                 f"{C['iiwa_batch_256_direct_served']}")
     C["iiwa_mpc_sequence"] = bench_mpc_sequence(iiwa, opts, T=128,
                                                 pcg_backend="jax")
     annotate_roofline(C["iiwa_mpc_sequence"], iiwa, "pcg_jax",

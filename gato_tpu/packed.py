@@ -394,9 +394,12 @@ def _solve_packed_direct_thomas(
     Qb, Rb, Ab, Bb, qb, rb, cb, rho, *, plan: PackPlan, interpret: bool,
 ):
     """Batch-in-lanes Thomas solve from a stored pack.  Measured v5e IIWA
-    B=256 (chain-differenced, rhs-refresh serving loop): 0.77 us/solve vs
-    0.90 through solve_batched — the frozen-linearization serving path
-    skips the four matrix relayouts and pays only the O(s) vector repack."""
+    B=256 (chain-differenced serving loop, BENCH_DETAIL
+    iiwa_batch_256_direct_served): ~0.90 us/solve — within run-to-run noise
+    of the solve_batched chain (whose perturb protocol repacks only Q and q;
+    the relayout share is small next to the knot walk at this shape).  The
+    surface's value is structural: no per-call matrix relayout, rhs-only
+    refresh, and the dp fleet sharding of one stored pack."""
     from .direct import residual_converged
     from .kernels import thomas_batch as tb
 

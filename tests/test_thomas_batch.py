@@ -64,6 +64,9 @@ def test_matches_oracle(shape, B):
     assert float(jnp.max(res.eta)) < 1e-6
 
 
+# slow tier: the multi-group carry reset is also exercised (faster)
+# by test_packed_thomas_dp's two-group pack.
+@pytest.mark.slow
 def test_multi_group_packing(monkeypatch):
     """Problems split across programs (n_groups > 1): the carry must reset at
     each group boundary (grid axis 0), not leak the previous group's rows."""
@@ -108,6 +111,9 @@ def test_solver_dispatch_boundary(monkeypatch):
     assert calls == [wide], "below _MIN_BATCH must stay on the CR kernel"
 
 
+# slow tier: the dp routing spy; the placement itself runs in the
+# driver's dryrun (placement 4b) and test_packed_thomas_dp covers dp.
+@pytest.mark.slow
 def test_dp_per_shard_dispatch(monkeypatch):
     """solve_batched_dp(method='direct') picks by the PER-SHARD batch width:
     wide shards run the Thomas kernel, and results keep oracle parity."""
@@ -199,6 +205,32 @@ def test_packed_thomas_dp(monkeypatch):
     _assert_close(res.lam, lam_ref)
     _assert_close(res.dz_x, dzx_ref)
     _assert_close(res.dz_u, dzu_ref)
+
+
+# slow tier: accuracy hardening; the fast tier keeps oracle parity via
+# test_matches_oracle and the GJ pivot lore is gated in test_fused_solve.
+@pytest.mark.slow
+def test_thomas_ill_conditioned():
+    """Nearly-singular Hessian blocks (tiny rho): the no-pivot elimination
+    stays accurate because every Dhat is a Schur complement of an SPD system
+    (SPD itself) — same justification as direct_fused's CR, checked against
+    the f64 dense oracle at f32-appropriate tolerance across the batch."""
+    from gato_tpu.testing import dense_oracle
+
+    spec = ProblemSpec(4, 2, 8)
+    B, rho = 4, 1e-5
+    arrs = _batch(spec, B, seed=8)
+    # Scale Q down so rho dominates conditioning.
+    arrs[0] = arrs[0] * 1e-3
+    res, dzx, dzu = thomas_batch.solve_direct_thomas_batched(*arrs, rho=rho)
+    from gato_tpu.formats import KKTBlocks
+
+    for i in range(B):
+        blocks = KKTBlocks(*(np.asarray(a[i]) for a in arrs))
+        lam_ref, _ = dense_oracle(spec, blocks, rho=rho)
+        err = (np.max(np.abs(np.asarray(res.lam[i]).ravel() - lam_ref))
+               / np.max(np.abs(lam_ref)))
+        assert err < 1e-3, (i, err)
 
 
 def test_should_dispatch_gates():

@@ -122,6 +122,11 @@ def _bindings(detail: dict):
     bind(r, r"µs/solve \(~(\d+k)/s\) EXACT", c["iiwa_batch_256_direct_fused"]["solves_per_sec"], "k")
     bind(r, r"vs (\d+) µs/solve for the XLA direct path",
          round(c["iiwa_batch_256_direct"]["us_per_solve"]), "d")
+    if "iiwa_batch_256_direct_served" in c:
+        bind(r, r"\*\*([\d.]+) µs/solve EXACT SERVED\*\*",
+             c["iiwa_batch_256_direct_served"]["us_per_solve"], ".2f")
+        bind(r, r"EXACT SERVED\*\* \(~(\d+k)/s\)",
+             c["iiwa_batch_256_direct_served"]["solves_per_sec"], "k")
     # MPC.
     bind(r, r"\*\*([\d.]+) ms/solve\*\* vs", c["iiwa_mpc_sequence_fused"]["ms_per_solve"], ".4f")
     bind(r, r"row B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
