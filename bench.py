@@ -344,6 +344,14 @@ def annotate_roofline(entry, spec, kind, *, ms_per_solve=None,
         entry["roofline"]["flops_issued_per_solve"] = int(issued)
         entry["roofline"]["pct_of_issued_ceiling"] = round(
             100.0 * iss_s / t, 1)
+        # The byte model puts this kernel at ~80% of the bandwidth roofline,
+        # but a direct experiment falsified bandwidth as the binding limit:
+        # rebuilding theta in-kernel (-21% factor traffic, +20% serial
+        # flops, zero extra reads) ran 0.91 -> 1.13 us/solve at B=256.  The
+        # sequential knot walk is bound by the issue latency of its
+        # dependent per-knot op chain (thomas_batch.py module docstring).
+        if entry["roofline"]["bound"] == "bandwidth":
+            entry["roofline"]["bound"] = "issue-latency"
     return entry
 
 

@@ -35,7 +35,12 @@ a VMEM scratch carry — the longk._condense_chunk idiom, longk.py:205-299):
 
   The factor stacks (Cinv, bhat, Qinv, Rinv, phi, theta, gamma) stream to
   HBM per knot — VMEM holds only one knot's working set, so K is unbounded
-  by VMEM (unlike every resident kernel tier).
+  by VMEM (unlike every resident kernel tier).  Storing theta is a MEASURED
+  choice: rebuilding it in the reverse pass (phi A^T + BR B^T + Qinv, zero
+  extra HBM reads, -21% factor traffic) ran 0.91 -> 1.13 us/solve at B=256
+  on v5e — the knot walk is bound by the ISSUE LATENCY of its dependent
+  per-knot op chain, not by HBM bandwidth (despite sitting at ~80% of the
+  byte-model roofline), so trading bytes for serial flops loses.
 
 * REVERSE, grid (n_groups, K) visiting knots K-1..0: back-substitution
   x_j = Cinv_j (bhat_j - phi_{j+1}^T x_{j+1}), fused with dz recovery
