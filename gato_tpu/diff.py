@@ -138,10 +138,17 @@ def _solve_kkt_batched(Q, R, A, B, q, r, c, rho):
     K, s = Q.shape[1], Q.shape[2]
     cdim = R.shape[-1]
     if _use_fused_direct(K, s, cdim, Q.dtype):
-        from .kernels import direct_fused
+        # Same batch-width kernel pick as solver._solve_batched_core —
+        # wide batches (B >= 16 measured) run the batch-in-lanes Thomas
+        # kernel for BOTH the forward and the adjoint solve.
+        from .kernels import direct_fused, thomas_batch
 
-        res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
-            Q, R, A, B, q, r, c, rho=rho)
+        if thomas_batch.should_dispatch(Q.shape[0], K, s, cdim):
+            res, dz_x, dz_u = thomas_batch.solve_direct_thomas_batched(
+                Q, R, A, B, q, r, c, rho=rho)
+        else:
+            res, dz_x, dz_u = direct_fused.solve_direct_fused_batched(
+                Q, R, A, B, q, r, c, rho=rho)
         return res.lam, dz_x, dz_u
     sys = jax.vmap(
         lambda *xs: assemble.condense(*xs, rho, None)

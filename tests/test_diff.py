@@ -200,3 +200,47 @@ def test_batched_fused_branch(monkeypatch):
                                rtol=2e-3, atol=2e-3 * scale)
     np.testing.assert_allclose(float(fused_g[1]), float(ref_g[1]), rtol=2e-3,
                                atol=2e-3 * max(1.0, abs(float(ref_g[1]))))
+
+
+@pytest.mark.slow
+def test_batched_thomas_branch(monkeypatch):
+    """At wide batches the batched differentiable surface routes its forward
+    AND adjoint solves to the batch-in-lanes Thomas kernel
+    (diff._solve_kkt_batched); primal and gradients must match the XLA
+    path.  Forced on here via _MIN_BATCH so a CPU-affordable batch takes
+    the wide branch (the kernel runs in interpret mode off-TPU); slow tier
+    for the same trace-cost reason as test_batched_fused_branch."""
+    from gato_tpu.kernels import thomas_batch
+
+    args = _batched_args(seed0=70)
+    ref_out = kkt_solve_batched(*args)
+
+    def f(q, rho_):
+        a = list(args)
+        a[4], a[7] = q, rho_
+        return _loss(*kkt_solve_batched(*a))
+
+    ref_g = jax.grad(f, argnums=(0, 1))(args[4], args[-1])
+
+    monkeypatch.setattr(diff_mod, "_use_fused_direct", lambda *a: True)
+    monkeypatch.setattr(thomas_batch, "_MIN_BATCH", 1)
+    spy = []
+    orig = thomas_batch.solve_direct_thomas_batched
+
+    def wrapped(*a, **k):
+        spy.append(a[0].shape[0])
+        return orig(*a, **k)
+
+    monkeypatch.setattr(thomas_batch, "solve_direct_thomas_batched", wrapped)
+    th_out = kkt_solve_batched(*args)
+    th_g = jax.grad(f, argnums=(0, 1))(args[4], args[-1])
+    assert spy, "the wide branch must dispatch the Thomas kernel"
+
+    for a, b in zip(th_out, ref_out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+    scale = max(1.0, float(np.abs(np.asarray(ref_g[0])).max()))
+    np.testing.assert_allclose(np.asarray(th_g[0]), np.asarray(ref_g[0]),
+                               rtol=2e-3, atol=2e-3 * scale)
+    np.testing.assert_allclose(float(th_g[1]), float(ref_g[1]), rtol=2e-3,
+                               atol=2e-3 * max(1.0, abs(float(ref_g[1]))))
