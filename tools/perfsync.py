@@ -131,8 +131,8 @@ def _bindings(detail: dict):
     bind(r, r"\*\*([\d.]+) ms/solve\*\* vs", c["iiwa_mpc_sequence_fused"]["ms_per_solve"], ".4f")
     bind(r, r"row B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
     bind(r, r"\(~(\d+k) warm-started solves/s\)\*\*", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
-    bind(r, r"beating cold\n  independent batching \(([\d.]+) µs\)", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
-    bind(r, r"independent batching \([\d.]+ µs\) by ([\d.]+)x",
+    bind(r, r"beating cold\n  independent PCG batching \(([\d.]+) µs\)", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
+    bind(r, r"independent PCG batching \([\d.]+ µs\) by ([\d.]+)x",
          c["iiwa_batch_256_fused"]["us_per_solve"] / c["iiwa_mpc_farm_128"]["us_per_solve"], ".1f")
     bind(r, r"putting ([\d.]+) µs/solve in\nfixed work",
          c["iiwa_batch_256_fused_split"]["fixed_us_per_solve"], ".1f")
