@@ -229,7 +229,7 @@ def _reject_non_f32_kernels(pcg_backend: Optional[str], dtype) -> None:
 
 def default_pcg_backend(
     batched: bool = False, spec: Optional[ProblemSpec] = None,
-    method: str = "pcg", dtype="float32",
+    method: str = "pcg", dtype="float32", batch: Optional[int] = None,
 ) -> str:
     """Backend auto-selection.
 
@@ -270,12 +270,25 @@ def default_pcg_backend(
         if spec is not None and not direct_fused.fits_vmem(
             spec.knot_points, spec.state_size, spec.control_size
         ):
+            # Past the fused cyclic-reduction kernel's packing budget, a
+            # wide-enough batch still has a 'fused' kernel: the batch-in-
+            # lanes Thomas tier is VMEM-unbounded in K (factor stacks
+            # stream to HBM) and much faster than the per-problem longk CR
+            # at batch scale — the same width boundary the fused dispatch
+            # itself uses (thomas_batch.should_dispatch).
+            if batch is not None:
+                from .kernels import thomas_batch
+
+                if thomas_batch.should_dispatch(
+                    batch, spec.knot_points, spec.state_size,
+                    spec.control_size,
+                ):
+                    return "fused"
             from .kernels import longk
 
-            # Past the fused cyclic-reduction kernel's packing budget:
-            # the long-horizon direct tier (one-kernel whole CR on the
-            # DMA'd operator, longk.solve_direct_longk) while it fits,
-            # the XLA path beyond.
+            # Otherwise the long-horizon direct tier (one-kernel whole CR
+            # on the DMA'd operator, longk.solve_direct_longk) while it
+            # fits, the XLA path beyond.
             if longk.fits_direct_xl(
                 spec.knot_points, spec.state_size, spec.control_size
             ):
@@ -294,6 +307,7 @@ def _resolve_backend(
     options: SolverOptions,
     batched: bool,
     spec: Optional[ProblemSpec] = None,
+    batch: Optional[int] = None,
 ) -> str:
     """Validate an explicit backend choice, or auto-select.
 
@@ -308,7 +322,7 @@ def _resolve_backend(
         # method='direct' (both within their VMEM reach by construction).
         return default_pcg_backend(batched, spec=spec,
                                    method=options.method,
-                                   dtype=options.dtype)
+                                   dtype=options.dtype, batch=batch)
     if pcg_backend not in VALID_PCG_BACKENDS:
         raise ValueError(
             f"unknown pcg_backend {pcg_backend!r}; valid choices are "
@@ -502,7 +516,8 @@ def solve_batched(
     else:
         lam0 = _cached_const(0, dtype, (Bn, K, s))
 
-    backend = _resolve_backend(pcg_backend, options, batched=True, spec=spec)
+    backend = _resolve_backend(pcg_backend, options, batched=True,
+                               spec=spec, batch=Bn)
     return _solve_batched_core(
         b.Q, b.R, b.A, b.B, b.q, b.r, b.c,
         lam0,

@@ -220,7 +220,8 @@ def time_solve(
                     for a in blocks))
     batched = b.Q.ndim == 4
     backend = _resolve_backend(pcg_backend, options, batched=batched,
-                               spec=spec)
+                               spec=spec,
+                               batch=b.Q.shape[0] if batched else None)
     core = functools.partial(
         (_solve_batched_core if batched else _solve_core).__wrapped__,
         preconditioner=options.preconditioner,

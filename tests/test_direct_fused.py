@@ -249,3 +249,20 @@ def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
     assert default_pcg_backend(spec=mid_spec, method="direct") == "pallas"
     short_spec = ProblemSpec(14, 7, 50)
     assert default_pcg_backend(spec=short_spec, method="direct") == "fused"
+    # A wide-enough batch keeps 'fused' past the CR kernel's packing budget:
+    # the batch-in-lanes Thomas tier streams its factors to HBM, so K is
+    # VMEM-unbounded there (solve_batched passes batch=B; narrow batches
+    # keep the longk/jax ladder above).
+    from gato_tpu.kernels import thomas_batch
+
+    wide = thomas_batch._MIN_BATCH
+    assert default_pcg_backend(spec=mid_spec, method="direct",
+                               batch=wide) == "fused"
+    # ...until the Thomas HBM factor budget declines too (K=4096 at IIWA
+    # width needs ~2.2 GB of factor stacks per 128-lane group, past the
+    # 2 GB cap) — then the auto ladder falls through as before.
+    assert not thomas_batch.fits(wide, 4096, 14, 7)
+    assert default_pcg_backend(spec=long_spec, method="direct",
+                               batch=wide) == "jax"
+    assert default_pcg_backend(spec=mid_spec, method="direct",
+                               batch=wide - 1) == "pallas"

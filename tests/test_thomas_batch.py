@@ -233,6 +233,33 @@ def test_thomas_ill_conditioned():
         assert err < 1e-3, (i, err)
 
 
+def test_auto_backend_past_cr_budget(monkeypatch):
+    """Auto backend selection keeps 'fused' past the CR kernel's packing
+    budget when the batch is wide enough for the Thomas tier (K is
+    VMEM-unbounded there), and the routed solve keeps oracle parity."""
+    import jax as jax_mod
+
+    from gato_tpu.kernels import direct_fused
+    from gato_tpu.solver import default_pcg_backend
+
+    class _FakeTPU:
+        platform = "tpu"
+
+    monkeypatch.setattr(jax_mod, "devices", lambda *a: [_FakeTPU()])
+    monkeypatch.setattr(direct_fused, "fits_vmem", lambda *a: False)
+    spec = ProblemSpec(3, 2, 5)
+    B = thomas_batch._MIN_BATCH
+    assert default_pcg_backend(spec=spec, method="direct",
+                               batch=B) == "fused"
+    # End to end through solve_batched's auto path (interpret kernels).
+    arrs = _batch(spec, B, seed=3)
+    opts = SolverOptions(method="direct", rho=1e-2)
+    res = solve_batched(spec, arrs, opts)
+    lam_ref, _, _ = _oracle(arrs, 1e-2)
+    _assert_close(res.lam, lam_ref)
+    assert bool(jnp.all(res.converged))
+
+
 def test_should_dispatch_gates():
     s, c = 14, 7
     B = thomas_batch._MIN_BATCH
