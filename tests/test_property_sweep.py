@@ -28,6 +28,10 @@ CASES = [
     pytest.param(ProblemSpec(9, 5, 21), 1e-1, 1e-6, 2,  # heavy reg, sp=16
                  marks=_slow),
     (ProblemSpec(1, 1, 4), 1e-3, 1e-10, 1),     # minimal sizes
+    pytest.param(ProblemSpec(17, 3, 6), 1e-2, 1e-8, 1,  # s past the 16-row
+                 marks=_slow),  # sublane tile: sp=24, 3-subtile columns
+    (ProblemSpec(2, 1, 2), 1e-3, 1e-8, 1),      # minimal horizon: every knot
+                                                # is a boundary knot
 ]
 
 
@@ -86,6 +90,8 @@ def test_solutions_match_dense_oracle(spec, rho):
     pytest.param(ProblemSpec(5, 4, 7), 1e-2, marks=_slow),
     pytest.param(ProblemSpec(3, 2, 64), 1e-4, marks=_slow),
     (ProblemSpec(1, 1, 4), 1e-3),
+    pytest.param(ProblemSpec(17, 3, 6), 1e-2, marks=_slow),  # sp=24 tiling
+    (ProblemSpec(2, 1, 2), 1e-3),               # minimal horizon
 ])
 def test_direct_backends_match_dense_oracle(spec, rho):
     """method='direct' on both backends (XLA path, fused cyclic-reduction
