@@ -47,6 +47,9 @@ def _assert_close(got, ref, tol=5e-5):
     # (3, 2, 7) x B=5 covers pad lanes (5 of 128 live); the sp=16 two-tile
     # sublane layout runs compiled in bench.py's on-device parity gate.
     "shape,B", [((3, 2, 7), 5),
+                ((2, 1, 2), 3),   # minimal horizon: the forward carry-zero
+                                  # step is immediately the last knot and the
+                                  # reverse (2K-2-t)%K dzu mapping degenerates
                 pytest.param((5, 3, 12), 9, marks=pytest.mark.slow)]
 )
 def test_matches_oracle(shape, B):
