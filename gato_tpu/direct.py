@@ -113,6 +113,44 @@ def _pad_front_mat(x):
     return jnp.concatenate([jnp.zeros_like(x[..., :1, :, :]), x], axis=-3)
 
 
+def thomas_multi(L, D, U, Bm):
+    """Block-Thomas solve with a MATRIX right-hand side, scan axis first.
+
+    Shapes: L/D/U (m, ..., s, s) — the block tridiagonal along the leading
+    axis, batched over the middle dims (L[0] and U[m-1] must already be
+    zero); Bm (m, ..., s, nrhs).  Returns X (m, ..., s, nrhs) with T X = Bm.
+    One factorization serves all nrhs columns: the forward scan's C_k / w_k
+    depend only on the operator, and the rhs recurrences are
+    (s, s) x (s, nrhs) products that batch over columns for free.  Shared by
+    the SPIKE solvers (chunks batched here on one chip in
+    :func:`btd_solve_spike`; shards over the mesh in
+    parallel/sharded._btd_solve_direct_local).
+    """
+    U_prev = jnp.concatenate([jnp.zeros_like(U[:1]), U[:-1]], axis=0)
+
+    def fwd(carry, xs):
+        c_prev_inv, Y_prev = carry
+        Lk, Dk, Upk, Bk = xs
+        w = _mm(Lk, c_prev_inv)
+        Ck = Dk - _mm(w, Upk)
+        Yk = Bk - _mm(w, Y_prev)
+        ck_inv = block_inv(Ck)
+        return (ck_inv, Yk), (ck_inv, Yk)
+
+    # Derive the zero inits from the operands (x*0, not zeros_like) so their
+    # varying-axes metadata matches the scan outputs under shard_map.
+    init = (D[0] * 0.0, Bm[0] * 0.0)
+    _, (C_inv, Y) = jax.lax.scan(fwd, init, (L, D, U_prev, Bm))
+
+    def bwd(X_next, xs):
+        ck_inv, Yk, Uk = xs
+        Xk = _mm(ck_inv, Yk - _mm(Uk, X_next))
+        return Xk, Xk
+
+    _, X = jax.lax.scan(bwd, Bm[0] * 0.0, (C_inv, Y, U), reverse=True)
+    return X
+
+
 def btd_solve_cr(S: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Solve S x = b by block cyclic reduction — the parallel direct solver.
 

@@ -247,45 +247,6 @@ def pcg_sharded(
 # stable for the same reason as direct.btd_solve (direct.py:21-22).
 
 
-def _local_thomas_multi(Lr, Dr, Ur, Bm):
-    """Block-Thomas solve with a MATRIX right-hand side.
-
-    Shapes: Lr/Dr/Ur (m, s, s) — the local block tridiagonal (Lr[0] and
-    Ur[m-1] must already be zero); Bm (m, s, nrhs).  Returns X (m, s, nrhs)
-    with T X = Bm.  One factorization serves all nrhs columns: the forward
-    scan's C_k / w_k depend only on the operator, and the rhs recurrences
-    are (s, s) x (s, nrhs) products that batch over columns for free.
-    """
-    s = Dr.shape[-1]
-    nrhs = Bm.shape[-1]
-    U_prev = jnp.concatenate([jnp.zeros_like(Ur[:1]), Ur[:-1]], axis=0)
-
-    def fwd(carry, xs):
-        c_prev_inv, Y_prev = carry
-        Lk, Dk, Upk, Bk = xs
-        w = jnp.einsum("ab,bc->ac", Lk, c_prev_inv, precision=_PRECISION)
-        Ck = Dk - jnp.einsum("ab,bc->ac", w, Upk, precision=_PRECISION)
-        Yk = Bk - jnp.einsum("ab,bc->ac", w, Y_prev, precision=_PRECISION)
-        ck_inv = blocktri.block_inv(Ck)
-        return (ck_inv, Yk), (ck_inv, Yk)
-
-    # Derive the zero inits from the operands so their vma matches the scan
-    # outputs under shard_map's varying-axes tracking.
-    init = (Dr[0] * 0.0, Bm[0] * 0.0)
-    _, (C_inv, Y) = lax.scan(fwd, init, (Lr, Dr, U_prev, Bm))
-
-    def bwd(X_next, xs):
-        ck_inv, Yk, Uk = xs
-        Xk = jnp.einsum(
-            "ab,bc->ac", ck_inv,
-            Yk - jnp.einsum("ab,bc->ac", Uk, X_next, precision=_PRECISION),
-            precision=_PRECISION)
-        return Xk, Xk
-
-    _, X = lax.scan(bwd, Bm[0] * 0.0, (C_inv, Y, Ur), reverse=True)
-    return X
-
-
 def _btd_solve_direct_local(S_l, b_l, *, axis_name: str):
     """Per-shard SPIKE body (inside shard_map): solve the globally block-
     tridiagonal S x = b exactly, returning this shard's x rows.
@@ -311,7 +272,10 @@ def _btd_solve_direct_local(S_l, b_l, *, axis_name: str):
     Bm = Bm.at[:, :, 0].set(b_l[:m])
     Bm = Bm.at[0, :, 1 : 1 + s].set(L[0])
     Bm = Bm.at[m - 1, :, 1 + s :].add(U[m - 1])
-    X = _local_thomas_multi(Lint, Dint, Uint, Bm)
+    # Shared multi-rhs Thomas core (direct.thomas_multi: scan axis first, no
+    # extra batch dims here; the zero inits derive from the operands so
+    # their vma matches under shard_map's varying-axes tracking).
+    X = direct.thomas_multi(Lint, Dint, Uint, Bm)
     y, V, W = X[:, :, 0], X[:, :, 1 : 1 + s], X[:, :, 1 + s :]
 
     # Reduced interface row p, from the interface equation

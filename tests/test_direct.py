@@ -110,6 +110,26 @@ def test_direct_grad_flows():
     np.testing.assert_allclose(float(g[2, 1]), float(fd), rtol=2e-2)
 
 
+def test_thomas_multi_matches_per_column_solves():
+    """The shared multi-rhs Thomas core (direct.thomas_multi — used by the
+    mesh SPIKE, parallel/sharded._btd_solve_direct_local): one factorization
+    applied to a stacked rhs must equal per-column btd_solve, including with
+    extra batch dims between the scan axis and the blocks."""
+    from gato_tpu.direct import thomas_multi
+
+    K, s, nrhs, B = 9, 3, 4, 2
+    S = np.stack([_random_spd_btd(K, s, seed=10 + i) for i in range(B)])
+    Bm = np.random.default_rng(4).normal(size=(B, K, s, nrhs)) \
+        .astype(np.float32)
+    L, D, U = (jnp.moveaxis(jnp.asarray(S[:, :, j]), 1, 0) for j in range(3))
+    X = thomas_multi(L, D, U, jnp.moveaxis(jnp.asarray(Bm), 1, 0))
+    X = jnp.moveaxis(X, 0, 1)                       # (B, K, s, nrhs)
+    for col in range(nrhs):
+        ref = btd_solve(jnp.asarray(S), jnp.asarray(Bm[..., col]))
+        np.testing.assert_allclose(np.asarray(X[..., col]), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(col))
+
+
 @pytest.mark.parametrize("K,s", [(2, 3), (3, 2), (5, 2), (7, 3), (16, 4),
                                  pytest.param(50, 14,
                                               marks=pytest.mark.slow),
