@@ -512,6 +512,50 @@ def bench_direct_served(spec, options, batch=256, *, T=32):
     }
 
 
+def bench_mpc_farm_direct(spec, options, B=64, Tseq=4, *, T=12):
+    """The EXACT MPC farm: mpc.solve_sequence_batched(method='direct').
+    No warm-start carry exists for an exact solve, so the (Tseq, B) grid
+    folds into ONE batch of Tseq*B batch-in-lanes Thomas solves (per-step
+    rhos diagonal-folded) — the wide-fleet serving pick the pecking-order
+    note in README recommends over the warm PCG farm.  Chain methodology
+    of bench_batch (each chain step one whole farm call on fresh data);
+    us_per_solve includes the surface's fold/reshape."""
+    import functools
+
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.mpc import _solve_sequence_batched_direct_core
+    from gato_tpu.problem import Preconditioner
+    from gato_tpu.timing import chain_time, perturb
+
+    flat = _staged_blocks(spec, seed=1000, batch=Tseq * B)
+    b = KKTBlocks(*(a.reshape((Tseq, B) + a.shape[1:]) for a in flat))
+    rhos = jnp.full((Tseq,), options.rho, jnp.float32)
+    float(jnp.sum(b.q))  # fence staging
+
+    core = functools.partial(
+        _solve_sequence_batched_direct_core.__wrapped__,
+        preconditioner=Preconditioner.SYMMETRIC_STAIR,
+        pcg_backend="fused", poly_degree=1,
+    )
+
+    def step(q0, lam_carry, t):
+        Q, q = perturb(b, q0, lam_carry, t)
+        res = core(Q, b.R, b.A, b.B, q, b.r, b.c, rhos)
+        return res.lam + res.dz_x + 1e-20 * jnp.sum(res.dz_u)
+
+    ms, info = chain_time(step, b.q, T, label=f"farm_direct{Tseq}x{B}",
+                          log=_log)
+    n = Tseq * B
+    return {
+        "seq_T": Tseq,
+        "batch": B,
+        "ms_per_call": round(ms, 4),
+        "solves_per_sec": round(n / (ms / 1e3), 1),
+        "us_per_solve": round(1e3 * ms / n, 4),
+        **info,
+    }
+
+
 def bench_batch_split(spec, options, batch=256, *, T=12):
     """Measured throughput decomposition of the batched fused solve
     (VERDICT round-2 weak #1): with exit_tol=0 every problem runs EXACTLY
@@ -1353,6 +1397,14 @@ def main():
                 iters=max(1, int(e["iters_rest_mean"])))
             C[f"iiwa_mpc_farm_{B}"] = e
             _log(f"mpc farm B={B}: {e}")
+        # The EXACT farm at the wide-fleet shape the pecking-order note
+        # recommends: (Tseq=4) x (B=64) = 256 Thomas-tier solves per call.
+        e = bench_mpc_farm_direct(iiwa, direct_opts, B=64, Tseq=4)
+        annotate_roofline(
+            e, iiwa, "direct_thomas",
+            ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
+        C["iiwa_mpc_farm_direct_4x64"] = e
+        _log(f"mpc farm direct 4x64: {e}")
 
     pcg_ms = C["iiwa_pcg"]["avg_ms_device"]
     candidates = [("pcg", pcg_ms), ("direct", C["iiwa_direct"]["avg_ms_device"])]

@@ -30,8 +30,52 @@ import jax.numpy as jnp
 from . import assemble, pcg as pcg_mod, recover
 from .formats import KKTBlocks
 from .problem import Preconditioner, ProblemSpec, SolverOptions
-from .solver import (SolveResult, _cached_const, default_pcg_backend,
+from .solver import (SolveResult, _cached_const, _resolve_backend,
+                     _solve_batched_core, default_pcg_backend,
                      _reject_non_f32_kernels)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("preconditioner", "pcg_backend", "poly_degree")
+)
+def _solve_sequence_batched_direct_core(
+    Q, R, A, B, q, r, c, rhos,
+    preconditioner: Preconditioner,
+    pcg_backend: str,
+    poly_degree: int = 1,
+):
+    """EXACT sequence farm: a (T, B) grid of independent direct solves run
+    as ONE batch of T*B problems — no warm-start carry exists for an exact
+    solve, so the T axis has no sequential dependency and folds straight
+    into the batch axis (full lane occupancy in the batch-in-lanes Thomas
+    tier, every step of every stream in flight at once — where the PCG farm
+    above must scan T sequentially to carry its warm start).  The per-step
+    ``rhos`` are folded into the Q/R diagonals up front (rho only ever
+    enters as ``G + rho*I``, gato_schur.cuh:697,700 — bitwise the same
+    addition the kernels' scalar-rho path performs at load), so one kernel
+    call serves steps with differing regularizers."""
+    T, Bn, K, s = Q.shape[:4]
+    cdim = R.shape[-1]
+    rr = rhos.reshape(T, 1, 1, 1, 1)
+    Qr = Q + rr * jnp.eye(s, dtype=Q.dtype)
+    Rr = R + rr * jnp.eye(cdim, dtype=R.dtype)
+
+    def flat(a):
+        return a.reshape((T * Bn,) + a.shape[2:])
+
+    zero = jnp.zeros((), Q.dtype)
+    res = _solve_batched_core(
+        flat(Qr), flat(Rr), flat(A), flat(B), flat(q), flat(r), flat(c),
+        jnp.zeros((T * Bn, K, s), Q.dtype), zero, zero,
+        jnp.zeros((), jnp.int32),
+        preconditioner=preconditioner, pcg_backend=pcg_backend,
+        method="direct", poly_degree=poly_degree,
+    )
+
+    def unflat(a):
+        return a.reshape((T, Bn) + a.shape[1:])
+
+    return SolveResult(*(unflat(x) for x in res))
 
 
 @functools.partial(
@@ -153,16 +197,15 @@ def solve_sequence_batched(
     Args mirror :func:`solve_sequence`: ``rhos`` is per-step (T,),
     ``lam0`` is (B, K, s) (zeros by default).  Returns a SolveResult with
     leading (T, B) axes.
+
+    ``method='direct'`` runs the farm EXACTLY: the T*B solves are
+    independent (no warm-start carry exists for an exact solve), so the
+    whole grid folds into ONE batched kernel call — the batch-in-lanes
+    Thomas tier from T*B >= its width crossover, at ~0.9 us/solve on v5e
+    vs ~2.3 for this warm-started PCG farm at B=256 — with per-step
+    ``rhos`` honored by diagonal folding; ``lam0`` is ignored (exact
+    solves take no initial guess).
     """
-    if options.method != "pcg":
-        raise ValueError(
-            "solve_sequence_batched is a warm-started PCG chain; method="
-            f"{options.method!r} has no warm start to carry — run "
-            "solve_batched(method='direct') per step instead (measured "
-            "FASTER than this warm farm from B >= ~64: 0.9 vs 2.3 us/solve "
-            "at B=256 on v5e — the batch-in-lanes Thomas kernel needs no "
-            "warm start to beat the warm-started PCG steps)"
-        )
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
     if b.Q.ndim != 5:
@@ -183,6 +226,17 @@ def solve_sequence_batched(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
+    if options.method == "direct":
+        # EXACT farm: T*B independent solves in one batched kernel call —
+        # see _solve_sequence_batched_direct_core.  Backend validation is
+        # solve_batched's (batch = T*B drives the Thomas-width pick).
+        backend = _resolve_backend(pcg_backend, options, batched=True,
+                                   spec=spec, batch=T * Bn)
+        return _solve_sequence_batched_direct_core(
+            b.Q, b.R, b.A, b.B, b.q, b.r, b.c, rhos,
+            preconditioner=options.preconditioner, pcg_backend=backend,
+            poly_degree=options.precond_poly_degree,
+        )
     backend = _resolve_sequence_backend(pcg_backend, options, spec,
                                         "solve_sequence_batched")
     return _solve_sequence_batched_core(
@@ -215,17 +269,13 @@ def solve_sequence(
     Returns a SolveResult with a leading T axis; ``result.lam[t]`` warm-starts
     solve t+1.  Note the first solve warm starts from ``lam0`` regardless of
     ``options.warm_start`` — chaining is the point of this API.
+
+    ``method='direct'`` solves the sequence exactly: with no warm-start
+    carry the T steps are independent, so they all solve IN PARALLEL as one
+    batch of T problems (the T axis becomes the kernel batch axis — at
+    T >= the Thomas-width crossover that is the batch-in-lanes tier);
+    ``lam0`` is ignored.
     """
-    if options.method != "pcg":
-        # Explicit rejection, not silent degradation: the sequence's whole
-        # point is carrying the warm start between solves, which a direct
-        # solve has no use for — a "direct sequence" is just independent
-        # exact solves; use solve_batched (fused cyclic-reduction kernel).
-        raise ValueError(
-            "solve_sequence is a warm-started PCG chain; method="
-            f"{options.method!r} has no warm start to carry — use "
-            "solve_batched for independent exact solves"
-        )
     dtype = jnp.dtype(options.dtype)
     b = KKTBlocks(*(jnp.asarray(a, dtype=dtype) for a in blocks))
     if b.Q.ndim != 4:
@@ -246,6 +296,24 @@ def solve_sequence(
     else:
         rhos = jnp.asarray(rhos, dtype=dtype).reshape(T)
 
+    if options.method == "direct":
+        # An exact sequence has no warm-start carry: the T solves are
+        # independent, so the T axis IS the batch axis — all steps solve in
+        # parallel through solve_batched's kernel pick (Thomas tier from
+        # T >= its width crossover).
+        backend = _resolve_backend(pcg_backend, options, batched=True,
+                                   spec=spec, batch=T)
+        res = _solve_sequence_batched_direct_core(
+            b.Q[:, None], b.R[:, None], b.A[:, None], b.B[:, None],
+            b.q[:, None], b.r[:, None], b.c[:, None], rhos,
+            preconditioner=options.preconditioner, pcg_backend=backend,
+            poly_degree=options.precond_poly_degree,
+        )
+        return SolveResult(
+            lam=res.lam[:, 0], dz_x=res.dz_x[:, 0], dz_u=res.dz_u[:, 0],
+            iters=res.iters[:, 0], converged=res.converged[:, 0],
+            eta=res.eta[:, 0],
+        )
     backend = _resolve_sequence_backend(pcg_backend, options, spec,
                                         "solve_sequence")
     # The single sequence is the B=1 case of the batched core (one code path

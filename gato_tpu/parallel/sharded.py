@@ -518,6 +518,49 @@ def _solve_sequence_batched_dp_core(
     return run(Q, R, A, B, q, r, c, lam0, rhos, exit_tol, max_iters)
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("mesh", "axis_name", "tier"),
+)
+def _solve_sequence_batched_dp_direct_core(
+    Q, R, A, B, q, r, c, rhos,
+    mesh: Mesh,
+    axis_name: str,
+    tier: str,
+):
+    """EXACT sharded farm: no warm-start carry, so the (T, B) grid folds
+    into one dp batch of B*T independent solves (mpc.
+    _solve_sequence_batched_direct_core over the mesh).  The fold is
+    STREAM-MAJOR — (T, B) -> (B, T) -> (B*T,) — so each device's shard
+    holds whole streams (all steps of B/n streams), matching the
+    stream-sharded (None, dp) input layout with no cross-device
+    relayout.  Per-step rhos fold into the Q/R diagonals (rho only ever
+    enters as G + rho*I, gato_schur.cuh:697,700)."""
+    T, Bn, K, s = Q.shape[:4]
+    cdim = R.shape[-1]
+    rr = rhos.reshape(T, 1, 1, 1, 1)
+    Qr = Q + rr * jnp.eye(s, dtype=Q.dtype)
+    Rr = R + rr * jnp.eye(cdim, dtype=R.dtype)
+
+    def flat(a):
+        return jnp.moveaxis(a, 0, 1).reshape((Bn * T,) + a.shape[2:])
+
+    zero = jnp.zeros((), Q.dtype)
+    res, dz_x, dz_u = _solve_batched_dp_core(
+        flat(Qr), flat(Rr), flat(A), flat(B), flat(q), flat(r), flat(c),
+        jnp.zeros((Bn * T, K, s), Q.dtype), zero, zero,
+        jnp.zeros((), jnp.int32),
+        mesh=mesh, axis_name=axis_name, poly_degree=1,
+        preconditioner="symmetric_stair", method="direct", tier=tier,
+    )
+
+    def unflat(a):
+        return jnp.moveaxis(a.reshape((Bn, T) + a.shape[1:]), 0, 1)
+
+    return (unflat(res.lam), unflat(dz_x), unflat(dz_u),
+            unflat(res.iters), unflat(res.converged), unflat(res.eta))
+
+
 def solve_sequence_batched_dp(
     mesh: Mesh,
     Q, R, A, B, q, r, c,          # leading (T, B) axes on every array
@@ -530,6 +573,7 @@ def solve_sequence_batched_dp(
     poly_degree: int = 1,
     preconditioner: str = "symmetric_stair",
     axis_name: str = "dp",
+    method: str = "pcg",
 ):
     """An MPC farm sharded across the mesh: B warm-started streams split over
     ``mesh[axis_name]``, each device scanning its local shard of streams with
@@ -540,19 +584,46 @@ def solve_sequence_batched_dp(
     Arrays carry leading (T, B) axes; B must divide by the mesh axis size.
     ``rhos`` is per-step (T,), ``lam0`` is (B, K, s) (zeros by default).
     Returns (lam, dz_x, dz_u, iters, converged, eta) with (T, B) leading
-    axes, stream-sharded over ``axis_name``."""
+    axes, stream-sharded over ``axis_name``.
+
+    ``method='direct'`` runs the EXACT farm (mpc.solve_sequence_batched
+    semantics): no warm-start carry, so the grid folds stream-major into
+    one dp batch of B*T solves per the solve_batched_dp kernel pick —
+    ``lam0``/``exit_tol``/``max_iters`` are unused there."""
+    if method not in ("pcg", "direct"):
+        raise ValueError(
+            f"solve_sequence_batched_dp supports method in ('pcg', "
+            f"'direct'); got {method!r}")
     T, Bn = q.shape[0], q.shape[1]
     n = mesh.shape[axis_name]
     if Bn % n:
         raise ValueError(
             f"stream count {Bn} not divisible by mesh axis {axis_name}={n}")
     dt = q.dtype
-    if lam0 is None:
-        lam0 = jnp.zeros_like(q[0])
     if rhos is None:
         rhos = _cached_const(rho, dt, (T,))
     else:
         rhos = jnp.asarray(rhos, dt)
+    if method == "direct":
+        K, s = q.shape[2], q.shape[3]
+        cdim = r.shape[3]
+        from ..kernels import direct_fused, longk
+
+        if direct_fused.fits_vmem(K, s, cdim):
+            tier = "fused"
+        elif longk.should_dispatch_direct(K, s, cdim):
+            tier = "longk"
+        else:
+            raise ValueError(
+                f"no kernel tier owns K={K} (s={s}, c={cdim}) for "
+                "method='direct'; use the single-chip sequence API for "
+                "horizons this long")
+        return _solve_sequence_batched_dp_direct_core(
+            Q, R, A, B, q, r, c, rhos,
+            mesh=mesh, axis_name=axis_name, tier=tier,
+        )
+    if lam0 is None:
+        lam0 = jnp.zeros_like(q[0])
     # _cached_const: see solve_batched_dp.
     return _solve_sequence_batched_dp_core(
         Q, R, A, B, q, r, c, lam0,

@@ -152,9 +152,10 @@ def test_direct_pallas_runs_longk_tier():
     assert int(got.iters) == 0 and bool(got.converged)
 
 
-def test_sequence_rejects_direct_method():
-    """solve_sequence must refuse method='direct' loudly (a warm-start chain
-    has nothing to carry for an exact solver), not silently run PCG."""
+def test_sequence_direct_runs_exact_not_pcg():
+    """solve_sequence(method='direct') runs the EXACT farm (T independent
+    solves batched over the T axis — iters == 0, exact solutions), never
+    silently PCG (test_mpc covers per-step parity in depth)."""
     from gato_tpu.formats import KKTBlocks
     from gato_tpu.mpc import solve_sequence
 
@@ -162,8 +163,12 @@ def test_sequence_rejects_direct_method():
     blocks = random_blocks(spec, seed=3)
     seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (3,) + a.shape)
                       for a in blocks))
-    with pytest.raises(ValueError, match="solve_batched"):
-        solve_sequence(spec, seq, SolverOptions(rho=1e-2, method="direct"))
+    res = solve_sequence(spec, seq, SolverOptions(rho=1e-2, method="direct"))
+    assert np.all(np.asarray(res.iters) == 0)
+    assert bool(np.all(np.asarray(res.converged)))
+    # Identical steps -> identical exact solutions (no warm-start coupling).
+    np.testing.assert_allclose(np.asarray(res.lam[0]), np.asarray(res.lam[2]),
+                               rtol=1e-6, atol=1e-7)
 
 
 def test_plan_packing_raises_over_budget():

@@ -103,7 +103,63 @@ def test_sequence_batched_matches_independent_sequences():
                                        rtol=1e-4, atol=1e-4)
 
 
-def test_sequence_batched_rejects_direct_and_unknown():
+def test_sequence_batched_direct_matches_per_step_batches():
+    """The EXACT farm (method='direct'): a (T, B) sequence equals the T
+    per-step solve_batched(method='direct') calls — including per-step
+    rhos, which the surface folds into the Q/R diagonals before the one
+    batched kernel call."""
+    from gato_tpu.mpc import solve_sequence_batched
+    from gato_tpu.solver import solve_batched
+
+    spec = ProblemSpec(4, 2, 12)
+    T, Bn = 3, 4
+    steps = [[random_blocks(spec, seed=900 + 10 * t + b) for b in range(Bn)]
+             for t in range(T)]
+    seq = KKTBlocks(*(np.stack([np.stack([np.asarray(steps[t][b][f])
+                                          for b in range(Bn)])
+                                for t in range(T)])
+                      for f in range(7)))
+    rhos = np.array([1e-2, 5e-2, 1e-3], dtype=np.float32)
+
+    res = solve_sequence_batched(spec, seq, SolverOptions(method="direct"),
+                                 rhos=rhos)
+    assert res.lam.shape == (T, Bn, 12, 4)
+    assert bool(np.all(np.asarray(res.converged)))
+    assert np.all(np.asarray(res.iters) == 0)
+
+    for t in range(T):
+        step = KKTBlocks(*(np.stack([np.asarray(steps[t][b][f])
+                                     for b in range(Bn)]) for f in range(7)))
+        ref = solve_batched(spec, step,
+                            SolverOptions(method="direct", rho=float(rhos[t])))
+        np.testing.assert_allclose(np.asarray(res.lam[t]),
+                                   np.asarray(ref.lam),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"t={t}")
+        np.testing.assert_allclose(np.asarray(res.dz_u[t]),
+                                   np.asarray(ref.dz_u),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_sequence_direct_single_stream_matches_per_step():
+    """solve_sequence(method='direct'): T independent exact solves, run as
+    one batch over the T axis — matches per-step solve(method='direct')."""
+    spec = ProblemSpec(3, 2, 8)
+    T = 4
+    steps = [random_blocks(spec, seed=700 + t) for t in range(T)]
+    seq = KKTBlocks(*(np.stack([np.asarray(s[f]) for s in steps])
+                      for f in range(7)))
+    opts = SolverOptions(method="direct", rho=1e-2)
+
+    res = solve_sequence(spec, seq, opts)
+    assert res.lam.shape == (T, 8, 3)
+    for t in range(T):
+        ref = solve(spec, steps[t], opts)
+        np.testing.assert_allclose(np.asarray(res.lam[t]),
+                                   np.asarray(ref.lam),
+                                   rtol=1e-5, atol=1e-5, err_msg=f"t={t}")
+
+
+def test_sequence_batched_rejects_unknown_backend():
     import pytest
 
     from gato_tpu.mpc import solve_sequence_batched
@@ -112,9 +168,6 @@ def test_sequence_batched_rejects_direct_and_unknown():
     blocks = random_blocks(spec, seed=1)
     seq = KKTBlocks(*(np.broadcast_to(np.asarray(a), (2, 3) + np.asarray(a).shape).copy()
                       for a in blocks))
-    with pytest.raises(ValueError, match="solve_batched"):
-        solve_sequence_batched(spec, seq,
-                               SolverOptions(rho=1e-2, method="direct"))
     with pytest.raises(ValueError, match="supports pcg_backend"):
         solve_sequence_batched(spec, seq, SolverOptions(rho=1e-2),
                                pcg_backend="nope")

@@ -268,6 +268,27 @@ def test_solve_sequence_batched_dp():
         solve_sequence_batched_dp(
             Mesh(np.array(jax.devices()[:3]), ("dp",)), *batched, rho=1e-2)
 
+    # The EXACT farm over the mesh: stream-major fold into one dp batch —
+    # matches the single-mesh exact farm (which itself matches per-step
+    # solve_batched, test_mpc), per-step rhos included.
+    rhos = np.array([1e-2, 5e-2, 1e-3], dtype=np.float32)
+    lam_d, dzx_d, dzu_d, it_d, conv_d, eta_d = solve_sequence_batched_dp(
+        mesh, *batched, rhos=rhos, method="direct")
+    ref_d = solve_sequence_batched(spec, batched,
+                                   SolverOptions(method="direct"), rhos=rhos)
+    assert lam_d.shape == ref_d.lam.shape
+    assert np.all(np.asarray(conv_d))
+    # Cross-kernel round-off tolerance: the per-shard batch (B*T/n) can sit
+    # on the other side of the Thomas-width crossover than the single-mesh
+    # fold (B*T), so the two exact kernels differ at f32 round-off.
+    np.testing.assert_allclose(np.asarray(lam_d), np.asarray(ref_d.lam),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(dzu_d), np.asarray(ref_d.dz_u),
+                               rtol=1e-4, atol=1e-4)
+
+    with pytest.raises(ValueError, match="supports method"):
+        solve_sequence_batched_dp(mesh, *batched, method="nope")
+
 
 @pytest.mark.parametrize("n_dev", [2, pytest.param(4, marks=pytest.mark.slow)])
 def test_pcg_sharded_kernel_tier_matches_einsum(n_dev):
