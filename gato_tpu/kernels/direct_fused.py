@@ -37,7 +37,12 @@ The reduced systems are Schur complements of SPD systems (SPD themselves),
 so the no-pivoting Gauss-Jordan carries the same justification as
 blocktri.block_inv.  Results match the pure path (direct.btd_solve_auto on
 assemble.condense output) to f32 round-off; ``eta`` reports the squared true
-residual of the returned multipliers, like solver._direct_result.
+residual of the returned multipliers, like solver._direct_result — poisoned
+to a huge finite value (1e30; inf would NaN-contaminate other problems
+through the masked-matmul reducers) when any live-lane block inversion
+clamped a zero pivot (singular input; _gj_inv_flag), so ``converged``
+reports False like the XLA path's NaN propagation instead of blessing a
+silently-regularized solve.
 
 No reference equivalent: the CUDA reference has no direct solver at all —
 this is the batch-throughput exact-solve tier the TPU design adds.
@@ -56,7 +61,7 @@ from ..pcg import PCGResult
 from .pcg_pallas import _LANE, _SUBLANE, _round_up, plan_lane_groups
 from .fused_solve import (
     _condense_cols,
-    _gj_inv,
+    _gj_inv_flag,
     _make_reducers,
     _mat_mat,
     _mat_vec,
@@ -121,13 +126,19 @@ def _n_levels(K_sub: int) -> int:
 
 
 def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
-    """Block cyclic reduction on column stacks; returns x with S x = b.
+    """Block cyclic reduction on column stacks; returns (x, bad) with
+    S x = b and ``bad`` a (1, L) flag marking lanes whose USED block
+    inversion clamped a zero pivot on live data (_gj_inv_flag): a level's
+    inverse is consumed only at the lanes it eliminates (odd lanes) and at
+    the root, so only those lanes' flags count — retired lanes' D slots
+    hold already-inverted garbage whose re-inversion is masked away.
 
     Arguments are the level-0 system (Dc/Lc/Uc: s-column stacks, bv: (sp, L))
     in knot-lane layout; ``lane_in_seg`` is the (1, L) in-segment lane index.
     """
     dt = bv.dtype
     levels = _n_levels(K_sub)
+    bad = jnp.zeros((1, bv.shape[-1]), dt)
 
     for lev in range(levels):
         h = 1 << lev
@@ -138,9 +149,10 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
         def rm(x, h=h):   # value of lane k+h at lane k (right neighbor)
             return pltpu.roll(x, shift=x.shape[-1] - h, axis=x.ndim - 1)
 
-        Dinv_cur = _gj_inv(Dc, s, sp)
+        Dinv_cur, bad_cur = _gj_inv_flag(Dc, s, sp)
         odd_f = (lane_in_seg % (2 * h) == h).astype(dt)
         even_f = (lane_in_seg % (2 * h) == 0).astype(dt)
+        bad = bad + odd_f * bad_cur
 
         DinvL = [rp(x) for x in Dinv_cur]
         DinvR = [rm(x) for x in Dinv_cur]
@@ -179,7 +191,8 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
     # in-segment lane 0 (the only lane whose D slot still holds a live D —
     # the GJ output at retired lanes is garbage-in-garbage-out, masked away).
     root_f = (lane_in_seg == 0).astype(dt)
-    Dinv_root = _gj_inv(Dc, s, sp)
+    Dinv_root, bad_root = _gj_inv_flag(Dc, s, sp)
+    bad = bad + root_f * bad_root
     x = root_f * _mat_vec(Dinv_root, bv, s)
 
     # Back-substitution: x_odd = Dinv (b - L x_left - U x_right).
@@ -201,7 +214,7 @@ def _cr_solve(Dc, Lc, Uc, bv, lane_in_seg, *, s: int, sp: int, K_sub: int):
         x_odd = _mat_vec(Dc, rhs, s)
         x = odd_f * x_odd + (1.0 - odd_f) * x
 
-    return x
+    return x, bad
 
 
 def _direct_kernel(
@@ -220,22 +233,34 @@ def _direct_kernel(
     rv = r_ref[...]
     cv = c_ref[...]
 
-    Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right = _condense_cols(
-        Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp
+    (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right,
+     bad_qr) = _condense_cols(
+        Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp,
+        want_flag=True,
     )
 
     lane_in_seg = jax.lax.broadcasted_iota(jnp.int32, (1, L), 1) % K_sub
-    lam = _cr_solve(list(theta), list(S_left), list(S_right), gamma,
-                    lane_in_seg, s=s, sp=sp, K_sub=K_sub)
+    lam, bad_cr = _cr_solve(list(theta), list(S_left), list(S_right), gamma,
+                            lane_in_seg, s=s, sp=sp, K_sub=K_sub)
 
     # eta = squared true residual of the returned solution (the contract of
     # solver._direct_result) — needs the ORIGINAL system, which the CR left
-    # untouched (it blends into fresh value lists).
+    # untouched (it blends into fresh value lists).  Problems where a LIVE
+    # block inversion clamped a zero pivot (singular Q/R/theta — the kernel
+    # then solved a silently-regularized system whose self-consistent
+    # residual is meaninglessly small) poison eta to a huge FINITE value,
+    # so the wrapper's residual_converged reports False like the XLA path's
+    # NaN propagation (solver._direct_result docstring).  Finite, not inf:
+    # the seg_sum/lanes reducers are masked MXU matmuls, and inf times an
+    # out-of-segment 0 mask is NaN — an inf poison would contaminate every
+    # OTHER problem in the group (measured: one singular problem in a
+    # 5-batch flipped all five flags).
     seg_sum, lanes = _make_reducers(g, K_sub, L, dt)
     resid = gamma - (_mat_vec(S_left, _roll_p1(lam), s)
                      + _mat_vec(theta, lam, s)
                      + _mat_vec(S_right, _roll_m1(lam), s))
-    eta = seg_sum(resid * resid)
+    bad_seg = seg_sum(jnp.broadcast_to(bad_qr + bad_cr, resid.shape))
+    eta = seg_sum(resid * resid) + jnp.where(bad_seg > 0, 1e30, 0.0)
 
     dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)
 

@@ -194,13 +194,36 @@ def _gj_inv(M, n: int, sp: int):
     by cancellation), so the accuracy class is unchanged (the
     ill-conditioned direct-solver tests gate this).
     """
+    return _gj_inv_flag(M, n, sp)[0]
+
+
+def _gj_inv_flag(M, n: int, sp: int):
+    """:func:`_gj_inv` plus a per-lane singularity flag.
+
+    Returns (cols, bad) with ``bad`` a (1, L) 0/1 float row: 1 where a zero
+    pivot was clamped on a LIVE lane — one whose input diagonal is not all
+    zero.  All-zero lanes are padding by construction (every packer zeroes
+    them), and the clamp-to-identity is exactly what padding needs; a zero
+    pivot on a live lane means the clamp silently "fixed" a genuinely
+    singular block, which would otherwise make the kernel solve a DIFFERENT
+    (regularized) system and report its self-consistent residual as
+    converged.  The direct kernels poison eta with this flag so
+    ``residual_converged`` reports False — matching the XLA path, where
+    blocktri.block_inv's unclamped 1/0 NaN-poisons the whole solve.  (A
+    rank-deficient block whose running pivots round to small-but-nonzero
+    values produces finite garbage on BOTH paths — exact-zero pivots are
+    the detectable class, same as XLA.)  When ``bad`` is unused the compares
+    are dead code and trace away — :func:`_gj_inv` costs nothing extra."""
     dt = M[0].dtype
     Mc = list(M)
+    diag_abs = sum(jnp.abs(Mc[i][i : i + 1, :]) for i in range(n))
+    zero_piv = jnp.zeros_like(diag_abs)
     Xc = [jnp.broadcast_to(_row_onehot(b, sp, dt), Mc[0].shape)
           for b in range(n)]
     finvs = []
     for i in range(n):
         piv = Mc[i][i : i + 1, :]
+        zero_piv = zero_piv + (piv == 0).astype(dt)
         finv = 1.0 / jnp.where(piv != 0, piv, 1.0)
         finvs.append(finv)
         # Pivot column with the pivot row zeroed exactly (multiplicative
@@ -219,7 +242,8 @@ def _gj_inv(M, n: int, sp: int):
     L = Mc[0].shape[-1]
     scale = jnp.concatenate(
         finvs + [jnp.ones((sp - n, L), dt)] if sp > n else finvs, axis=0)
-    return [x * scale for x in Xc]
+    bad = ((zero_piv > 0) & (diag_abs > 0)).astype(dt)
+    return [x * scale for x in Xc], bad
 
 
 def _mat_mat(Ac, Bc, n: int):
@@ -288,22 +312,25 @@ def _roll_m1(x):
 
 
 def _condense_cols(Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho,
-                   *, s: int, c: int, sp: int):
+                   *, s: int, c: int, sp: int, want_flag: bool = False):
     """Lane-parallel Schur condensation (assemble.condense) on column stacks.
 
     Shared by the PCG and direct whole-solve kernels.  Matrix refs are
     (n_cols, sp, L) views (pipeline blocks arrive as ``ref.at[0]``; the
     manual-DMA path passes VMEM scratch directly).  Returns everything the
     downstream solve and recovery stages need:
-    (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right)."""
+    (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right); with
+    ``want_flag`` a (1, L) singular-inversion flag (_gj_inv_flag — zero
+    pivot clamped on a live lane, Q at knot lanes / R at interval lanes)
+    is appended for the direct kernels' converged poisoning."""
     dt = qv.dtype
     Qc = [Q_ref[b] + rho * _row_onehot(b, sp, dt) for b in range(s)]
     Rc = [R_ref[b] + rho * _row_onehot(b, sp, dt) for b in range(c)]
     Ac = [A_ref[b] for b in range(s)]
     Bc = [B_ref[b] for b in range(c)]
 
-    Qinv = _gj_inv(Qc, s, sp)          # knot lanes
-    Rinv = _gj_inv(Rc, c, sp)          # interval lanes
+    Qinv, bad_q = _gj_inv_flag(Qc, s, sp)    # knot lanes
+    Rinv, bad_r = _gj_inv_flag(Rc, c, sp)    # interval lanes
 
     phi = _mat_mat(Ac, Qinv, s)        # interval lane k: phi_{k+1} = A_k Qinv_k
     BR = _mat_mat(Bc, Rinv, c)         # interval lanes: B_k Rinv_k
@@ -321,6 +348,9 @@ def _condense_cols(Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho,
     phiT = _transpose(phi, s, sp)      # interval lanes: phi_{k+1}^T
     S_left = [_roll_p1(phi[b]) for b in range(s)]
     S_right = phiT                     # at knot lane k: phi_{k+1}^T
+    if want_flag:
+        return (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right,
+                bad_q + bad_r)
     return Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right
 
 

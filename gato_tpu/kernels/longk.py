@@ -70,6 +70,7 @@ from .pcg_pallas import (_LANE, _SUBLANE, _round_up, _matvec_lanes,
                          _pcg_kernel, make_reducers, pcg_loop)
 from .fused_solve import (
     _gj_inv,
+    _gj_inv_flag,
     _mat_mat,
     _mat_matT,
     _mat_vec,
@@ -737,7 +738,12 @@ def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
     read of a level completes before its writes, so the computed values are
     identical.  ``S_vm`` slots follow the blocktri convention 0=L, 1=D, 2=U;
     the operator is DESTROYED (retired lanes hold their Dinv).  Returns x
-    with S x = b."""
+    with S x = b, poisoned by +1e30 at lanes whose USED block inversion
+    clamped a zero pivot on live data (_gj_inv_flag) — singular input the
+    clamp would otherwise silently regularize; the caller's true-residual
+    eta then blows past residual_converged like the XLA path's NaN
+    (finite poison, not inf: structurally-zero operator blocks times inf
+    would NaN unrelated lanes in the caller's residual matvec)."""
     dt = bv.dtype
     levels = max(1, (Kp - 1).bit_length())
 
@@ -748,7 +754,8 @@ def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
     # even with the in-place scratch — still over the 16 MB limit); as a
     # loop the stack holds exactly one level's transients.
 
-    def _elim_level(lev, bv):
+    def _elim_level(lev, carry):
+        bv, bad = carry
         h = jnp.int32(1) << lev
 
         def rp(x):   # value of lane k-h at lane k (left neighbor)
@@ -760,9 +767,10 @@ def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
         Lc = [S_vm[0, col] for col in range(s)]
         Dc = [S_vm[1, col] for col in range(s)]
         Uc = [S_vm[2, col] for col in range(s)]
-        Dinv_cur = _gj_inv(Dc, s, sp)
+        Dinv_cur, bad_cur = _gj_inv_flag(Dc, s, sp)
         odd_f = (lane % (2 * h) == h).astype(dt)
         even_f = (lane % (2 * h) == 0).astype(dt)
+        bad = bad + odd_f * bad_cur
 
         Am = _mat_mat(Lc, [rp(x) for x in Dinv_cur], s)   # L_e D_{o,l}^-1
         Bm = _mat_mat(Uc, [rm(x) for x in Dinv_cur], s)   # U_e D_{o,r}^-1
@@ -779,13 +787,16 @@ def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
         for col in range(s):
             S_vm[0, col] = even_f * L_new[col] + (1.0 - even_f) * Lc[col]
             S_vm[2, col] = even_f * U_new[col] + (1.0 - even_f) * Uc[col]
-        return even_f * b_new + (1.0 - even_f) * bv
+        return even_f * b_new + (1.0 - even_f) * bv, bad
 
-    bv = jax.lax.fori_loop(0, levels, _elim_level, bv)
+    bv, bad = jax.lax.fori_loop(
+        0, levels, _elim_level, (bv, jnp.zeros((1, Kp), dt)))
 
     # Root solve: lane 0 holds the only live D (see direct_fused._cr_solve).
     root_f = (lane == 0).astype(dt)
-    Dinv_root = _gj_inv([S_vm[1, col] for col in range(s)], s, sp)
+    Dinv_root, bad_root = _gj_inv_flag(
+        [S_vm[1, col] for col in range(s)], s, sp)
+    bad = bad + root_f * bad_root
     x = root_f * _mat_vec(Dinv_root, bv, s)
 
     # Back-substitution: x_odd = Dinv (b - L x_left - U x_right); this
@@ -806,7 +817,8 @@ def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
         x_odd = _mat_vec([S_vm[1, col] for col in range(s)], rhs, s)
         return odd_f * x_odd + (1.0 - odd_f) * x
 
-    return jax.lax.fori_loop(0, levels, _back_level, x)
+    x = jax.lax.fori_loop(0, levels, _back_level, x)
+    return x + jnp.where(bad > 0, 1e30, 0.0)
 
 
 def _direct_xl_call(Sb, gamb, *, s, sp, Kp, interpret):
@@ -887,7 +899,7 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
     lane = jax.lax.broadcasted_iota(jnp.int32, (1, Kp), 1)
 
     def elim(lev, carry):
-        Lst, Dst, Ust, b = carry
+        Lst, Dst, Ust, b, bad = carry
         h = jnp.int32(1) << lev
 
         def rp(x):
@@ -899,9 +911,10 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
         Lc = [Lst[i] for i in range(s)]
         Dc = [Dst[i] for i in range(s)]
         Uc = [Ust[i] for i in range(s)]
-        Dinv_cur = _gj_inv(Dc, s, sp)
+        Dinv_cur, bad_cur = _gj_inv_flag(Dc, s, sp)
         odd_f = (lane % (2 * h) == h).astype(dt)
         even_f = (lane % (2 * h) == 0).astype(dt)
+        bad = bad + odd_f * bad_cur
 
         Am = _mat_mat(Lc, [rp(x) for x in Dinv_cur], s)
         Bm = _mat_mat(Uc, [rm(x) for x in Dinv_cur], s)
@@ -917,13 +930,15 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
                         + (keep - odd_f) * Dc[i] for i in range(s)])
         Ln = jnp.stack([even_f * L_new[i] + keep * Lc[i] for i in range(s)])
         Un = jnp.stack([even_f * U_new[i] + keep * Uc[i] for i in range(s)])
-        return Ln, Dn, Un, even_f * b_new + keep * b
+        return Ln, Dn, Un, even_f * b_new + keep * b, bad
 
-    Lst, Dst, Ust, bv = jax.lax.fori_loop(
-        0, levels, elim, (Sp[0], Sp[1], Sp[2], bv))
+    Lst, Dst, Ust, bv, bad = jax.lax.fori_loop(
+        0, levels, elim,
+        (Sp[0], Sp[1], Sp[2], bv, jnp.zeros((1, Kp), dt)))
 
     root_f = (lane == 0).astype(dt)
-    Dinv_root = _gj_inv([Dst[i] for i in range(s)], s, sp)
+    Dinv_root, bad_root = _gj_inv_flag([Dst[i] for i in range(s)], s, sp)
+    bad = bad + root_f * bad_root
     x = root_f * _mat_vec(Dinv_root, bv, s)
 
     def back(i, x):
@@ -937,7 +952,33 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
         x_odd = _mat_vec([Dst[i_] for i_ in range(s)], rhs, s)
         return odd_f * x_odd + (1.0 - odd_f) * x
 
-    return jax.lax.fori_loop(0, levels, back, x)
+    x = jax.lax.fori_loop(0, levels, back, x)
+    # Singular-input poison, as in _cr_solve_scratch (same flag semantics).
+    return x + jnp.where(bad > 0, 1e30, 0.0)
+
+
+def _packed_singular_flag(Mb, Minvb, n: int, rho, tol: float = 0.5):
+    """Per-problem (B,) flag: the chunked-condense kernel's clamped GJ
+    (_gj_inv zero-pivot clamp) silently regularized an exactly-singular
+    live block — detected in XLA as a GROSS identity failure
+    ``max |Minv (M + rho I) - I| > tol`` over live lanes (pad lanes have an
+    all-zero diagonal, the same pad criterion _gj_inv_flag uses).  This is
+    the condense-stage analog of the in-kernel flags the short-K direct
+    kernels carry (direct_fused/thomas_batch): the chunked condense's
+    Qinv/Rinv cross HBM anyway, so the check costs one fused XLA pass and
+    zero kernel changes.  tol is coarse by design — it flags the O(1)
+    garbage of a clamped zero pivot, not finite-precision conditioning
+    (which produces the same finite garbage on the XLA path too)."""
+    live = sum(jnp.abs(Mb[:, i, i, :]) for i in range(n)) > 0   # (B, Kp)
+    err = jnp.zeros_like(Mb[:, 0, 0, :])
+    for b in range(n):
+        col = sum(Minvb[:, e]
+                  * (Mb[:, b, e, :] + (rho if e == b else 0.0))[:, None, :]
+                  for e in range(n))
+        for row in range(n):
+            tgt = 1.0 if row == b else 0.0
+            err = jnp.maximum(err, jnp.abs(col[:, row, :] - tgt))
+    return jnp.any(live & (err > tol), axis=-1)
 
 
 def _direct_residual(Sb, gamb, lamb, *, s: int):
@@ -985,6 +1026,13 @@ def _solve_direct_longk_packed(
             functools.partial(_cr_solve_xla, s=s, sp=sp, Kp=Kp)
         )(Sb, gamb)
     eta, gnorm = _direct_residual(Sb, gamb, lamb, s=s)
+    # Condense-stage singularity (clamped zero pivots in the chunk kernel's
+    # Q/R inversions) never reaches the CR kernels' in-solve flags — the
+    # garbage S is finite and usually invertible; poison eta here so
+    # residual_converged reports False like every other direct tier.
+    bad = (_packed_singular_flag(Qb, Qinvb, s, rho)
+           | _packed_singular_flag(Rb, Rinvb, cdim, rho))
+    eta = eta + jnp.where(bad, 1e30, 0.0)
     lamnb = _shift_left_lane(lamb)
     dzxb, dzub = _recover_call(
         Qinvb, Rinvb, Ab, Bb, qb, rb, lamb, lamnb,

@@ -73,7 +73,7 @@ from jax.experimental.pallas import tpu as pltpu
 from ..pcg import PCGResult
 from .pcg_pallas import _LANE, _SUBLANE, _round_up
 from .fused_solve import (
-    _gj_inv,
+    _gj_inv_flag,
     _mat_mat,
     _mat_matT,
     _mat_vec,
@@ -221,8 +221,8 @@ def _fwd_kernel(
     Ac = [A_ref[0, b] for b in range(s)]
     Bc = [B_ref[0, b] for b in range(c)]
 
-    Qinv = _gj_inv(Qc, s, sp)
-    Rinv = _gj_inv(Rc, c, sp)
+    Qinv, bad_q = _gj_inv_flag(Qc, s, sp)
+    Rinv, bad_r = _gj_inv_flag(Rc, c, sp)
 
     # Carries hold the previous knot's state; knot 0 (and each new group)
     # substitutes the trajectory-start zeros, which also keeps uninitialized
@@ -250,7 +250,15 @@ def _fwd_kernel(
     MphiT = _mat_matT(M, phi, s, s)
     Dhat = [theta[b] - MphiT[b] for b in range(s)]
     bhat = gamma - _mat_vec(M, bp, s)
-    Cinv = _gj_inv(Dhat, s, sp)
+    Cinv, bad_d = _gj_inv_flag(Dhat, s, sp)
+    # Singular live-lane input (zero pivot clamped in Q/R/Dhat inversion,
+    # _gj_inv_flag): poison this problem's rhs with +inf — lanes are whole
+    # problems here and every op is lane-local, so the inf/NaN reaches ONLY
+    # this problem's lam/dz/eta, and residual_converged reports False
+    # exactly like the XLA path's NaN propagation (the clamp would otherwise
+    # solve a silently-regularized system and report it converged).
+    bhat = bhat + jnp.where(bad_q + bad_r + bad_d > 0,
+                            jnp.asarray(jnp.inf, dt), 0.0)
 
     for b in range(s):
         Cinv_out[0, b] = Cinv[b]
