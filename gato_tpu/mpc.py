@@ -35,6 +35,20 @@ from .solver import (SolveResult, _cached_const, _resolve_backend,
                      _reject_non_f32_kernels)
 
 
+def _fold_rhos(Q, R, rhos):
+    """Fold per-step regularizers into the Q/R diagonals: rho only ever
+    enters the system as ``G + rho*I`` (gato_schur.cuh:697,700 — bitwise
+    the same addition the kernels' scalar-rho path performs at load), so
+    folding up front lets one kernel call serve steps with differing
+    regularizers.  Shared by the single-chip exact farm below and the
+    dp-sharded one (parallel.sharded._solve_sequence_batched_dp_direct_core)
+    so the fold cannot silently diverge between them."""
+    rr = rhos.reshape((rhos.shape[0],) + (1,) * (Q.ndim - 1))
+    Qr = Q + rr * jnp.eye(Q.shape[-1], dtype=Q.dtype)
+    Rr = R + rr * jnp.eye(R.shape[-1], dtype=R.dtype)
+    return Qr, Rr
+
+
 @functools.partial(
     jax.jit, static_argnames=("preconditioner", "pcg_backend", "poly_degree")
 )
@@ -55,10 +69,7 @@ def _solve_sequence_batched_direct_core(
     addition the kernels' scalar-rho path performs at load), so one kernel
     call serves steps with differing regularizers."""
     T, Bn, K, s = Q.shape[:4]
-    cdim = R.shape[-1]
-    rr = rhos.reshape(T, 1, 1, 1, 1)
-    Qr = Q + rr * jnp.eye(s, dtype=Q.dtype)
-    Rr = R + rr * jnp.eye(cdim, dtype=R.dtype)
+    Qr, Rr = _fold_rhos(Q, R, rhos)
 
     def flat(a):
         return a.reshape((T * Bn,) + a.shape[2:])

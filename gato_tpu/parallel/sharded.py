@@ -534,13 +534,13 @@ def _solve_sequence_batched_dp_direct_core(
     STREAM-MAJOR — (T, B) -> (B, T) -> (B*T,) — so each device's shard
     holds whole streams (all steps of B/n streams), matching the
     stream-sharded (None, dp) input layout with no cross-device
-    relayout.  Per-step rhos fold into the Q/R diagonals (rho only ever
-    enters as G + rho*I, gato_schur.cuh:697,700)."""
+    relayout.  Per-step rhos fold into the Q/R diagonals via the SHARED
+    mpc._fold_rhos (one definition for both the single-chip and sharded
+    exact farms)."""
+    from ..mpc import _fold_rhos
+
     T, Bn, K, s = Q.shape[:4]
-    cdim = R.shape[-1]
-    rr = rhos.reshape(T, 1, 1, 1, 1)
-    Qr = Q + rr * jnp.eye(s, dtype=Q.dtype)
-    Rr = R + rr * jnp.eye(cdim, dtype=R.dtype)
+    Qr, Rr = _fold_rhos(Q, R, rhos)
 
     def flat(a):
         return jnp.moveaxis(a, 0, 1).reshape((Bn * T,) + a.shape[2:])
@@ -589,7 +589,9 @@ def solve_sequence_batched_dp(
     ``method='direct'`` runs the EXACT farm (mpc.solve_sequence_batched
     semantics): no warm-start carry, so the grid folds stream-major into
     one dp batch of B*T solves per the solve_batched_dp kernel pick —
-    ``lam0``/``exit_tol``/``max_iters`` are unused there."""
+    ``lam0``/``exit_tol``/``max_iters`` are unused there, and
+    ``poly_degree``/``preconditioner`` are likewise irrelevant to an exact
+    solve (no PCG loop runs, so there is nothing to precondition)."""
     if method not in ("pcg", "direct"):
         raise ValueError(
             f"solve_sequence_batched_dp supports method in ('pcg', "
