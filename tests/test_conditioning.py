@@ -28,7 +28,7 @@ from gato_tpu.formats import KKTBlocks
 from gato_tpu.solver import solve, solve_batched
 from gato_tpu.testing import random_blocks
 
-SPEC = ProblemSpec(6, 3, 12)
+SPEC = ProblemSpec(4, 2, 8)
 DIRECT = SolverOptions(rho=0.0, method="direct")
 
 
@@ -120,7 +120,7 @@ def test_singular_longk_direct_reports_not_converged(tier):
     kernels' flags."""
     from gato_tpu.kernels import longk
 
-    spec = ProblemSpec(3, 2, 40)
+    spec = ProblemSpec(3, 2, 24)
     b = random_blocks(spec, seed=5)
     Q = np.asarray(b.Q).copy()
     Q[7, :, 0] = 0.0

@@ -32,6 +32,10 @@ def test_primal_matches_direct():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+# slow tier: the default-tier finite-difference sweep below already pins
+# the implicit VJP's correctness per argument; this is the second
+# (native-AD) oracle for the same gradients.
+@pytest.mark.slow
 def test_grads_match_native_ad():
     """Native AD differentiates through condense+scan; the implicit VJP must
     give the same gradients without touching solver internals."""

@@ -61,6 +61,10 @@ def test_matches_oracle_single(shape):
     assert float(res.eta[0]) < 1e-6
 
 
+# slow tier: segment-boundary hygiene of the lane-packed CR batch is also
+# pinned (faster) by test_conditioning's B=5 batch vs the XLA path, and
+# compiled on-device by bench.py's batched-direct parity gate every round.
+@pytest.mark.slow
 def test_matches_oracle_lane_packed_batch():
     """Multiple problems per program: segment-boundary rolls must not leak
     between problems (different seeds -> different solutions)."""

@@ -69,8 +69,12 @@ def test_preconditioner_parity(kind, name):
     assert float(jnp.max(jnp.abs(res.lam - ref.lam))) / scale < 1e-3
 
 
+# slow tier: each combo factor (poly parity, warm start, per-tier oracle
+# parity) has its own default-tier test; this combined sweep is the
+# belt-and-braces pass.
 @pytest.mark.parametrize("tier", [
-    pytest.param("stream", marks=pytest.mark.slow), "fused_xl"])
+    pytest.param("stream", marks=pytest.mark.slow),
+    pytest.param("fused_xl", marks=pytest.mark.slow)])
 def test_batched_warm_start_poly(tier):
     """Ragged batch + warm start + poly_degree=2 through the streamed-loop
     and single-kernel tiers: per-problem iteration counts must match the

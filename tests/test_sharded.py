@@ -45,7 +45,7 @@ def test_pcg_sharded_matches_single(n_dev):
 
 
 def test_solve_sharded_matches_oracle():
-    spec = ProblemSpec(4, 2, 64)
+    spec = ProblemSpec(4, 2, 32)
     blocks = random_blocks(spec, seed=17)
     rho = 0.01
     res, dz_x, dz_u = solve_sharded(
@@ -233,6 +233,9 @@ def test_solve_batched_dp_longk_tiers(monkeypatch):
         solve_batched_dp(mesh, *batch, rho=1e-2, method="direct")
 
 
+# slow tier: the dp farm runs in every round's driver dryrun
+# (__graft_entry__ placement 5) and the exact variant below stays default.
+@pytest.mark.slow
 def test_solve_sequence_batched_dp():
     """MPC farm sharded over the mesh: each device scans its local streams
     with the fused kernel; matches the single-mesh farm exactly."""
@@ -295,7 +298,7 @@ def test_pcg_sharded_kernel_tier_matches_einsum(n_dev):
     """use_kernel=True (lane-packed Pallas matvec per shard, boundary-column
     ppermute) must agree with the einsum path on iteration count and
     solution — the same loop, two per-shard executors."""
-    spec = ProblemSpec(4, 2, 64)
+    spec = ProblemSpec(4, 2, 32)
     blocks = random_blocks(spec, seed=21)
     sys = condense(*(jnp.asarray(a) for a in blocks), rho=jnp.float32(0.01))
     a = pcg_sharded(_mesh(n_dev), sys.S, sys.Pinv, sys.gamma,
@@ -328,8 +331,8 @@ def test_sharded_kernel_condense_operators_match_oracle(precond):
     from gato_tpu.kernels.fused_solve import _pack_mat, _pack_vec
     from gato_tpu.parallel import sharded as sh
 
-    spec = ProblemSpec(4, 2, 64)
-    s, cdim, K = 4, 2, 64
+    spec = ProblemSpec(4, 2, 32)
+    s, cdim, K = 4, 2, 32
     blocks = random_blocks(spec, seed=31)
     rho = jnp.float32(0.01)
     from gato_tpu.problem import Preconditioner
@@ -337,7 +340,10 @@ def test_sharded_kernel_condense_operators_match_oracle(precond):
     sys = condense(*(jnp.asarray(a) for a in blocks), rho=rho,
                    preconditioner=Preconditioner(precond))
 
-    n_dev = 4
+    # 2 shards: the boundary-patch logic under test is per boundary lane
+    # (identical at every interior seam); fewer devices just means fewer
+    # copies of the same patch, at half the interpret cost.
+    n_dev = 2
     Kl = K // n_dev
     plan = longk.plan_longk(Kl, s, cdim)
     sp, Kp, Lc, n_chunks = plan
@@ -391,6 +397,10 @@ def test_solve_sharded_kernel_tier_matches_einsum(precond):
     lanes) is exactly what this pins down."""
     from gato_tpu.problem import Preconditioner
 
+    # K=64 deliberately (not the suite-wide K=32 shrink): at (4, 2, 32)
+    # seed 23 the block_jacobi case lands eta within round-off of exit_tol
+    # and flips 95-vs-96 iterations — a tolerance tie this strict-equality
+    # test must not depend on.
     spec = ProblemSpec(4, 2, 64)
     blocks = random_blocks(spec, seed=23)
     mesh = _mesh(4)  # Kl=16 per shard
@@ -625,7 +635,7 @@ def test_btd_solve_sharded_rejects_thin_shards():
 def test_solve_sharded_direct_matches_single(n_dev):
     """Full exact knot-sharded solve: lam/dz agree with the single-device
     method='direct' path; converged derives from the true residual."""
-    spec = ProblemSpec(4, 2, 64)
+    spec = ProblemSpec(4, 2, 32)
     blocks = random_blocks(spec, seed=23)
     rho = 0.01
     res, dz_x, dz_u = solve_sharded(

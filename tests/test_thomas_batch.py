@@ -186,6 +186,10 @@ def test_packed_thomas_tier(monkeypatch):
         pk.pack(spec, arrs, method="pcg", tier="thomas")
 
 
+# slow tier: the dp-sharded Thomas fleet runs in every round's driver
+# dryrun (__graft_entry__ placement 4b); the single-device packed tier
+# test above stays default.
+@pytest.mark.slow
 def test_packed_thomas_dp(monkeypatch):
     """A Thomas pack fleet-serves over a dp mesh: the group axis shards,
     each device runs its local groups, results match the oracle."""
