@@ -1461,7 +1461,7 @@ def main():
             e = bench_batch(iiwa, opts, "fused", T=32)
             return annotate_roofline(
                 e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
-                iters=iiwa_iters)
+                iters=iiwa_iters, batch=256)
         run("iiwa_batch_256_fused", 160, fn_batch_fused)
 
         def fn_batch_direct_fused():
@@ -1633,7 +1633,7 @@ def main():
                 e = bench_mpc_farm(iiwa, opts, B=B)
                 return annotate_roofline(
                     e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
-                    iters=max(1, int(e["iters_rest_mean"])))
+                    iters=max(1, int(e["iters_rest_mean"])), batch=B)
             run(f"iiwa_mpc_farm_{B}", 160, fn_farm)
 
         def fn_farm_direct():
@@ -1673,7 +1673,8 @@ def main():
             e = bench_batch_split(iiwa, opts, batch=256)
             return annotate_roofline(
                 e, iiwa, "pcg_fused",
-                ms_per_solve=e["full_us_per_solve"] / 1e3, iters=iiwa_iters)
+                ms_per_solve=e["full_us_per_solve"] / 1e3, iters=iiwa_iters,
+                batch=256)
         run("iiwa_batch_256_fused_split", 950, fn_batch_split)
 
     detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)

@@ -601,7 +601,12 @@ def solve_fused_batched(
         # while-trip overhead is a visible share of the 0.46 us iteration and
         # unroll=4 buys ~6%; at g>1 the overhead amortizes over the packed
         # problems while unrolled masked iterations waste work across the
-        # group's ragged convergence — unroll=1 wins there.
+        # group's ragged convergence — unroll=1 wins there.  Deeper unrolls
+        # LOSE at g=1 too (round-4 sweep, chain-differenced single IIWA:
+        # u=4 15.9 us, u=8 19.7, u=13 21.5 at 27 iters — the masked
+        # overshoot past the exit iteration, up to unroll-1 wasted
+        # iterations, outgrows the while-trip overhead it saves); don't
+        # re-run that experiment.
         unroll = 4 if g == 1 else 1
     # Mosaic kernels only lower on TPU; elsewhere (CPU tests, GPU) run the
     # Pallas interpreter so explicit pcg_backend='fused' works everywhere.
