@@ -5,6 +5,7 @@ the binding hardware limit (the measurement the reference's harness never
 had, gpu_library.cu:166-198), so the tests pin the invariants that make
 those buckets meaningful rather than exact constants."""
 
+import numpy as np
 import sys
 from pathlib import Path
 
@@ -105,3 +106,32 @@ def test_annotate_roofline_skips_unmeasured():
     spec = ProblemSpec(14, 7, 50)
     e = bench.annotate_roofline({"avg_ms_device": 0.0}, spec, "pcg_fused")
     assert "roofline" not in e
+
+
+def test_issued_pcg_model_uses_batch_packing():
+    """The issued-work ceiling for the fused PCG kernel must be computed at
+    the BATCH's real lane packing: per-solve issued work falls as problems
+    share a group's tiles (round-4 regression — the batch entries were
+    annotated with the B=1 packing and reported an impossible 111% of
+    ceiling)."""
+    one = bench._flops_issued_pcg_fused(14, 7, 50, 1, 27)
+    wide = bench._flops_issued_pcg_fused(14, 7, 50, 256, 27)
+    assert wide < one / 2
+    # And the ceiling is a genuine ceiling at the measured operating point:
+    # the probe-measured 0.086 us/solve-iteration at B=256 sits ABOVE the
+    # per-iteration issued time (tools/probe_pcg_iter.py: ~52%).
+    per_iter = (bench._flops_issued_pcg_fused(14, 7, 50, 256, 27)
+                - bench._flops_issued_pcg_fused(14, 7, 50, 256, 26))
+    assert per_iter / bench._V5E["vpu_f32_flops"] < 0.086e-6
+
+
+def test_jsonable_casts_numpy():
+    """Every dict bench prints/serializes must be json.dumps-able — NumPy
+    scalars leaking onto the stdout line would crash the driver's parser."""
+    import json as _json
+
+    d = {"a": np.float64(7.0), "b": np.int32(3), "c": [np.float32(1.5)],
+         "d": {"e": np.arange(2)}}
+    out = bench._jsonable(d)
+    _json.dumps(out)
+    assert out["a"] == 7.0 and out["d"]["e"] == [0, 1]
