@@ -121,8 +121,13 @@ def plan_packing(B: int, s: int, c: int):
             "cyclic-reduction kernel (kernels/direct_fused.py)"
         )
     Bp = _round_up(B, _LANE)
-    Lb = min(Bp, max_lanes)
-    n_groups = -(-Bp // Lb)
+    n_groups = -(-Bp // min(Bp, max_lanes))
+    # Balance lanes across groups instead of filling groups to max_lanes:
+    # time scales with TOTAL lanes including pad (measured on v5e: B=512 at
+    # the old fill-first plan ran 2 groups x 384 lanes = 768 lanes for 512
+    # problems, 1.91 us/solve vs 1.39 at zero pad), so the width that
+    # minimizes padded lanes at the same group count strictly wins.
+    Lb = _round_up(-(-Bp // n_groups), _LANE)
     return sp, Lb, n_groups
 
 
