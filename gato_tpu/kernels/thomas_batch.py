@@ -452,7 +452,29 @@ def _call_thomas(rho, Qb, Rb, Ab, Bb, qb, rb, cb, *,
     (n_groups*K, ...) batch-in-lanes layout, interval arrays pre-shifted —
     _pack_mat_bt/_pack_vec_bt/_shift1).  The seam the packed serving surface
     (gato_tpu.packed, tier='thomas') calls so a stored pack skips the
-    relayout; returns (lam_p, dzx_p, dzu_p, eta, gnorm) in packed layout."""
+    relayout; returns (lam_p, dzx_p, dzu_p, eta, gnorm) in packed layout.
+
+    Multi-group plans run ONE fwd+rev call pair PER GROUP instead of one
+    (n_groups, K) grid: measured on v5e (B=512, 2 x 256-lane groups) the
+    multi-group grid costs ~40% more than the same groups as separate
+    call pairs (0.63 vs 0.44 ms/batch, chain-differenced; cause
+    unattributed — the work per group is identical, so it sits in how the
+    pipeline schedules the factor-stack streams across the group
+    boundary).  Per-group results are bitwise identical either way (same
+    kernel body, same per-group inputs); the HBM factor budget (fits())
+    caps n_groups long before the Python loop hurts compile time."""
+    if n_groups > 1:
+        outs = [
+            _call_thomas(
+                rho, *(a[gi * K:(gi + 1) * K] for a in
+                       (Qb, Rb, Ab, Bb, qb, rb, cb)),
+                s=s, c=c, sp=sp, K=K, Lb=Lb, n_groups=1,
+                flops_scale=max(1, flops_scale // n_groups),
+                interpret=interpret)
+            for gi in range(n_groups)
+        ]
+        return tuple(jnp.concatenate([o[i] for o in outs], axis=0)
+                     for i in range(5))
     Cinv, bhat, Qinv, Rinv, phi, theta, gamma = _fwd_call(
         rho, Qb, Rb, Ab, Bb, qb, rb, cb,
         s=s, c=c, sp=sp, K=K, Lb=Lb, n_groups=n_groups,
@@ -486,6 +508,31 @@ def solve_direct_thomas_batched(
     cdim = R.shape[-1]
     sp, Lb, n_groups = plan_packing(Bn, s, cdim)
     interpret = interpret or jax.default_backend() != "tpu"
+
+    if n_groups > 1:
+        # Split multi-group batches at the PUBLIC surface (one recursive
+        # single-group solve per Lb-problem slice, results concatenated):
+        # each group's pack then fuses into its own kernel stream.
+        # Measured on v5e at B=512 this is the fastest of the three
+        # arrangements (1.02 us/solve vs 1.06 for pack-then-slice per-group
+        # calls and 1.91 for the round-3 fill-first multi-group grid), and
+        # it makes wide-fleet per-solve cost FLAT: ~1.02 us/solve at both
+        # B=512 and B=1024; results are bitwise identical (same kernel
+        # body, same per-group inputs).
+        parts = [
+            solve_direct_thomas_batched(
+                *(a[gi * Lb:(gi + 1) * Lb] for a in (Q, R, A, B, q, r, c)),
+                rho=rho, interpret=interpret)
+            for gi in range(n_groups)
+        ]
+        res = PCGResult(
+            lam=jnp.concatenate([p[0].lam for p in parts]),
+            iters=jnp.concatenate([p[0].iters for p in parts]),
+            converged=jnp.concatenate([p[0].converged for p in parts]),
+            eta=jnp.concatenate([p[0].eta for p in parts]),
+        )
+        return (res, jnp.concatenate([p[1] for p in parts]),
+                jnp.concatenate([p[2] for p in parts]))
 
     pm = functools.partial(_pack_mat_bt, sp=sp, Lb=Lb, n_groups=n_groups)
     pv = functools.partial(_pack_vec_bt, sp=sp, Lb=Lb, n_groups=n_groups)
