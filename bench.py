@@ -1475,6 +1475,17 @@ def main():
                 ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
         e_bdf = run("iiwa_batch_256_direct_fused", 280, fn_batch_direct_fused)
 
+        def fn_batch_1024_direct():
+            # Wide-fleet exact throughput: 4 lane groups after the round-4
+            # balanced-plan + per-group-call fixes (flat ~1.0 us/solve from
+            # B=256 to 1024; the fill-first multi-group grid ran 1.6-1.9).
+            e = bench_batch(iiwa, direct_opts, "fused", batch=1024, T=8)
+            e["tier"] = "thomas_batch"
+            return annotate_roofline(
+                e, iiwa, "direct_thomas",
+                ms_per_solve=e["us_per_solve"] / 1e3, batch=1024)
+        run("iiwa_batch_1024_direct_fused", 120, fn_batch_1024_direct)
+
         if e_bdf is not None and e_bdf.get("tier") == "thomas_batch":
             def fn_direct_served():
                 e = bench_direct_served(iiwa, direct_opts, batch=256)

@@ -122,6 +122,11 @@ def _bindings(detail: dict):
     bind(r, r"µs/solve \(~(\d+k)/s\) EXACT", c["iiwa_batch_256_direct_fused"]["solves_per_sec"], "k")
     bind(r, r"vs (\d+) µs/solve for the XLA direct path",
          round(c["iiwa_batch_256_direct"]["us_per_solve"]), "d")
+    if "iiwa_batch_1024_direct_fused" in c:
+        bind(r, r"B=1024 EXACT at ([\d.]+) µs/solve",
+             c["iiwa_batch_1024_direct_fused"]["us_per_solve"], ".2f")
+        bind(r, r"B=1024 EXACT at [\d.]+ µs/solve \(~(\d+k) solves/s\)",
+             c["iiwa_batch_1024_direct_fused"]["solves_per_sec"], "k")
     if "iiwa_batch_256_direct_served" in c:
         bind(r, r"\*\*([\d.]+) µs/solve EXACT SERVED\*\*",
              c["iiwa_batch_256_direct_served"]["us_per_solve"], ".2f")
