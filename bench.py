@@ -1660,6 +1660,16 @@ def main():
                 ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
         run("iiwa_mpc_farm_direct_4x64", 90, fn_farm_direct)
 
+        def fn_farm_direct_wide():
+            # Fleet scale: 4 x 256 = 1024 exact solves per call through the
+            # round-4 flat wide-batch path (balanced plan + per-group
+            # calls).
+            e = bench_mpc_farm_direct(iiwa, direct_opts, B=256, Tseq=4)
+            return annotate_roofline(
+                e, iiwa, "direct_thomas",
+                ms_per_solve=e["us_per_solve"] / 1e3, batch=1024)
+        run("iiwa_mpc_farm_direct_4x256", 120, fn_farm_direct_wide)
+
         def fn_pend_fused():
             return annotate_roofline(
                 bench_single(pend, opts, "fused", T=512), pend, "pcg_fused")
