@@ -1541,6 +1541,17 @@ def main():
                     spec_k, "pcg_fused")
             run(f"iiwa_horizon_{K}_fused", 70, fn_hz_fused)
 
+    if have_pallas:
+        # The README-quoted warm-farm row, promoted ahead of the long-tail
+        # tiers so the driver's budget-limited record carries at least one
+        # farm measurement (the full sweep runs later).
+        def fn_farm_128():
+            e = bench_mpc_farm(iiwa, opts, B=128)
+            return annotate_roofline(
+                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
+                iters=max(1, int(e["iters_rest_mean"])), batch=128)
+        run("iiwa_mpc_farm_128", 160, fn_farm_128)
+
     # Past the fused kernel's VMEM budget: the long-horizon whole-solve tier
     # (kernels/longk.py) — single-kernel condense+PCG (fused_xl) while the
     # operators AND a condense chunk's working set fit VMEM, resident-XL
@@ -1643,7 +1654,7 @@ def main():
         # row measures the kernel protocol at its own noise-floor-sized
         # chain pair (kernel time is linear in T) plus e2e at the FIXED
         # matched pair (64, 128) — see bench_mpc_farm's docstring.
-        for B in (16, 64, 128, 256):
+        for B in (16, 64, 256):   # 128 ran earlier (promoted row)
             def fn_farm(B=B):
                 e = bench_mpc_farm(iiwa, opts, B=B)
                 return annotate_roofline(
