@@ -628,7 +628,7 @@ def bench_mpc_farm_direct(spec, options, B=64, Tseq=4, *, T=12):
     }
 
 
-def bench_batch_split(spec, options, batch=256, *, T=12):
+def bench_batch_split(spec, options, full_entry, batch=256):
     """Measured throughput decomposition of the batched fused solve
     (VERDICT round-2 weak #1): with exit_tol=0 every problem runs EXACTLY
     max_iters iterations, so differencing max_iters=8 vs 16 yields the
@@ -636,26 +636,40 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
     is the fixed cost (pack + input DMA + condense + preconditioner +
     recovery + unpack).  Alongside: the lockstep-exit accounting — each
     lane group runs until its SLOWEST member converges, so the effective
-    iteration count is the group max, not the mean."""
+    iteration count is the group max, not the mean.
+
+    Cost discipline (VERDICT r4 weak #3 — this config measured 633 s wall,
+    the single most expensive row, for digits that tolerate ±10%): each
+    chain's T is sized UP FRONT from ``full_entry``'s measured per-call time
+    (scaled by the maxit fraction of the full solve, ratios from the
+    committed artifact) so chain_time's first attempt clears the 8 ms noise
+    floor instead of burning two fresh ~18 s kernel compiles per T-doubling
+    retry; and the full-solve + packed-serving chains are gone (their digits
+    are measured independently by iiwa_batch_256_fused / _direct_served —
+    nothing binds them here)."""
     from gato_tpu.kernels import fused_solve as _fs
     from gato_tpu.problem import SolverOptions
     from gato_tpu.solver import solve_batched
     from gato_tpu.timing import time_solve
 
     blocks = _staged_blocks(spec, seed=1000, batch=batch)
+    full_ms = float(full_entry["ms_per_batch"])  # measured, same protocol
 
-    def timed(max_iters, tol):
+    def timed(max_iters, tol, expect_frac):
         o = SolverOptions(rho=options.rho, exit_tol=tol, max_iters=max_iters,
                           preconditioner=options.preconditioner,
                           precond_poly_degree=options.precond_poly_degree)
+        T = max(8, int(np.ceil(12.0 / (expect_frac * full_ms))))
         ms, _ = time_solve(spec, blocks, o, pcg_backend="fused", T=T,
                            label=f"batch_split/maxit{max_iters}", log=_log)
         return ms
 
-    ms0 = timed(0, 0.0)
-    ms8 = timed(8, 0.0)
-    ms16 = timed(16, 0.0)
-    msf = timed(options.max_iters, options.exit_tol)
+    # maxit-fraction priors from the committed full-budget artifact
+    # (fixed 0.38/full 0.99 etc.); chain_time still self-corrects by
+    # doubling if a prior is badly off.
+    ms0 = timed(0, 0.0, 0.35)
+    ms8 = timed(8, 0.0, 0.55)
+    ms16 = timed(16, 0.0, 0.65)
 
     # Pack-only chain: the per-step share of the fixed cost that is input
     # relayout, NOT kernel work.  Only the perturbed arrays (Q, q) repack
@@ -676,31 +690,9 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
         tot = jnp.sum(pm(Q)) + jnp.sum(pv(q))
         return jnp.broadcast_to(tot, q0.shape)
 
-    ms_pack, _ = scan_chain_time(step_pack, blocks.q, T,
+    ms_pack, _ = scan_chain_time(step_pack, blocks.q,
+                                 max(64, int(np.ceil(12.0 / (0.03 * full_ms)))),
                                  label="batch_split/pack_only")
-
-    # Packed-serving chain (the pack-once deployment, gato_tpu.packed): the
-    # full solve on PRE-PACKED inputs — no surface relayout, no output
-    # unpack in the loop.  This is the throughput a serving loop that keeps
-    # its fleet packed actually sees; full_ms - this = the per-call cost of
-    # living at the public (B, K, s) surface.
-    import dataclasses as _dc
-
-    from gato_tpu import packed as _pk
-
-    packed = _pk.pack(spec, blocks)
-    float(jnp.sum(packed.Qb) + jnp.sum(packed.qb))  # fence staging
-
-    def step_served(q0, lam_carry, t):
-        pert = (1.0 + 1e-6 * jnp.cos(t)
-                + 1e-7 * jnp.tanh(jnp.sum(lam_carry)))
-        p_t = _dc.replace(packed, Qb=packed.Qb * pert,
-                          qb=q0 * (1.0 + 1e-6 * jnp.sin(t)))
-        res = _pk.solve_packed(p_t, options)
-        return res.lam_p + res.dzx_p + res.dzu_p
-
-    ms_served, _ = scan_chain_time(step_served, packed.qb, T,
-                                   label="batch_split/packed_serving")
     # Longest lever (0 -> 16) for the marginal cost: the ladder is linear
     # (validated on-device at maxit in {0,8,16,32,64}: 0.0200-0.0221
     # ms/iter per 256-batch on every segment), and anchoring at ms0 makes
@@ -725,12 +717,10 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
             1e3 * max(ms0 - ms_pack, 0.0) / batch, 4),
         "per_iter_ms_batch": round(per_iter_ms, 5),
         "per_iter_us_per_solve": round(1e3 * per_iter_ms / batch, 4),
-        "full_ms": round(msf, 4),
-        "full_us_per_solve": round(1e3 * msf / batch, 4),
-        "packed_serving_ms": round(ms_served, 4),
-        "packed_serving_us_per_solve": round(1e3 * ms_served / batch, 4),
-        "packed_serving_solves_per_sec": round(
-            batch / (ms_served / 1e3), 1) if ms_served > 0 else 0.0,
+        # The full solve at this batch is measured independently (same
+        # chain protocol) by the iiwa_batch_256_fused row; the split model
+        # should reproduce it from fixed + group_max_mean iterations.
+        "full_ms_ref": round(full_ms, 4),
         # consistency: fixed + 8*per_iter should track the independently
         # measured maxit8 chain (a drifting midpoint flags itself here)
         "model_maxit8_ms": round(ms0 + 8 * per_iter_ms, 4),
@@ -739,6 +729,7 @@ def bench_batch_split(spec, options, batch=256, *, T=12):
         "g": g, "n_groups": n_groups,
         "iters_mean": round(float(it.mean()), 2),
         "group_max_mean": round(float(gmax.mean()), 2),
+        "model_full_ms": round(ms0 + float(gmax.mean()) * per_iter_ms, 4),
         "lockstep_waste_pct": round(
             100 * (1 - it.mean() / gmax.mean()), 1),
     }
@@ -1306,6 +1297,29 @@ def parity_gate(spec, options):
 # --------------------------------------------------------------------------
 
 
+def _git_rev():
+    try:
+        import subprocess
+        out = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                             capture_output=True, text=True, timeout=10)
+        return out.stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
+def _load_prior_detail():
+    """The committed/previous BENCH_DETAIL.json, for carrying rows a
+    budget-limited run skips (VERDICT r4 #2: the driver's 1500 s run used
+    to REWRITE the artifact down to the configs it reached, dropping rows
+    that README/PARITY prose binds and leaving the suite red)."""
+    try:
+        with open("BENCH_DETAIL.json") as f:
+            d = json.load(f)
+        return d if isinstance(d, dict) else {}
+    except (OSError, ValueError):
+        return {}
+
+
 def main():
     """Budget-aware run plan (VERDICT r3 #1 — the round-3 bench outgrew the
     driver's timeout and left NO independent perf record):
@@ -1317,9 +1331,20 @@ def main():
     * PHASE 2 (long tail): every further config declares a wall-clock
       estimate; a config that does not fit the remaining budget is SKIPPED
       with the reason recorded in BENCH_DETAIL["skipped"] (no silent caps).
+      Prose-bound configs (tools/perfsync.py bindings) run FIRST, so a
+      driver-budget run refreshes every number the docs quote (r4 #5).
     * BENCH_DETAIL.json is rewritten after EVERY config, so even a hard
       kill leaves a parseable artifact; each entry carries its measured
-      ``wall_s`` (which is also where the next round's estimates come from).
+      ``wall_s`` (which is also where the next round's estimates come from)
+      and the ``run_id``/``git_rev`` of the run that measured it.  Rows the
+      budget skips are CARRIED from the previous artifact (marked
+      ``carried: true``) instead of dropped, so a partial run still yields
+      a complete artifact (r4 #2).
+    * The one-line headline JSON is printed again as the FINAL stdout line
+      — normal exit, phase-2 error, or SIGTERM alike (a handler converts
+      the driver's timeout signal into SystemExit so the ``finally`` runs).
+      Rounds 3 and 4 lost their official record because the driver parses
+      the END of the output stream (r4 #1).
 
     Budget: ``BENCH_BUDGET_S`` env (seconds, default 1500 — under the
     driver budget that round 3's ~40 min run exceeded)."""
@@ -1330,6 +1355,22 @@ def main():
 
     budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
     t_start = time.perf_counter()
+
+    # Persistent compile cache: bench wall time is compile-dominated (the
+    # B=1024 Thomas chain alone compiles for ~63 s, and every chain pair is
+    # two fresh executables), so a repeat run at the same HEAD should pay
+    # compiles once.  Steady-state chain timings are unaffected (the cache
+    # serves EXECUTABLES; execution still runs on device); first_call_ms
+    # entries reflect cache hits on repeat runs.
+    cache_ok = True
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_bench_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception as e:
+        cache_ok = False
+        _log(f"persistent compile cache unavailable: {e!r}")
 
     platform = jax.devices()[0].platform
     rtt = measure_rtt_ms()
@@ -1342,9 +1383,28 @@ def main():
     pend = ProblemSpec(2, 1, 5)
     have_pallas = default_pcg_backend() == "fused"
 
+    run_id = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     detail = {"platform": platform, "rtt_ms": rtt, "budget_s": budget_s,
-              "configs": {}, "skipped": {}}
+              "run_id": run_id, "git_rev": _git_rev(),
+              "compile_cache": cache_ok,
+              "protocol": ("chain-differenced (T vs 2T) scalar-fenced scans,"
+                           " Q+q perturbed per step; see bench.py docstring"),
+              "configs": {}, "skipped": {}, "errors": {}}
     C = detail["configs"]
+
+    prior = _load_prior_detail()
+    if prior.get("platform") == platform:
+        for k, v in prior.get("configs", {}).items():
+            if isinstance(v, dict):
+                e = dict(v)
+                e.setdefault("run_id", prior.get("run_id", "pre-r05"))
+                e.setdefault("git_rev", prior.get("git_rev", "unknown"))
+                e["carried"] = True
+                C[k] = e
+        if C:
+            _log(f"carried {len(C)} config rows from the prior artifact "
+                 f"(run {prior.get('run_id', 'pre-r05')}); fresh "
+                 "measurements overwrite per-config")
 
     def flush():
         with open("BENCH_DETAIL.json", "w") as f:
@@ -1355,16 +1415,30 @@ def main():
 
     def run(key, est_s, fn, *, required=False):
         """Run one config closure; skip-and-record when it does not fit the
-        remaining budget (phase-1 ``required`` configs always run)."""
+        remaining budget (phase-1 ``required`` configs always run).  A
+        config that raises is recorded in ``errors`` and the run continues
+        (its carried row, if any, stays); skipped configs likewise keep
+        their carried row."""
         if not required and remaining() < est_s:
             detail["skipped"][key] = (
-                f"{remaining():.0f}s budget left < ~{est_s:.0f}s estimate")
+                f"{remaining():.0f}s budget left < ~{est_s:.0f}s estimate"
+                + ("; carried prior row" if key in C else ""))
             _log(f"SKIP {key}: {detail['skipped'][key]}")
             flush()
             return None
         t0 = time.perf_counter()
-        entry = fn()
+        try:
+            entry = fn()
+        except Exception as e:
+            import traceback
+            detail["errors"][key] = f"{type(e).__name__}: {e}"
+            _log(f"ERROR {key}: {traceback.format_exc()}")
+            flush()
+            if required:
+                raise
+            return None
         entry["wall_s"] = round(time.perf_counter() - t0, 1)
+        entry["run_id"] = run_id
         C[key] = entry
         _log(f"{key}: {json.dumps(_jsonable(entry))}")
         flush()
@@ -1416,22 +1490,59 @@ def main():
     best_name, best_ms = min(candidates, key=lambda kv: kv[1])
     detail["headline_method"] = best_name
     flush()
-    # The ONE stdout JSON line, printed the moment the headline is known.
-    print(json.dumps({
+    # The ONE stdout JSON line, printed the moment the headline is known
+    # (protects against a timeout killing the long tail) AND re-printed as
+    # the final stdout line in the ``finally`` below (the driver parses the
+    # END of the stream — VERDICT r4 #1).
+    headline_line = json.dumps({
         "metric": "iiwa_14_7_50_avg_solve_ms",
         "value": round(float(best_ms), 4),
         "unit": "ms",
         "vs_baseline": round(float(pcg_ms / best_ms), 3),
-    }), flush=True)
+    })
+    print(headline_line, flush=True)
     _log(f"headline printed at +{time.perf_counter() - t_start:.0f}s "
          f"({best_name}: {best_ms:.4f} ms)")
 
-    # ---------------- PHASE 2: long tail, ordered by leverage -------------
-    # Wall-clock estimates are the measured wall_s of the r04 full run on
-    # this transport, rounded up ~40% (an under-estimate admits a config
-    # that then overshoots the budget; over-estimates only reorder skips).
+    phase2_signal = None
+    try:
+        _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas)
+    except BaseException as e:  # incl. SystemExit from the SIGTERM handler
+        import traceback
+        phase2_signal = e
+        detail["error"] = repr(e)
+        _log("phase 2 aborted: " + traceback.format_exc())
+    finally:
+        detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
+        flush()
+        fresh = sum(1 for v in C.values()
+                    if isinstance(v, dict) and v.get("run_id") == run_id)
+        _log(f"bench complete in {detail['total_wall_s']}s; "
+             f"{fresh} configs measured, {len(C) - fresh} carried, "
+             f"{len(detail['skipped'])} skipped, "
+             f"{len(detail['errors'])} errored")
+        print(headline_line, flush=True)
+    if phase2_signal is not None and not isinstance(phase2_signal, Exception):
+        raise SystemExit(143)  # keep the driver's timeout visible in rc
+
+
+def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
+    """The long tail, prose-bound configs first (VERDICT r4 #5: the ~15
+    README/PARITY-bound rows must all fit the driver's 1500 s window; the
+    unbound diagnostic rows run after).  Wall-clock estimates are measured
+    r04 wall_s rounded up ~20% — an under-estimate admits a config that
+    then overshoots the budget; over-estimates only reorder skips."""
+    from gato_tpu.problem import ProblemSpec, SolverOptions
+
     iiwa_iters = C["iiwa_pcg"]["pcg_iters"]
 
+    def head_single(spec, o, backend, kind, T=64, **kw):
+        def fn():
+            e = bench_single(spec, o, backend, T=T)
+            return annotate_roofline(e, spec, kind, **kw)
+        return fn
+
+    # ---------------- prose-bound block ----------------
     if have_pallas:
         def fn_fused_split():
             e = bench_fused_split(iiwa, opts, C["iiwa_fused"])
@@ -1439,25 +1550,14 @@ def main():
                 e, iiwa, "pcg_fused",
                 ms_per_solve=e["packed_serving_ms"],
                 iters=C["iiwa_fused"]["pcg_iters"])
-        run("iiwa_fused_split", 60, fn_fused_split)
-
-        floor = run("iiwa_dispatch_floor", 45,
-                    lambda: bench_dispatch_floor(iiwa))
-        if floor is not None:
-            def fn_direct_split():
-                e = bench_direct_fused_split(iiwa, direct_opts,
-                                             C["iiwa_direct_fused"], floor)
-                return annotate_roofline(
-                    e, iiwa, "direct_fused",
-                    ms_per_solve=e["kernel_only_ms"])
-            run("iiwa_direct_fused_split", 90, fn_direct_split)
+        run("iiwa_fused_split", 55, fn_fused_split)
 
         def fn_batch_fused():
             e = bench_batch(iiwa, opts, "fused", T=32)
             return annotate_roofline(
                 e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
                 iters=iiwa_iters, batch=256)
-        run("iiwa_batch_256_fused", 160, fn_batch_fused)
+        e_bf = run("iiwa_batch_256_fused", 80, fn_batch_fused)
 
         def fn_batch_direct_fused():
             # The fused backend picks its exact kernel by batch width
@@ -1473,89 +1573,46 @@ def main():
             return annotate_roofline(
                 e, iiwa, "direct_thomas" if _thomas else "direct_fused",
                 ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
-        e_bdf = run("iiwa_batch_256_direct_fused", 280, fn_batch_direct_fused)
-
-        def fn_batch_1024_direct():
-            # Wide-fleet exact throughput: 4 lane groups after the round-4
-            # balanced-plan + per-group-call fixes (flat ~1.0 us/solve from
-            # B=256 to 1024; the fill-first multi-group grid ran 1.6-1.9).
-            e = bench_batch(iiwa, direct_opts, "fused", batch=1024, T=8)
-            e["tier"] = "thomas_batch"
-            return annotate_roofline(
-                e, iiwa, "direct_thomas",
-                ms_per_solve=e["us_per_solve"] / 1e3, batch=1024)
-        run("iiwa_batch_1024_direct_fused", 120, fn_batch_1024_direct)
-
-        if e_bdf is not None and e_bdf.get("tier") == "thomas_batch":
-            def fn_direct_served():
-                e = bench_direct_served(iiwa, direct_opts, batch=256)
-                return annotate_roofline(
-                    e, iiwa, "direct_thomas",
-                    ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
-            run("iiwa_batch_256_direct_served", 130, fn_direct_served)
-
-    run("iiwa_direct", 40,
-        head_single(iiwa, direct_opts, "jax", "direct_jax"))
-    if have_pallas:
-        poly3 = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3,
-                              precond_poly_degree=3)
-        run("iiwa_fused_poly3", 30,
-            head_single(iiwa, poly3, "fused", "pcg_fused", T=512,
-                        poly_degree=3))
-
-    def fn_split_jax():
-        e = bench_split(iiwa, opts, T=256)
-        return annotate_roofline(e, iiwa, "pcg_jax",
-                                 ms_per_solve=e["full_ms"], iters=iiwa_iters)
-    run("iiwa_split_jax", 90, fn_split_jax)
+        e_bdf = run("iiwa_batch_256_direct_fused", 110, fn_batch_direct_fused)
 
     def fn_pend_pcg():
         return annotate_roofline(bench_single(pend, opts, "jax", T=512),
                                  pend, "pcg_jax")
-    run("pendulum_2_1_5_pcg", 45, fn_pend_pcg)
+    run("pendulum_2_1_5_pcg", 15, fn_pend_pcg)
 
     if have_pallas:
-        def fn_pcg_pallas():
-            # Split-pallas tier: XLA condense writes packed S+Pinv once, the
-            # resident kernel reads them once — the pcg_xl byte model.
+        def fn_pend_fused():
             return annotate_roofline(
-                bench_single(iiwa, opts, "pallas", T=256), iiwa, "pcg_xl")
-        run("iiwa_pcg_pallas", 60, fn_pcg_pallas)
+                bench_single(pend, opts, "fused", T=512), pend, "pcg_fused")
+        pf = run("pendulum_2_1_5_fused", 30, fn_pend_fused)
+        if pf is not None:
+            def fn_pend_fused_split():
+                # Small-problem latency floor: the pendulum on the KERNEL
+                # path with the fixed-cost split — separates the tiny-shape
+                # surface/relayout cost from the in-kernel work.
+                e = bench_fused_split(pend, opts, pf, T=4096)
+                return annotate_roofline(
+                    e, pend, "pcg_fused",
+                    ms_per_solve=e["packed_serving_ms"],
+                    iters=pf["pcg_iters"])
+            run("pendulum_2_1_5_fused_split", 60, fn_pend_fused_split)
 
-    # Horizon sweep: K=100/250/500 (BASELINE configs) then the longk tiers.
-    for K in (100, 250, 500):
-        spec_k = ProblemSpec(14, 7, K)
+        # Horizon scaling, fused rows (README's K=100/250/500 sweep).
+        for K in (100, 250, 500):
+            spec_k = ProblemSpec(14, 7, K)
 
-        def fn_hz_jax(spec_k=spec_k, K=K):
-            # T sized so the T-vs-2T difference clears the ~8 ms noise
-            # floor (round-1 entries at T=32/64 carried 60%+ spreads).
-            return annotate_roofline(
-                bench_single(spec_k, opts, "jax", T=max(64, 25600 // K)),
-                spec_k, "pcg_jax")
-        run(f"iiwa_horizon_{K}_pcg", 60, fn_hz_jax)
-        if have_pallas:
             def fn_hz_fused(spec_k=spec_k, K=K):
                 return annotate_roofline(
                     bench_single(spec_k, opts, "fused",
                                  T=512 if K <= 256 else 256),
                     spec_k, "pcg_fused")
-            run(f"iiwa_horizon_{K}_fused", 70, fn_hz_fused)
-
-    if have_pallas:
-        # The README-quoted warm-farm row, promoted ahead of the long-tail
-        # tiers so the driver's budget-limited record carries at least one
-        # farm measurement (the full sweep runs later).
-        def fn_farm_128():
-            e = bench_mpc_farm(iiwa, opts, B=128)
-            return annotate_roofline(
-                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
-                iters=max(1, int(e["iters_rest_mean"])), batch=128)
-        run("iiwa_mpc_farm_128", 160, fn_farm_128)
+            run(f"iiwa_horizon_{K}_fused", 30, fn_hz_fused)
 
     # Past the fused kernel's VMEM budget: the long-horizon whole-solve tier
     # (kernels/longk.py) — single-kernel condense+PCG (fused_xl) while the
     # operators AND a condense chunk's working set fit VMEM, resident-XL
-    # while S+Pinv alone fit, the streamed-loop kernel beyond.
+    # while S+Pinv alone fit, the streamed-loop kernel beyond.  The jax row
+    # of each pair is bound prose too (the "Nx" speedup quotes).
     for K, T_jax, T_kern in ((1024, 32, 256), (2048, 16, 128),
                              (4096, 8, 64)):
         spec_k = ProblemSpec(14, 7, K)
@@ -1564,7 +1621,7 @@ def main():
             return annotate_roofline(
                 bench_single(spec_k, opts, "jax", T=T_jax), spec_k,
                 "pcg_jax")
-        jax_e = run(f"iiwa_horizon_{K}_pcg", 90, fn_hzl_jax)
+        jax_e = run(f"iiwa_horizon_{K}_pcg", 70, fn_hzl_jax)
         if have_pallas and jax_e is not None:
             from gato_tpu.kernels import longk
 
@@ -1582,7 +1639,7 @@ def main():
                         f"long-horizon parity failure at K={K}: jax {ij} "
                         f"vs kernel {ik} iterations")
                 return e
-            run(f"iiwa_horizon_{K}_kernel_{tier}", 130, fn_hzl_kernel)
+            run(f"iiwa_horizon_{K}_kernel_{tier}", 55, fn_hzl_kernel)
 
     # Long-horizon EXACT tier: method='direct' past the fused CR kernel's
     # packing budget — whole block cyclic reduction in one kernel
@@ -1594,7 +1651,7 @@ def main():
         return annotate_roofline(
             bench_single(spec_1k, direct_opts, "jax", T=16), spec_1k,
             "direct_jax")
-    run("iiwa_horizon_1024_direct", 90, fn_hz1k_direct)
+    run("iiwa_horizon_1024_direct", 105, fn_hz1k_direct)
     if have_pallas:
         def fn_hz1k_direct_xl():
             from gato_tpu.kernels import longk as _longk
@@ -1616,28 +1673,13 @@ def main():
                 raise AssertionError(
                     f"long-horizon direct parity failure: rel err {dl_err}")
             return e
-        run("iiwa_horizon_1024_direct_xl", 150, fn_hz1k_direct_xl)
-
-    if have_pallas:
-        def fn_batch_pallas():
-            e = bench_batch(iiwa, opts, "pallas", T=6)
-            return annotate_roofline(
-                e, iiwa, "pcg_xl", ms_per_solve=e["us_per_solve"] / 1e3,
-                iters=iiwa_iters)
-        run("iiwa_batch_256_pcg_pallas", 90, fn_batch_pallas)
+        run("iiwa_horizon_1024_direct_xl", 55, fn_hz1k_direct_xl)
 
     def fn_batch_direct_jax():
         e = bench_batch(iiwa, direct_opts, "jax", T=6)
         return annotate_roofline(e, iiwa, "direct_jax",
                                  ms_per_solve=e["us_per_solve"] / 1e3)
-    run("iiwa_batch_256_direct", 150, fn_batch_direct_jax)
-
-    def fn_mpc_jax():
-        e = bench_mpc_sequence(iiwa, opts, T=128, pcg_backend="jax")
-        return annotate_roofline(
-            e, iiwa, "pcg_jax", ms_per_solve=e["ms_per_solve"],
-            iters=max(1, round(e["iters_rest_mean"])))
-    run("iiwa_mpc_sequence", 90, fn_mpc_jax)
+    run("iiwa_batch_256_direct", 120, fn_batch_direct_jax)
 
     if have_pallas:
         def fn_mpc_fused():
@@ -1648,19 +1690,123 @@ def main():
             return annotate_roofline(
                 e, iiwa, "pcg_fused", ms_per_solve=e["ms_per_solve"],
                 iters=max(1, round(e["iters_rest_mean"])))
-        run("iiwa_mpc_sequence_fused", 160, fn_mpc_fused)
+        run("iiwa_mpc_sequence_fused", 65, fn_mpc_fused)
 
-        # Farm throughput sweep vs the independent 256-batch path.  Every
-        # row measures the kernel protocol at its own noise-floor-sized
-        # chain pair (kernel time is linear in T) plus e2e at the FIXED
-        # matched pair (64, 128) — see bench_mpc_farm's docstring.
-        for B in (16, 64, 256):   # 128 ran earlier (promoted row)
+        # The README-quoted warm-farm row.  Kernel protocol at its own
+        # noise-floor-sized chain pair plus e2e at the FIXED matched pair
+        # (64, 128) — see bench_mpc_farm's docstring.
+        def fn_farm_128():
+            e = bench_mpc_farm(iiwa, opts, B=128)
+            return annotate_roofline(
+                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
+                iters=max(1, int(e["iters_rest_mean"])), batch=128)
+        run("iiwa_mpc_farm_128", 220, fn_farm_128)
+
+        if e_bf is not None:
+            def fn_batch_split():
+                # Measured throughput breakdown at the headline batch
+                # (VERDICT r2 weak #1): fixed vs marginal per-iteration cost
+                # by exit_tol=0 max_iters differencing, plus lockstep-exit
+                # waste.  Chains right-sized from e_bf so no T-doubling
+                # recompiles (was 633 s wall; VERDICT r4 #5).
+                e = bench_batch_split(iiwa, opts, e_bf, batch=256)
+                return annotate_roofline(
+                    e, iiwa, "pcg_fused",
+                    ms_per_solve=e_bf["us_per_solve"] / 1e3,
+                    iters=iiwa_iters, batch=256)
+            run("iiwa_batch_256_fused_split", 240, fn_batch_split)
+
+    # ---------------- unbound diagnostic tail ----------------
+    if have_pallas:
+        def fn_batch_1024_direct():
+            # Wide-fleet exact throughput: 4 lane groups after the round-4
+            # balanced-plan + per-group-call fixes (flat ~1.0 us/solve from
+            # B=256 to 1024; the fill-first multi-group grid ran 1.6-1.9).
+            # T=16 up front: the r04 run started at 8, and the one
+            # T-doubling retry re-paid the ~63 s compile twice (385 s wall).
+            e = bench_batch(iiwa, direct_opts, "fused", batch=1024, T=16)
+            e["tier"] = "thomas_batch"
+            return annotate_roofline(
+                e, iiwa, "direct_thomas",
+                ms_per_solve=e["us_per_solve"] / 1e3, batch=1024)
+        run("iiwa_batch_1024_direct_fused", 300, fn_batch_1024_direct)
+
+        if e_bdf is not None and e_bdf.get("tier") == "thomas_batch":
+            def fn_direct_served():
+                e = bench_direct_served(iiwa, direct_opts, batch=256)
+                return annotate_roofline(
+                    e, iiwa, "direct_thomas",
+                    ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
+            run("iiwa_batch_256_direct_served", 130, fn_direct_served)
+
+    run("iiwa_direct", 40,
+        head_single(iiwa, direct_opts, "jax", "direct_jax"))
+    if have_pallas:
+        poly3 = SolverOptions(exit_tol=1e-6, max_iters=200, rho=1e-3,
+                              precond_poly_degree=3)
+        run("iiwa_fused_poly3", 35,
+            head_single(iiwa, poly3, "fused", "pcg_fused", T=512,
+                        poly_degree=3))
+
+    def fn_split_jax():
+        e = bench_split(iiwa, opts, T=256)
+        return annotate_roofline(e, iiwa, "pcg_jax",
+                                 ms_per_solve=e["full_ms"], iters=iiwa_iters)
+    run("iiwa_split_jax", 35, fn_split_jax)
+
+    if have_pallas:
+        def fn_pcg_pallas():
+            # Split-pallas tier: XLA condense writes packed S+Pinv once, the
+            # resident kernel reads them once — the pcg_xl byte model.
+            return annotate_roofline(
+                bench_single(iiwa, opts, "pallas", T=256), iiwa, "pcg_xl")
+        run("iiwa_pcg_pallas", 30, fn_pcg_pallas)
+
+    for K in (100, 250, 500):
+        spec_k = ProblemSpec(14, 7, K)
+
+        def fn_hz_jax(spec_k=spec_k, K=K):
+            # T sized so the T-vs-2T difference clears the ~8 ms noise
+            # floor (round-1 entries at T=32/64 carried 60%+ spreads).
+            return annotate_roofline(
+                bench_single(spec_k, opts, "jax", T=max(64, 25600 // K)),
+                spec_k, "pcg_jax")
+        run(f"iiwa_horizon_{K}_pcg", 45, fn_hz_jax)
+
+    if have_pallas:
+        floor = run("iiwa_dispatch_floor", 45,
+                    lambda: bench_dispatch_floor(iiwa))
+        if floor is not None:
+            def fn_direct_split():
+                e = bench_direct_fused_split(iiwa, direct_opts,
+                                             C["iiwa_direct_fused"], floor)
+                return annotate_roofline(
+                    e, iiwa, "direct_fused",
+                    ms_per_solve=e["kernel_only_ms"])
+            run("iiwa_direct_fused_split", 90, fn_direct_split)
+
+        def fn_batch_pallas():
+            e = bench_batch(iiwa, opts, "pallas", T=6)
+            return annotate_roofline(
+                e, iiwa, "pcg_xl", ms_per_solve=e["us_per_solve"] / 1e3,
+                iters=iiwa_iters)
+        run("iiwa_batch_256_pcg_pallas", 110, fn_batch_pallas)
+
+    def fn_mpc_jax():
+        e = bench_mpc_sequence(iiwa, opts, T=128, pcg_backend="jax")
+        return annotate_roofline(
+            e, iiwa, "pcg_jax", ms_per_solve=e["ms_per_solve"],
+            iters=max(1, round(e["iters_rest_mean"])))
+    run("iiwa_mpc_sequence", 90, fn_mpc_jax)
+
+    if have_pallas:
+        for B in (16, 64, 256):   # 128 ran earlier (prose-bound row)
             def fn_farm(B=B):
                 e = bench_mpc_farm(iiwa, opts, B=B)
                 return annotate_roofline(
                     e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
                     iters=max(1, int(e["iters_rest_mean"])), batch=B)
-            run(f"iiwa_mpc_farm_{B}", 160, fn_farm)
+            run(f"iiwa_mpc_farm_{B}", 80 if B == 16 else 330, fn_farm)
 
         def fn_farm_direct():
             # The EXACT farm at the wide-fleet shape the pecking-order note
@@ -1669,7 +1815,7 @@ def main():
             return annotate_roofline(
                 e, iiwa, "direct_thomas",
                 ms_per_solve=e["us_per_solve"] / 1e3, batch=256)
-        run("iiwa_mpc_farm_direct_4x64", 90, fn_farm_direct)
+        run("iiwa_mpc_farm_direct_4x64", 120, fn_farm_direct)
 
         def fn_farm_direct_wide():
             # Fleet scale: 4 x 256 = 1024 exact solves per call through the
@@ -1679,44 +1825,7 @@ def main():
             return annotate_roofline(
                 e, iiwa, "direct_thomas",
                 ms_per_solve=e["us_per_solve"] / 1e3, batch=1024)
-        run("iiwa_mpc_farm_direct_4x256", 120, fn_farm_direct_wide)
-
-        def fn_pend_fused():
-            return annotate_roofline(
-                bench_single(pend, opts, "fused", T=512), pend, "pcg_fused")
-        pf = run("pendulum_2_1_5_fused", 45, fn_pend_fused)
-        if pf is not None:
-            def fn_pend_fused_split():
-                # Small-problem latency floor: the pendulum on the KERNEL
-                # path with the fixed-cost split — separates the tiny-shape
-                # surface/relayout cost from the in-kernel work.
-                e = bench_fused_split(pend, opts, pf, T=4096)
-                return annotate_roofline(
-                    e, pend, "pcg_fused",
-                    ms_per_solve=e["packed_serving_ms"],
-                    iters=pf["pcg_iters"])
-            run("pendulum_2_1_5_fused_split", 90, fn_pend_fused_split)
-
-        def fn_batch_split():
-            # Measured throughput breakdown at the headline batch (VERDICT
-            # r2 weak #1): fixed vs marginal per-iteration cost by
-            # exit_tol=0 max_iters differencing, plus lockstep-exit waste.
-            # LAST in the plan: six chain measurements of the 256-batch
-            # kernel make this the single most expensive config (measured
-            # 686 s wall) — everything cheaper runs first so a tight budget
-            # skips only this (the committed full-budget BENCH_DETAIL run
-            # carries it either way).
-            e = bench_batch_split(iiwa, opts, batch=256)
-            return annotate_roofline(
-                e, iiwa, "pcg_fused",
-                ms_per_solve=e["full_us_per_solve"] / 1e3, iters=iiwa_iters,
-                batch=256)
-        run("iiwa_batch_256_fused_split", 950, fn_batch_split)
-
-    detail["total_wall_s"] = round(time.perf_counter() - t_start, 1)
-    flush()
-    _log(f"bench complete in {detail['total_wall_s']}s; "
-         f"{len(C)} configs, {len(detail['skipped'])} skipped")
+        run("iiwa_mpc_farm_direct_4x256", 150, fn_farm_direct_wide)
 
 
 def _transport_preflight(timeout_s: int = 180):
@@ -1751,6 +1860,17 @@ def _transport_preflight(timeout_s: int = 180):
     raise SystemExit(1)
 
 
+def _sigterm_to_exit(signum, frame):
+    """`timeout`/the driver deliver SIGTERM, whose default disposition kills
+    the process WITHOUT running ``finally`` — which would again lose the
+    final headline print (and the artifact's total_wall_s).  Convert it to
+    SystemExit so main()'s finally re-prints the headline as the last line."""
+    raise SystemExit(143)
+
+
 if __name__ == "__main__":
+    import signal
+
+    signal.signal(signal.SIGTERM, _sigterm_to_exit)
     _transport_preflight()
     main()
