@@ -213,7 +213,14 @@ def _gj_inv_flag(M, n: int, sp: int):
     rank-deficient block whose running pivots round to small-but-nonzero
     values produces finite garbage on BOTH paths — exact-zero pivots are
     the detectable class, same as XLA.)  When ``bad`` is unused the compares
-    are dead code and trace away — :func:`_gj_inv` costs nothing extra."""
+    are dead code and trace away — :func:`_gj_inv` costs nothing extra.
+
+    PSD assumption (ADVICE r4 #3): "all-zero diagonal == padding" is exact
+    for valid inputs because a PSD block with a zero diagonal entry has the
+    whole row/column zero — an all-zero diagonal implies an all-zero block.
+    A MALFORMED non-PSD block (zero diagonal, nonzero off-diagonals) is
+    indistinguishable from padding here and escapes the flag; the XLA path
+    would NaN on it.  Only reachable with invalid problem data."""
     dt = M[0].dtype
     Mc = list(M)
     diag_abs = sum(jnp.abs(Mc[i][i : i + 1, :]) for i in range(n))
@@ -387,8 +394,15 @@ def _fused_kernel(
     cv = c_ref[...]
     lam0 = lam0_ref[...]
 
-    Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right = _condense_cols(
-        Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp
+    # want_flag: a clamped zero pivot on a live lane (exactly-singular Q/R
+    # block at this rho) must force non-convergence at max_iters like the
+    # XLA oracle's NaNs, not silently solve the clamp-regularized system
+    # (ADVICE r4 #2 — the direct kernels already poisoned; the PCG path
+    # threads the same flag into pcg_loop's live mask/eta).
+    (Qinv, Rinv, Ac, Bc, theta, gamma, S_left, S_right,
+     bad_row) = _condense_cols(
+        Q_ref, R_ref, A_ref, B_ref, qv, rv, cv, rho, s=s, c=c, sp=sp,
+        want_flag=True,
     )
     S_main = theta
 
@@ -450,6 +464,7 @@ def _fused_kernel(
     lam, eta, n_iters, conv = pcg_loop(
         mvS, mvP, gamma, lam0, exit_tol, max_iters, seg_sum, lanes, g,
         poly_degree=poly_degree, unroll=unroll,
+        bad=seg_sum(bad_row),  # (1, L) 0/1 live-lane clamp flags -> (1, g)
     )
 
     dzx, dzu = _recover_cols(Qinv, Rinv, Ac, Bc, qv, rv, lam, s=s, c=c, sp=sp)

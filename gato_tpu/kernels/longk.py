@@ -968,7 +968,13 @@ def _packed_singular_flag(Mb, Minvb, n: int, rho, tol: float = 0.5):
     Qinv/Rinv cross HBM anyway, so the check costs one fused XLA pass and
     zero kernel changes.  tol is coarse by design — it flags the O(1)
     garbage of a clamped zero pivot, not finite-precision conditioning
-    (which produces the same finite garbage on the XLA path too)."""
+    (which produces the same finite garbage on the XLA path too).
+
+    PSD assumption (ADVICE r4 #3, same as fused_solve._gj_inv_flag): the
+    live criterion trusts that a valid PSD block with an all-zero diagonal
+    is all-zero, i.e. padding.  A malformed non-PSD block with a zero
+    diagonal but nonzero off-diagonals escapes the flag (the XLA path would
+    NaN); only reachable with invalid problem data."""
     live = sum(jnp.abs(Mb[:, i, i, :]) for i in range(n)) > 0   # (B, Kp)
     err = jnp.zeros_like(Mb[:, 0, 0, :])
     for b in range(n):
@@ -1241,6 +1247,18 @@ def _solve_longk_packed(
                 s=s, sp=sp, Kp=Kp, Lc=Lc_s, n_chunks=n_s,
                 poly_degree=poly_degree, interpret=interpret,
             )
+
+    # Condense-stage singularity (ADVICE r4 #2 applied to the long-K PCG
+    # tiers, same mechanism as the direct tier): a clamped zero pivot makes
+    # the kernel converge on a silently-regularized system while the XLA
+    # oracle NaNs and runs to max_iters unconverged.  The packed Qinv*Q
+    # identity check flags it per problem; force the oracle outcome
+    # (iters = max_iters, conv = 0, huge-but-FINITE eta).
+    bad = (_packed_singular_flag(Qb, Qinvb, s, rho)
+           | _packed_singular_flag(Rb, Rinvb, cdim, rho))
+    iters = jnp.where(bad, jnp.asarray(max_iters, iters.dtype), iters)
+    conv = jnp.where(bad, jnp.zeros_like(conv), conv)
+    eta = eta + jnp.where(bad, 1e30, 0.0).astype(eta.dtype)
 
     lamnb = _shift_left_lane(lamb)
     dzxb, dzub = _recover_call(

@@ -270,7 +270,7 @@ def make_reducers(g: int, K_sub: int, L: int, dt):
 
 
 def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
-             *, poly_degree: int = 1, unroll: int = 1):
+             *, poly_degree: int = 1, unroll: int = 1, bad=None):
     """The in-kernel PCG loop on packed (sp, L) values, generic over the
     operator executors: ``mvS``/``mvP`` apply S and the preconditioner to a
     packed vector (VMEM-resident rolls here; HBM-streamed chunk DMA in
@@ -279,9 +279,26 @@ def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
     Numerics are identical to pcg.pcg (same update order, same exit test,
     same iteration-count semantics, per-problem masked freezing), so callers
     inherit the exact-iteration-parity invariant.  Returns
-    (lam, eta, n_iters, conv) with per-problem (1, g) scalars."""
+    (lam, eta, n_iters, conv) with per-problem (1, g) scalars.
+
+    ``bad`` (optional, (1, g) float counts > 0 where the caller's in-kernel
+    condense clamped a zero pivot on a LIVE lane — _gj_inv_flag): a flagged
+    problem is frozen out of the live mask and gated out of the exit test,
+    so it performs no updates, never converges, and exits with
+    n_iters == max_iters, conv == 0; its REPORTED eta is then pinned to a
+    huge-but-FINITE poison (1e30) after the loop.  The in-loop alpha/beta
+    scalars stay at their natural finite magnitudes — poisoning eta inside
+    the loop measurably NaN'd the whole group: alpha = 1e30/nu overflows
+    to inf and the lanes() masked matmul turns inf * 0-mask into NaN for
+    every problem (the CLAUDE.md seg-reducer lesson, reproduced here).
+    The max_iters/unconverged outcome matches the XLA oracle on the same
+    degenerate input, where the singular inverse produces NaNs whose failed
+    comparisons also run the loop to max_iters (the kernel's clamp would
+    otherwise quietly solve a DIFFERENT, regularized system and report
+    converged — ADVICE r4 #2)."""
     dt = gam.dtype
     i32 = jnp.int32
+    badm = None if bad is None else (bad > 0)                  # (1, g)
 
     def dot(a, b):
         return seg_sum(a * b)  # (1, g)
@@ -330,10 +347,14 @@ def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
         r_tilde = apply_P(r_n)
         eta_new = dot(r_n, r_tilde)
         conv_now = jnp.abs(eta_new) < exit_tol             # (1, g)
+        if badm is not None:
+            conv_now = jnp.logical_and(conv_now, jnp.logical_not(badm))
         beta = jnp.where(eta != 0, eta_new / eta, 0.0)
         p_n = r_tilde + lanes(beta) * p
 
         live = jnp.logical_and(conv == 0, it < max_iters)  # (1, g)
+        if badm is not None:  # flagged problems freeze at lam0, stay finite
+            live = jnp.logical_and(live, jnp.logical_not(badm))
         # Lane mask as a SELECT, not an arithmetic blend: lanes() emits
         # exact 1.0/0.0 (0/1 segment matmul), so where() is value-identical
         # to live_l*new + (1-live_l)*old while costing one select per
@@ -360,6 +381,8 @@ def pcg_loop(mvS, mvP, gam, lam0, exit_tol, max_iters, seg_sum, lanes, g: int,
         jnp.zeros((1, g), i32),
     )
     lam, r, p, eta, it, n_iters, conv = jax.lax.while_loop(cond, body, init)
+    if badm is not None:  # post-loop: report a poisoned (finite) eta
+        eta = jnp.where(badm, jnp.asarray(1e30, dt), eta)
     return lam, eta, n_iters, conv
 
 

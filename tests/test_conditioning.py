@@ -68,6 +68,50 @@ def test_pcg_stall_reports_not_converged(backend):
 
 
 @pytest.mark.parametrize("backend", ["jax", "fused"])
+def test_singular_pcg_runs_to_cap_not_converged(backend):
+    """Exactly-singular input through method='pcg' (ADVICE r4 #2): the
+    fused kernel's in-kernel condense used to clamp the zero pivot and
+    quietly solve the regularized system (converged=True at some small
+    iteration count) while the XLA path NaN-poisons and exhausts
+    max_iters.  The clamp flag now freezes the problem out of pcg_loop's
+    live mask with a poisoned eta, so BOTH paths report
+    iters == max_iters, converged=False."""
+    opts = SolverOptions(rho=0.0, exit_tol=1e-8, max_iters=25)
+    res = solve(SPEC, _singular_blocks(), opts, pcg_backend=backend)
+    assert int(res.iters) == 25
+    assert not bool(res.converged)
+    # Control: regularized, the same problem converges again.
+    ok = solve(SPEC, _singular_blocks(),
+               SolverOptions(rho=1e-2, exit_tol=1e-8, max_iters=200),
+               pcg_backend=backend)
+    assert bool(ok.converged)
+
+
+def test_singular_in_pcg_batch_flags_only_that_problem():
+    """One singular problem inside a lane-packed fused PCG batch: only its
+    flag drops (to max_iters, unconverged), the healthy group members keep
+    EXACT iteration parity with the XLA path and matching solutions —
+    the finite 1e30 poison cannot NaN-contaminate the group through the
+    masked-matmul segment reductions (CLAUDE.md)."""
+    B, bad_idx = 5, 1
+    bb = _batch_with_singular(B, bad_idx)
+    opts = SolverOptions(rho=0.0, exit_tol=1e-8, max_iters=60)
+    rf = solve_batched(SPEC, bb, opts, pcg_backend="fused")
+    rj = solve_batched(SPEC, bb, opts, pcg_backend="jax")
+    want = np.ones(B, bool)
+    want[bad_idx] = False
+    assert np.asarray(rf.converged).tolist() == want.tolist()
+    assert np.asarray(rj.converged).tolist() == want.tolist()
+    assert int(np.asarray(rf.iters)[bad_idx]) == 60
+    assert (np.asarray(rf.iters)[want].tolist()
+            == np.asarray(rj.iters)[want].tolist())
+    lam_f = np.asarray(rf.lam)[want]
+    lam_j = np.asarray(rj.lam)[want]
+    scale = float(np.max(np.abs(lam_j)))
+    assert float(np.max(np.abs(lam_f - lam_j))) / scale < 1e-4
+
+
+@pytest.mark.parametrize("backend", ["jax", "fused"])
 def test_singular_direct_reports_not_converged(backend):
     """Single-problem direct solve on a singular system: converged=False on
     the XLA path (NaN) AND the fused CR kernel (zero-pivot flag)."""
@@ -110,6 +154,32 @@ def test_singular_in_batch_flags_only_that_problem(B, bad_idx, tier):
     lam_j = np.asarray(rj.lam)[want]
     scale = float(np.max(np.abs(lam_j)))
     assert float(np.max(np.abs(lam_f - lam_j))) / scale < 1e-4
+
+
+@pytest.mark.parametrize("tier", ["fused_xl", "xl", "stream"])
+def test_singular_longk_pcg_reports_not_converged(tier):
+    """The long-horizon PCG tiers: a condense-stage clamped zero pivot is
+    flagged by the packed Qinv*Q identity check after the kernel (same
+    mechanism as the direct tier) and forced to the XLA oracle's outcome —
+    iters == max_iters, converged=False (ADVICE r4 #2)."""
+    from gato_tpu.kernels import longk
+
+    spec = ProblemSpec(3, 2, 24)
+    b = random_blocks(spec, seed=5)
+    Q = np.asarray(b.Q).copy()
+    Q[7, :, 0] = 0.0
+    Q[7, 0, :] = 0.0
+    arrs = [jnp.asarray(x) for x in b._replace(Q=jnp.asarray(Q))]
+    res, _, _ = longk.solve_longk(*arrs, rho=0.0, exit_tol=1e-8,
+                                  max_iters=30, chunk_lanes=128,
+                                  force_tier=tier, interpret=True)
+    assert not bool(res.converged)
+    assert int(res.iters) == 30
+    ok, _, _ = longk.solve_longk(*(jnp.asarray(x) for x in b), rho=1e-3,
+                                 exit_tol=1e-8, max_iters=100,
+                                 chunk_lanes=128, force_tier=tier,
+                                 interpret=True)
+    assert bool(ok.converged)
 
 
 @pytest.mark.parametrize("tier", ["xl", "xla"])
