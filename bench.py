@@ -1167,6 +1167,95 @@ def bench_mpc_farm(spec, options, B=16, reps=7):
 
 
 
+def bench_mpc_farm_packed(spec, options, B=64, reps=7):
+    """E2E flatness of the PUBLIC pack-once farm surface (VERDICT r4 #4).
+
+    The public mpc.solve_sequence_batched pays XLA relayouts whose per-step
+    cost GROWS with the window length (CLAUDE.md: e2e 0.111 -> 0.233
+    ms/step between pairs (64,128) and (128,256) at B=64 while the kernel
+    stayed linear).  gato_tpu.packed.pack_sequence/solve_packed_sequence
+    is the fix: the stream is packed once, the warm start carries packed
+    across windows, and the loop runs at the kernel's flat rate at ANY
+    horizon.  This row measures that same-pair comparison THROUGH the
+    public packed surface: ms/step at pairs (64,128) and (128,256) must
+    agree within the run-to-run spread (``flat_ratio`` ~ 1.0, vs ~2.1 on
+    the per-call public surface).
+
+    Content: a T0=64 distinct-content window packed once, tiled along T on
+    device (the steady-state periodic serving pattern; Pallas cannot dedup
+    grid steps, and probe G measured identical-content grids at full
+    per-step cost — bench_mpc_farm's kernel protocol, made public)."""
+    import dataclasses as _dc
+
+    from gato_tpu import packed as _pk
+    from gato_tpu.formats import KKTBlocks
+    from gato_tpu.testing import random_blocks
+
+    K = spec.knot_points
+    rng = np.random.default_rng(3)
+    T0 = 64
+
+    base = [random_blocks(spec, seed=50 + b) for b in range(B)]
+    stack = KKTBlocks(*(np.stack([np.asarray(p[f]) for p in base])
+                        for f in range(7)))
+    qs = np.asarray(stack.q)[None] + 0.01 * rng.normal(
+        size=(T0,) + stack.q.shape).astype(np.float32)
+    qsc = (1.0 + 1e-4 * rng.normal(size=(T0, 1, 1, 1, 1))).astype(np.float32)
+    seq = KKTBlocks(*(jnp.broadcast_to(jnp.asarray(a), (T0,) + a.shape)
+                      for a in stack))._replace(
+        q=jnp.asarray(qs), Q=jnp.asarray(np.asarray(stack.Q)[None] * qsc))
+
+    t0 = time.perf_counter()
+    p0 = _pk.pack_sequence(spec, seq)
+    float(jnp.sum(p0.qb))
+    pack_ms = (time.perf_counter() - t0) * 1e3
+
+    def tiled(T):
+        reps_t = T // T0
+        arrs = [jnp.tile(a, (reps_t,) + (1,) * (a.ndim - 1))
+                for a in (p0.Qb, p0.Rb, p0.Ab, p0.Bb, p0.qb, p0.rb, p0.cb)]
+        ps = _pk.PackedKKTSequence(*arrs, plan=p0.plan)
+        float(jnp.sum(ps.qb))
+        return ps
+
+    streams = {T: tiled(T) for T in (64, 128, 256)}
+    for T, ps in streams.items():  # compile + first run
+        float(jnp.sum(_pk.solve_packed_sequence(ps, options).lam_p))
+
+    def timer(T, i):
+        ps = streams[T]
+        ps_i = _dc.replace(ps, qb=ps.qb * (1.0 + 1e-6 * (i + 1)))
+        t0 = time.perf_counter()
+        res = _pk.solve_packed_sequence(ps_i, options)
+        float(jnp.sum(res.lam_p) + jnp.sum(res.iters))
+        return (time.perf_counter() - t0) * 1e3
+
+    ms_a, spread_a, diffs_a, warns_a = _farm_chain_diff(timer, 64, 128,
+                                                        reps=reps)
+    ms_b, spread_b, diffs_b, warns_b = _farm_chain_diff(timer, 128, 256,
+                                                        reps=reps)
+    res = _pk.solve_packed_sequence(streams[64], options)
+    it = np.asarray(res.iters)
+    entry = {
+        "B": B,
+        "pack_once_ms": round(pack_ms, 2),
+        "ms_per_step_pair_64_128": round(ms_a, 6),
+        "ms_per_step_pair_128_256": round(ms_b, 6),
+        "flat_ratio": round(ms_b / ms_a, 3) if ms_a else 0.0,
+        "us_per_solve": round(1e3 * ms_a / B, 4),
+        "spread_ms": [round(spread_a, 6), round(spread_b, 6)],
+        "chain_diff_ms": [round(float(np.median(diffs_a)), 3),
+                          round(float(np.median(diffs_b)), 3)],
+        "iters_first_mean": round(float(it[0].mean()), 2),
+        "iters_rest_mean": round(float(it[1:].mean()), 4),
+        "protocol": "public packed surface (pack_sequence once, tiled)",
+    }
+    warns = warns_a + warns_b
+    if warns:
+        entry["noise_warning"] = "; ".join(warns)
+    return entry
+
+
 def bench_mpc_sequence(spec, options, T=64, reps=7, pcg_backend=None):
     """BASELINE config 3: warm-start MPC-style repeated solves as ONE
     on-device lax.scan (gato_tpu.mpc.solve_sequence), differencing sequence
@@ -1762,6 +1851,13 @@ def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
                 e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
                 iters=max(1, int(e["iters_rest_mean"])), batch=128)
         run("iiwa_mpc_farm_128", 220, fn_farm_128)
+
+        def fn_farm_packed():
+            e = bench_mpc_farm_packed(iiwa, opts, B=64)
+            return annotate_roofline(
+                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
+                iters=max(1, int(round(e["iters_rest_mean"]))), batch=64)
+        run("iiwa_mpc_farm_64_packed", 210, fn_farm_packed)
 
         if e_bf is not None:
             def fn_batch_split():

@@ -83,3 +83,25 @@ except ValueError:
     tag = "repacked"
 print(f"exact direct serve ({tag}): eta max "
       f"{float(np.max(np.asarray(res_d.eta))):.2e}")
+
+# --- 4. streaming farm windows: pack the (T, B) stream once ------------------
+# A long-session MPC loop re-solving whole windows pays per-call relayouts
+# whose per-step cost grows with the window length on the public surface;
+# pack_sequence + the packed lambda carry keep it at the kernel's flat rate
+# (bench row iiwa_mpc_farm_64_packed: flat in T within ~1%).
+from gato_tpu import pack_sequence, solve_packed_sequence
+from gato_tpu.formats import KKTBlocks
+
+Tw = 4
+rng = np.random.default_rng(0)
+window = KKTBlocks(*(jnp.broadcast_to(a, (Tw,) + a.shape) for a in blocks))
+carry = None
+for w in range(2):
+    qs = jnp.asarray(np.asarray(window.q)
+                     * (1.0 + 0.01 * rng.normal(size=window.q.shape))
+                     .astype(np.float32))
+    pw = pack_sequence(spec, window._replace(q=qs))
+    rw = solve_packed_sequence(pw, opts, lam0=carry)
+    carry = rw.lam_tail_packed          # warm start crosses windows packed
+    print(f"window {w}: per-step mean iters "
+          f"{np.asarray(rw.iters).mean(axis=1).round(1).tolist()}")

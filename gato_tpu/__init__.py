@@ -20,7 +20,9 @@ from .diff import kkt_solve, kkt_solve_batched
 from .direct import btd_solve
 from .formats import KKTBlocks, pack_kkt, pack_kkt_sparse
 from .mpc import solve_sequence, solve_sequence_batched
-from .packed import PackedKKT, PackedSolveResult, pack, solve_packed, update_vectors
+from .packed import (PackedKKT, PackedKKTSequence, PackedSequenceResult,
+                     PackedSolveResult, pack, pack_sequence, solve_packed,
+                     solve_packed_sequence, update_vectors)
 from .problem import DEFAULT_OPTIONS, Preconditioner, ProblemSpec, SolverOptions
 from .solver import SolveResult, solve, solve_batched
 
@@ -35,9 +37,13 @@ __all__ = [
     "solve_sequence_batched",
     "pack",
     "solve_packed",
+    "pack_sequence",
+    "solve_packed_sequence",
     "update_vectors",
     "PackedKKT",
     "PackedSolveResult",
+    "PackedKKTSequence",
+    "PackedSequenceResult",
     "btd_solve",
     "kkt_solve",
     "kkt_solve_batched",

@@ -1256,9 +1256,10 @@ def _solve_longk_packed(
     # (iters = max_iters, conv = 0, huge-but-FINITE eta).
     bad = (_packed_singular_flag(Qb, Qinvb, s, rho)
            | _packed_singular_flag(Rb, Rinvb, cdim, rho))
-    iters = jnp.where(bad, jnp.asarray(max_iters, iters.dtype), iters)
-    conv = jnp.where(bad, jnp.zeros_like(conv), conv)
-    eta = eta + jnp.where(bad, 1e30, 0.0).astype(eta.dtype)
+    badr = bad[:, None, None]  # aux arrays are lane-broadcast (B, 8, Kp)
+    iters = jnp.where(badr, jnp.asarray(max_iters, iters.dtype), iters)
+    conv = jnp.where(badr, jnp.zeros_like(conv), conv)
+    eta = eta + jnp.where(badr, 1e30, 0.0).astype(eta.dtype)
 
     lamnb = _shift_left_lane(lamb)
     dzxb, dzub = _recover_call(

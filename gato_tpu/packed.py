@@ -627,3 +627,229 @@ def solve_packed(
         poly_degree=options.precond_poly_degree, interpret=interpret,
         unroll=unroll,
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence farms: pack the whole (T, B) stream once (VERDICT r4 #4)
+# ---------------------------------------------------------------------------
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["Qb", "Rb", "Ab", "Bb", "qb", "rb", "cb"],
+    meta_fields=["plan"],
+)
+@dataclasses.dataclass(frozen=True)
+class PackedKKTSequence:
+    """A (T, B) MPC-farm input stream in kernel layout: matrices
+    ``(T, n_groups, n_cols, sp, L)``, vectors ``(T, n_groups, sp, L)``.
+
+    The public mpc.solve_sequence_batched packs its stream per CALL — fine
+    for one window, but a long-session serving loop re-enters the public
+    surface every window and pays XLA relayouts whose per-step cost GROWS
+    with the window length (measured e2e 0.111 -> 0.233 ms/step between
+    chain pairs (64,128) and (128,256) at B=64, while the farm kernel
+    itself is linear in T — CLAUDE.md).  Packing the stream once and
+    carrying the warm start packed (``PackedSequenceResult.lam_tail_packed``
+    -> the next window's ``lam0``) keeps the loop at the kernel's flat
+    per-step rate at any horizon."""
+
+    Qb: jnp.ndarray
+    Rb: jnp.ndarray
+    Ab: jnp.ndarray
+    Bb: jnp.ndarray
+    qb: jnp.ndarray
+    rb: jnp.ndarray
+    cb: jnp.ndarray
+    plan: PackPlan
+
+    @property
+    def T(self) -> int:
+        return self.Qb.shape[0]
+
+
+@functools.partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["lam_p", "dzx_p", "dzu_p", "iters", "converged", "eta"],
+    meta_fields=["plan"],
+)
+@dataclasses.dataclass(frozen=True)
+class PackedSequenceResult:
+    """Farm outputs with trajectories in kernel layout
+    (``(T, n_groups, sp, L)``); ``iters``/``converged``/``eta`` are already
+    per-problem ``(T, B)``."""
+
+    lam_p: jnp.ndarray
+    dzx_p: jnp.ndarray
+    dzu_p: jnp.ndarray
+    iters: jnp.ndarray
+    converged: jnp.ndarray
+    eta: jnp.ndarray
+    plan: PackPlan
+
+    @property
+    def lam_tail_packed(self) -> jnp.ndarray:
+        """The final step's multipliers in kernel layout — feed as the next
+        window's ``solve_packed_sequence(lam0=...)`` so a streaming serving
+        loop carries its warm start with zero relayout across host calls."""
+        return self.lam_p[-1]
+
+    def unpack(self) -> SolveResult:
+        """Public shapes: lam/dz_x ``(T, B, K, s)``, dz_u
+        ``(T, B, K-1, c)``, aux ``(T, B)``."""
+        return _unpack_sequence_result(self)
+
+
+def pack_sequence(spec: ProblemSpec, blocks: KKTBlocks,
+                  *, method: str = "pcg") -> PackedKKTSequence:
+    """Relayout a (T, B) farm stream once, for solve_packed_sequence.
+
+    ``blocks`` arrays carry leading (T, B) axes (the
+    mpc.solve_sequence_batched convention).  Only the warm-started PCG farm
+    on the fused tier is packable: the EXACT farm has no warm-start carry,
+    so its (T, B) grid folds into ONE batch of T*B solves — use
+    ``pack(spec, folded_batch, method='direct')`` for that deployment (the
+    mpc._solve_sequence_batched_direct_core fold); and horizons past the
+    fused VMEM budget route to the longk sequence tier, which hoists its
+    own packing (mpc docstring)."""
+    if method != "pcg":
+        raise ValueError(
+            "pack_sequence serves the warm-started PCG farm only; the "
+            "exact farm folds its (T, B) grid into one batch — pack(spec, "
+            "folded_batch, method='direct') (mpc module docstring)")
+    dt = jnp.float32
+    Q = jnp.asarray(blocks.Q, dt)
+    if Q.ndim != 5:
+        raise ValueError(
+            f"pack_sequence expects leading (T, B) axes on every array "
+            f"(Q is {Q.ndim}-d); for a single sequence add a B=1 axis")
+    T, Bn, K, s, _ = Q.shape
+    cdim = jnp.asarray(blocks.R).shape[-1]
+    if (K, s, cdim) != (spec.knot_points, spec.state_size,
+                        spec.control_size):
+        raise ValueError(
+            f"blocks shaped for (K={K}, s={s}, c={cdim}) but spec says "
+            f"({spec.knot_points}, {spec.state_size}, {spec.control_size})")
+    plan = _plan_for("pcg", Bn, K, s, cdim, batched=True)
+    if plan.tier != "fused":
+        raise ValueError(
+            f"K={K} at (s={s}, c={cdim}) routes past the fused tier "
+            f"(tier={plan.tier!r}); use mpc.solve_sequence_batched there — "
+            "its longk path hoists the packing itself")
+    arrs = tuple(jnp.asarray(a, dt) for a in
+                 (blocks.Q, blocks.R, blocks.A, blocks.B,
+                  blocks.q, blocks.r, blocks.c))
+    packed = jax.vmap(lambda *a: _pack_all(*a, plan=plan))(*arrs)
+    return PackedKKTSequence(*packed, plan=plan)
+
+
+def _per_problem_seq(x, *, plan: PackPlan):
+    """(T, n_groups, sublanes, L) aux -> (T, B)."""
+    T = x.shape[0]
+    v = x[:, :, 0, : plan.g * plan.K_sub]
+    v = v.reshape(T, plan.n_groups * plan.g, plan.K_sub)
+    return v[:, : plan.batch, 0]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("plan", "precond", "poly_degree", "interpret", "unroll"),
+)
+def _solve_packed_sequence(
+    Qb, Rb, Ab, Bb, qb, rb, cb, lb, rho, exit_tol, max_iters, *,
+    plan: PackPlan, precond: str, poly_degree: int, interpret: bool,
+    unroll: int,
+):
+    from .kernels import fused_solve
+
+    T = Qb.shape[0]
+    rhos = jnp.broadcast_to(jnp.asarray(rho, jnp.float32), (T,))
+    lam_p, dzx_p, dzu_p, iters, conv, eta = fused_solve._call_fused_sequence(
+        rhos, exit_tol, max_iters, Qb, Rb, Ab, Bb, qb, rb, cb, lb,
+        s=plan.s, c=plan.c, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+        sp=plan.sp, n_groups=plan.n_groups, T=T,
+        flops_scale=plan.batch * plan.K, poly_degree=poly_degree,
+        precond=precond, interpret=interpret, unroll=unroll,
+    )
+    per = functools.partial(_per_problem_seq, plan=plan)
+    return PackedSequenceResult(
+        lam_p=lam_p, dzx_p=dzx_p, dzu_p=dzu_p,
+        iters=per(iters), converged=per(conv) != 0, eta=per(eta), plan=plan,
+    )
+
+
+@jax.jit
+def _unpack_sequence_result(res: PackedSequenceResult) -> SolveResult:
+    from .kernels.fused_solve import _unpack_vec
+
+    plan = res.plan
+
+    def up(xs, n):
+        return jax.vmap(lambda x: _unpack_vec(x, B=plan.batch, K=plan.K,
+                                              n=n, K_sub=plan.K_sub,
+                                              g=plan.g))(xs)
+
+    lam = up(res.lam_p, plan.s)
+    dz_x = up(res.dzx_p, plan.s)
+    dz_u = up(res.dzu_p, plan.c)[:, :, : plan.K - 1, :]
+    return SolveResult(lam=lam, dz_x=dz_x, dz_u=dz_u, iters=res.iters,
+                       converged=res.converged, eta=res.eta)
+
+
+def solve_packed_sequence(
+    packed: PackedKKTSequence,
+    options: SolverOptions = SolverOptions(),
+    lam0: Optional[jnp.ndarray] = None,
+) -> PackedSequenceResult:
+    """Run the whole warm-started farm window from pre-packed inputs.
+
+    Semantics of mpc.solve_sequence_batched on the fused tier (one Pallas
+    kernel over a (T, n_groups) grid, lambda carried in VMEM between
+    steps), minus the per-call relayouts.  ``lam0``: a packed
+    ``(n_groups, sp, L)`` carry (a previous window's ``lam_tail_packed`` —
+    zero relayout), a public ``(B, K, s)`` array, or None (cold start).
+    As with solve_packed, a supplied ``lam0`` is used unconditionally —
+    chaining windows is the point of this API."""
+    plan = packed.plan
+    if options.method != "pcg":
+        raise ValueError(
+            "solve_packed_sequence is the warm-started PCG farm; "
+            "method='direct' sequences fold into one batch (pack + "
+            "solve_packed on the folded batch)")
+    if jnp.dtype(options.dtype) != jnp.float32:
+        raise ValueError(
+            "solve_packed_sequence runs float32-only Mosaic kernels; "
+            f"dtype={options.dtype!r} needs mpc.solve_sequence_batched")
+    if options.preconditioner.value not in (
+            "symmetric_stair", "block_jacobi", "jacobi"):
+        raise ValueError(
+            f"unknown preconditioner {options.preconditioner!r}")
+    dt = jnp.float32
+    if lam0 is None:
+        lb = _cached_const(0, dt, (plan.n_groups, plan.sp, plan.L))
+    else:
+        lam0 = jnp.asarray(lam0, dt)
+        public = (plan.batch, plan.K, plan.s)
+        if lam0.shape == (plan.n_groups, plan.sp, plan.L):
+            lb = lam0
+        elif lam0.shape == public:
+            from .kernels.fused_solve import _pack_vec
+
+            lb = _pack_vec(lam0, K_sub=plan.K_sub, g=plan.g, L=plan.L,
+                           n_groups=plan.n_groups, sp=plan.sp)
+        else:
+            raise ValueError(
+                f"lam0 shape {lam0.shape} is neither the packed carry "
+                f"{(plan.n_groups, plan.sp, plan.L)} nor the public "
+                f"{public}")
+    return _solve_packed_sequence(
+        packed.Qb, packed.Rb, packed.Ab, packed.Bb,
+        packed.qb, packed.rb, packed.cb, lb,
+        _cached_const(options.rho, dt),
+        _cached_const(options.exit_tol, dt),
+        _cached_const(options.max_iters, jnp.int32),
+        plan=plan, precond=options.preconditioner.value,
+        poly_degree=options.precond_poly_degree,
+        interpret=jax.default_backend() != "tpu",
+        unroll=4 if plan.g == 1 else 1,
+    )

@@ -133,6 +133,13 @@ def _bindings(detail: dict):
         bind(r, r"EXACT SERVED\*\* \(~(\d+k)/s\)",
              c["iiwa_batch_256_direct_served"]["solves_per_sec"], "k")
     # MPC.
+    if "iiwa_mpc_farm_64_packed" in c:
+        bind(r, r"measured ([\d.]+) ms/step at pair",
+             c["iiwa_mpc_farm_64_packed"]["ms_per_step_pair_64_128"], ".3f")
+        bind(r, r"ms/step at pair\n  \(64,128\) vs ([\d.]+) at \(128,256\)",
+             c["iiwa_mpc_farm_64_packed"]["ms_per_step_pair_128_256"], ".3f")
+        bind(r, r"flat ratio ([\d.]+)",
+             c["iiwa_mpc_farm_64_packed"]["flat_ratio"], ".2f")
     bind(r, r"\*\*([\d.]+) ms/solve\*\* vs", c["iiwa_mpc_sequence_fused"]["ms_per_solve"], ".4f")
     bind(r, r"row B=128: \*\*([\d.]+) µs/solve", c["iiwa_mpc_farm_128"]["us_per_solve"], ".2f")
     bind(r, r"\(~(\d+k) warm-started solves/s\)\*\*", c["iiwa_mpc_farm_128"]["solves_per_sec"], "k")
