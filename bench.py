@@ -1692,6 +1692,58 @@ def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
             return annotate_roofline(e, spec, kind, **kw)
         return fn
 
+    # ---------------- round-5 deliverable rows (freshest first: older
+    # rows carry from the committed artifact when the budget runs out) ----
+    if have_pallas:
+        # Latency-floor demonstration (VERDICT r4 #3).
+        run("iiwa_single_iter_floor", 140,
+            lambda: bench_single_iter_floor(iiwa, opts))
+
+        # Packed-farm e2e flatness in T (VERDICT r4 #4).
+        def fn_farm_packed():
+            e = bench_mpc_farm_packed(iiwa, opts, B=64)
+            return annotate_roofline(
+                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
+                iters=max(1, int(round(e["iters_rest_mean"]))), batch=64)
+        run("iiwa_mpc_farm_64_packed", 210, fn_farm_packed)
+
+    # Narrow-batch long-K EXACT solves (VERDICT r4 #6): the jax Thomas
+    # scan vs the round-5 hybrid tier (compacting XLA peels + one-kernel
+    # CR on the reduced system) past fits_direct_xl's ~K=1300 reach.
+    spec_2k = ProblemSpec(14, 7, 2048)
+
+    def fn_hz2k_direct():
+        return annotate_roofline(
+            bench_single(spec_2k, direct_opts, "jax", T=8), spec_2k,
+            "direct_jax")
+    jd_2k = run("iiwa_horizon_2048_direct", 110, fn_hz2k_direct)
+    if have_pallas and jd_2k is not None:
+        def fn_hz2k_hybrid():
+            from gato_tpu.kernels import longk as _lk
+            from gato_tpu.solver import solve
+
+            assert _lk.direct_tier(2048, 14, 7) == "hybrid"
+            # The roofline byte model uses the packed one-pass 'direct_xl'
+            # kind; each peel adds ~one extra half-width operator pass
+            # (within the model's ±20% design accuracy).
+            e = annotate_roofline(
+                bench_single(spec_2k, direct_opts, "pallas", T=16), spec_2k,
+                "direct_xl")
+            blk_2k = _staged_blocks(spec_2k, seed=7)
+            d_jax = solve(spec_2k, blk_2k, direct_opts, pcg_backend="jax")
+            d_hy = solve(spec_2k, blk_2k, direct_opts, pcg_backend="pallas")
+            float(jnp.sum(d_jax.lam) + jnp.sum(d_hy.lam))
+            sc = float(np.max(np.abs(np.asarray(d_jax.lam)))) or 1.0
+            err = float(np.max(np.abs(
+                np.asarray(d_hy.lam) - np.asarray(d_jax.lam)))) / sc
+            e["rel_err_vs_jax"] = err
+            e["tier"] = "hybrid"
+            if err > 1e-3:
+                raise AssertionError(
+                    f"hybrid direct parity failure at K=2048: rel {err}")
+            return e
+        run("iiwa_horizon_2048_direct_hybrid", 150, fn_hz2k_hybrid)
+
     # ---------------- prose-bound block ----------------
     if have_pallas:
         def fn_fused_split():
@@ -1852,13 +1904,6 @@ def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
                 iters=max(1, int(e["iters_rest_mean"])), batch=128)
         run("iiwa_mpc_farm_128", 220, fn_farm_128)
 
-        def fn_farm_packed():
-            e = bench_mpc_farm_packed(iiwa, opts, B=64)
-            return annotate_roofline(
-                e, iiwa, "pcg_fused", ms_per_solve=e["us_per_solve"] / 1e3,
-                iters=max(1, int(round(e["iters_rest_mean"]))), batch=64)
-        run("iiwa_mpc_farm_64_packed", 210, fn_farm_packed)
-
         if e_bf is not None:
             def fn_batch_split():
                 # Measured throughput breakdown at the headline batch
@@ -1872,12 +1917,6 @@ def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
                     ms_per_solve=e_bf["us_per_solve"] / 1e3,
                     iters=iiwa_iters, batch=256)
             run("iiwa_batch_256_fused_split", 240, fn_batch_split)
-
-    if have_pallas:
-        # The round-5 latency-floor demonstration (VERDICT r4 #3) — runs
-        # inside the driver window so the official record carries it.
-        run("iiwa_single_iter_floor", 140,
-            lambda: bench_single_iter_floor(iiwa, opts))
 
     # ---------------- unbound diagnostic tail ----------------
     if have_pallas:

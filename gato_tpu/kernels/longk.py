@@ -715,13 +715,16 @@ def fits_direct_xl(K: int, s: int, c: int) -> bool:
 
 
 def should_dispatch_direct(K: int, s: int, c: int) -> bool:
-    """True iff the longk direct tier owns this shape under the 'pallas'
-    backend: past the fused cyclic-reduction kernel's packing budget but
-    within direct-XL residency — the method='direct' analog of
-    :func:`should_dispatch` (one definition, used by solver dispatch)."""
+    """True iff the longk direct ladder owns this shape under the 'pallas'
+    backend: past the fused cyclic-reduction kernel's packing budget — the
+    method='direct' analog of :func:`should_dispatch` (one definition,
+    used by solver dispatch).  Round 5: no upper bound — past direct-XL
+    residency the HYBRID tier (compacting XLA peels + the one-kernel CR)
+    serves ANY K, measured faster than the jax Thomas scan at narrow batch
+    (0.74 vs 0.98 ms at K=2048/B=1, 1.72 vs 2.10 at K=4096, v5e)."""
     from .direct_fused import fits_vmem as _fused_direct_fits
 
-    return not _fused_direct_fits(K, s, c) and fits_direct_xl(K, s, c)
+    return not _fused_direct_fits(K, s, c)
 
 
 def _cr_solve_scratch(S_vm, bv, lane, *, s: int, sp: int, Kp: int):
@@ -957,6 +960,140 @@ def _cr_solve_xla(Sp, bv, *, s: int, sp: int, Kp: int):
     return x + jnp.where(bad > 0, 1e30, 0.0)
 
 
+# ---------------------------------------------------------------------------
+# Hybrid direct tier (round 5, VERDICT r4 #6): narrow-batch exact solves past
+# fits_direct_xl's reach.  The pure-XLA CR above loses to the Thomas scan at
+# K >= 2048 because its roll-based levels re-touch the FULL (s, sp, Kp)
+# stacks log2(Kp) times; the one-kernel CR can't reach because one level's
+# transients overflow Mosaic's scoped-vmem stack.  The hybrid PEELS levels in
+# XLA *with compaction* — each peel eliminates the odd lanes and emits a
+# genuinely half-width system (strided slices, not masks), so level i costs
+# one pass over K/2^i lanes — until the reduced system fits the one-kernel
+# CR, which does the remaining log2 levels at Mosaic speed; the peeled
+# levels back-substitute in XLA (one half-width pass each).  At IIWA width
+# this is 1 peel for K=2048, 2 for K=4096 (budget 13 MiB -> Kp <= 1408).
+# ---------------------------------------------------------------------------
+
+
+def _pad_lanes_128(W: int) -> int:
+    return ((W + 127) // 128) * 128
+
+
+def _fits_direct_xl_width(Kp: int, s: int, sp: int) -> bool:
+    """fits_direct_xl restated on an already-packed lane width."""
+    return Kp * 4 * sp * (10 * s + 6) <= _DIRECT_XL_BUDGET_BYTES
+
+
+def _hybrid_widths(Kp: int, s: int, sp: int):
+    """Static peel schedule: lane widths from Kp down to the first width
+    the one-kernel CR accepts (each step: half, padded back to x128)."""
+    widths = [Kp]
+    while not _fits_direct_xl_width(widths[-1], s, sp):
+        nxt = _pad_lanes_128(widths[-1] // 2)
+        if nxt >= widths[-1]:
+            break  # 128-lane padding floor: cannot compact further (only
+            # reachable with an artificially tiny test budget — the real
+            # 13 MiB budget always admits a 128-lane system)
+        widths.append(nxt)
+    return widths
+
+
+def _cr_peel(Sp, bv, W_out: int, *, s: int, sp: int):
+    """One COMPACTING cyclic-reduction level in XLA.
+
+    Eliminates the ODD lanes of the (3, s, sp, W) packed operator and
+    returns the half-width reduced system over the even lanes, zero-padded
+    to ``W_out`` lanes, plus the per-level state back-substitution needs
+    (the odd lanes' Dinv/L/U/b) and a scalar singular flag.  Structural
+    zeros make the roll wraps exact, as everywhere in this layout: lane 0
+    carries no L and the last live lane no U, so the wrapped-in neighbor is
+    always multiplied by an exactly-zero block; zero pad lanes stay
+    disconnected (their D clamp-inverts harmlessly, b is zero).
+
+    Algebra (even lane 2j, odd compacted index j <-> lane 2j+1):
+      A_j  = L[2j] Dinv[2j-1]          B_j  = U[2j] Dinv[2j+1]
+      D'_j = D[2j] - A_j U[2j-1] - B_j L[2j+1]
+      L'_j = -A_j L[2j-1]              U'_j = -B_j U[2j+1]
+      b'_j = b[2j] - A_j b[2j-1] - B_j b[2j+1]
+    — the same per-level algebra as _cr_solve_scratch/_cr_solve_xla, on
+    sliced half-width stacks instead of masked full-width ones."""
+    dt = bv.dtype
+    W = bv.shape[-1]
+    Wh = W // 2
+
+    def ev(x):
+        return x[..., 0::2]
+
+    def od(x):
+        return x[..., 1::2]
+
+    L_e = [ev(Sp[0, i]) for i in range(s)]
+    D_e = [ev(Sp[1, i]) for i in range(s)]
+    U_e = [ev(Sp[2, i]) for i in range(s)]
+    L_o = [od(Sp[0, i]) for i in range(s)]
+    D_o = [od(Sp[1, i]) for i in range(s)]
+    U_o = [od(Sp[2, i]) for i in range(s)]
+    b_e, b_o = ev(bv), od(bv)
+
+    OInv, bad_o = _gj_inv_flag(D_o, s, sp)
+
+    def rp(x):
+        return jnp.roll(x, 1, axis=-1)
+
+    A = _mat_mat(L_e, [rp(x) for x in OInv], s)     # L[2j] Dinv[2j-1]
+    Bm = _mat_mat(U_e, OInv, s)                     # U[2j] Dinv[2j+1]
+    AU = _mat_mat(A, [rp(x) for x in U_o], s)
+    BL = _mat_mat(Bm, L_o, s)
+    D_n = [D_e[i] - AU[i] - BL[i] for i in range(s)]
+    L_n = [-x for x in _mat_mat(A, [rp(x) for x in L_o], s)]
+    U_n = [-x for x in _mat_mat(Bm, U_o, s)]
+    b_n = b_e - _mat_vec(A, rp(b_o), s) - _mat_vec(Bm, b_o, s)
+
+    def pad(x):
+        if W_out == Wh:
+            return x
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, W_out - Wh)])
+
+    Sp_half = jnp.stack([jnp.stack([pad(x) for x in cols])
+                         for cols in (L_n, D_n, U_n)])
+    saved = (jnp.stack(OInv), jnp.stack(L_o), jnp.stack(U_o), b_o)
+    return Sp_half, pad(b_n), saved, jnp.sum(bad_o)
+
+
+def _cr_unpeel(x_half, saved, W: int, *, s: int, sp: int):
+    """Back-substitute one peeled level: interleave the solved even lanes
+    with x[2j+1] = Dinv[2j+1] (b[2j+1] - L[2j+1] x[2j] - U[2j+1] x[2j+2])
+    (the wrap of the x[2j+2] roll is annihilated by the last live odd
+    lane's structurally-zero U)."""
+    OInv, L_o, U_o, b_o = saved
+    Wh = W // 2
+    xh = x_half[..., :Wh]
+    x_right = jnp.roll(xh, -1, axis=-1)
+    rhs = (b_o
+           - _mat_vec([L_o[i] for i in range(s)], xh, s)
+           - _mat_vec([U_o[i] for i in range(s)], x_right, s))
+    x_odd = _mat_vec([OInv[i] for i in range(s)], rhs, s)
+    return jnp.stack([xh, x_odd], axis=-1).reshape(x_half.shape[:-1] + (W,))
+
+
+def _cr_peel_to_fit(Sp, bv, widths, *, s: int, sp: int):
+    """Peel along the static ``widths`` schedule; returns the reduced
+    system + the per-level saved states (outermost level first)."""
+    saves = []
+    bad = jnp.zeros((), bv.dtype)
+    for W_out in widths[1:]:
+        Sp, bv, saved, bad_lvl = _cr_peel(Sp, bv, W_out, s=s, sp=sp)
+        saves.append(saved)
+        bad = bad + bad_lvl
+    return Sp, bv, tuple(saves), bad
+
+
+def _cr_unpeel_all(x, saves, widths, *, s: int, sp: int):
+    for W, saved in zip(reversed(widths[:-1]), reversed(saves)):
+        x = _cr_unpeel(x, saved, W, s=s, sp=sp)
+    return x
+
+
 def _packed_singular_flag(Mb, Minvb, n: int, rho, tol: float = 0.5):
     """Per-problem (B,) flag: the chunked-condense kernel's clamped GJ
     (_gj_inv zero-pivot clamp) silently regularized an exactly-singular
@@ -1027,6 +1164,21 @@ def _solve_direct_longk_packed(
     if tier == "xl":
         lamb = _direct_xl_call(Sb, gamb, s=s, sp=sp, Kp=Kp,
                                interpret=interpret)
+    elif tier == "hybrid":
+        # Compacting XLA peels down to one-kernel-CR reach, kernel CR on
+        # the reduced system, XLA back-substitution (see the peel section).
+        widths = tuple(_hybrid_widths(Kp, s, sp))
+        S_red, b_red, saves, bad_pe = jax.vmap(
+            functools.partial(_cr_peel_to_fit, widths=widths, s=s, sp=sp)
+        )(Sb, gamb)
+        lam_red = _direct_xl_call(S_red, b_red, s=s, sp=sp, Kp=widths[-1],
+                                  interpret=interpret)
+        lamb = jax.vmap(
+            functools.partial(_cr_unpeel_all, widths=widths, s=s, sp=sp)
+        )(lam_red, saves)
+        # Peel-stage singular clamps poison lam (finite), blowing the
+        # true-residual eta below — same flag semantics as the kernels.
+        lamb = lamb + jnp.where(bad_pe[:, None, None] > 0, 1e30, 0.0)
     else:
         lamb = jax.vmap(
             functools.partial(_cr_solve_xla, s=s, sp=sp, Kp=Kp)
@@ -1050,13 +1202,15 @@ def _solve_direct_longk_packed(
 
 def direct_tier(K: int, s: int, c: int) -> str:
     """The long-horizon direct tier for a shape: 'xl' (one-kernel CR on the
-    DMA'd operator) within fits_direct_xl, 'xla' (lane-packed XLA CR,
-    unlimited K) beyond.  The in-ladder rule behind an explicit
-    'pallas'+direct request (solve_direct_longk_batched); the packed and dp
-    surfaces instead gate on :func:`should_dispatch_direct` (they serve
-    only the kernel tier and route past-reach shapes to the XLA path,
-    which wins there — see :func:`_cr_solve_xla`)."""
-    return "xl" if fits_direct_xl(K, s, c) else "xla"
+    DMA'd operator) within fits_direct_xl, 'hybrid' (compacting XLA peels
+    + the one-kernel CR on the reduced system, unlimited K — round 5)
+    beyond.  'xla' (the roll-based full-width XLA CR) remains a forceable
+    tier for tests but is never auto-picked: it loses to the Thomas scan
+    at K >= 2048 because its levels never compact.  The in-ladder rule
+    behind an explicit 'pallas'+direct request
+    (solve_direct_longk_batched); the packed and dp surfaces instead gate
+    on :func:`should_dispatch_direct`."""
+    return "xl" if fits_direct_xl(K, s, c) else "hybrid"
 
 
 def solve_direct_longk_batched(
@@ -1081,10 +1235,11 @@ def solve_direct_longk_batched(
     for tests."""
     Bn, K, s, _ = Q.shape
     cdim = R.shape[-1]
-    if force_tier not in (None, "xl", "xla"):
+    if force_tier not in (None, "xl", "hybrid", "xla"):
         raise ValueError(
             f"force_tier={force_tier!r}; valid direct tiers are 'xl' "
-            "(one-kernel CR) and 'xla' (lane-packed XLA CR)")
+            "(one-kernel CR), 'hybrid' (XLA peels + kernel CR), and 'xla' "
+            "(lane-packed XLA CR)")
     tier = force_tier or direct_tier(K, s, cdim)
     sp, Kp, Lc, n_chunks, _, _ = _plan_dispatch(K, s, cdim, "xl", chunk_lanes)
     interpret = interpret or jax.default_backend() != "tpu"

@@ -432,13 +432,15 @@ def _solve_packed_direct_longk(
     from .kernels import longk
 
     # Chunking statics re-derived from the shape (the _solve_packed_longk
-    # convention); the tier itself was validated at pack() time.
+    # convention); the tier itself was validated at pack() time.  The CR
+    # tier follows direct_tier: one-kernel 'xl' within residency, the
+    # compacting-peel 'hybrid' beyond (round 5 — unlimited K).
     sp, Kp, Lc, n_chunks, _, _ = longk._plan_dispatch(
         plan.K, plan.s, plan.c, "xl", None)
     lamb, dzxb, dzub, eta, gnorm = longk._solve_direct_longk_packed(
         Qb, Rb, Ab, Bb, qb, rb, cb, rho,
         s=plan.s, cdim=plan.c, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
-        interpret=interpret,
+        interpret=interpret, tier=longk.direct_tier(plan.K, plan.s, plan.c),
     )
     return PackedSolveResult(
         lam_p=lamb, dzx_p=dzxb, dzu_p=dzub,

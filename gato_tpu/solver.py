@@ -115,8 +115,8 @@ def _solve_core(
 
         # Long-horizon EXACT ladder: chunked condensation + whole block
         # cyclic reduction — one kernel on the DMA'd operator within
-        # fits_direct_xl, lane-packed XLA CR beyond (longk.direct_tier
-        # picks; valid at any K) — + packed recovery
+        # fits_direct_xl, the hybrid compacting-peel tier beyond
+        # (longk.direct_tier picks; valid at any K) — + packed recovery
         # (longk.solve_direct_longk), the method='direct' analog of the
         # longk PCG tiers below.
         res, dz_x, dz_u = longk.solve_direct_longk(
@@ -246,8 +246,10 @@ def default_pcg_backend(
       kernels/pcg_streamed.py past them), the role of the reference's
       strided ``parallelPCG_fixed`` (gato_pcg.cuh:17-268) after its
       ``check_sms`` capacity decision (gato_utils.cuh:829-854); for direct
-      the one-kernel cyclic-reduction tier (longk.solve_direct_longk) while
-      it fits VMEM, 'jax' beyond.
+      the one-kernel cyclic-reduction tier (longk.solve_direct_longk)
+      while it fits VMEM, and the hybrid tier (compacting XLA peels + the
+      kernel CR on the reduced system — faster than the jax Thomas scan
+      at narrow batch, measured round 5) beyond: 'pallas' at any K.
     """
     del batched  # the fused kernels pack lanes well at any batch size
     if jnp.dtype(dtype) != jnp.float32:
@@ -284,16 +286,14 @@ def default_pcg_backend(
                     spec.control_size,
                 ):
                     return "fused"
-            from .kernels import longk
-
-            # Otherwise the long-horizon direct tier (one-kernel whole CR
-            # on the DMA'd operator, longk.solve_direct_longk) while it
-            # fits, the XLA path beyond.
-            if longk.fits_direct_xl(
-                spec.knot_points, spec.state_size, spec.control_size
-            ):
-                return "pallas"
-            return "jax"
+            # Otherwise the long-horizon direct ladder
+            # (longk.solve_direct_longk): one-kernel whole CR on the DMA'd
+            # operator within fits_direct_xl, and the HYBRID tier beyond
+            # (compacting XLA peels + the kernel CR on the reduced system
+            # — measured FASTER than the jax Thomas scan at narrow batch:
+            # 0.74 vs 0.98 ms at K=2048/B=1, 1.72 vs 2.10 at K=4096, v5e
+            # round 5), so auto stays 'pallas' at ANY K here.
+            return "pallas"
         return "fused"
     if spec is not None and not fused_solve.fits_vmem(
         spec.knot_points, spec.state_size, spec.control_size
@@ -330,8 +330,8 @@ def _resolve_backend(
         )
     # 'pallas' + method='direct' = the long-horizon cyclic-reduction ladder
     # (kernels/longk.py): the one-kernel CR on the DMA'd operator within
-    # fits_direct_xl, the lane-packed XLA CR beyond (unlimited K, longk
-    # .direct_tier picks) — so the explicit request is valid at any K.
+    # fits_direct_xl, the hybrid compacting-peel tier beyond (unlimited K,
+    # longk.direct_tier picks) — so the explicit request is valid at any K.
     _reject_non_f32_kernels(pcg_backend, options.dtype)
     return pcg_backend
 

@@ -236,10 +236,12 @@ def test_power_of_two_segments_no_pad_lanes():
     assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-5
 
 
-def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
-    """On TPU, a horizon past the direct kernel's VMEM budget must
-    auto-select the XLA path ('jax'), while PCG at the same horizon routes
-    to the HBM-streamed tier ('pallas') — the check_sms-style capacity
+def test_long_horizon_auto_routes_to_kernel_ladder(monkeypatch):
+    """On TPU, a horizon past the direct kernel's VMEM budget auto-selects
+    'pallas' — the longk direct ladder (one-kernel CR within residency,
+    the round-5 hybrid compacting-peel tier at any K beyond, measured
+    faster than the jax Thomas scan at narrow batch) — as does PCG at the
+    same horizon (HBM-streamed tier): the check_sms-style capacity
     decisions at the solver level."""
     import jax as jax_mod
 
@@ -250,7 +252,7 @@ def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
 
     monkeypatch.setattr(jax_mod, "devices", lambda *a: [_FakeTPU()])
     long_spec = ProblemSpec(14, 7, 4096)
-    assert default_pcg_backend(spec=long_spec, method="direct") == "jax"
+    assert default_pcg_backend(spec=long_spec, method="direct") == "pallas"
     assert default_pcg_backend(spec=long_spec, method="pcg") == "pallas"
     # Mid-range K past the fused packing budget but within direct-XL
     # residency: the long-horizon cyclic-reduction tier owns it.
@@ -269,9 +271,10 @@ def test_long_horizon_auto_falls_back_to_jax(monkeypatch):
                                batch=wide) == "fused"
     # ...until the Thomas HBM factor budget declines too (K=4096 at IIWA
     # width needs ~2.2 GB of factor stacks per 128-lane group, past the
-    # 2 GB cap) — then the auto ladder falls through as before.
+    # 2 GB cap) — then the auto ladder falls through to the longk direct
+    # ladder (round 5: the hybrid tier, not 'jax').
     assert not thomas_batch.fits(wide, 4096, 14, 7)
     assert default_pcg_backend(spec=long_spec, method="direct",
-                               batch=wide) == "jax"
+                               batch=wide) == "pallas"
     assert default_pcg_backend(spec=mid_spec, method="direct",
                                batch=wide - 1) == "pallas"

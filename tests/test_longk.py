@@ -201,14 +201,52 @@ def test_direct_tier_batched_parity():
     assert float(jnp.max(jnp.abs(resb.lam - lam_ref))) / scale < 5e-4
 
 
+def test_direct_hybrid_tier_parity_vs_oracle():
+    """The hybrid direct tier (compacting XLA peels + the one-kernel CR on
+    the reduced system — the round-5 unlimited-K auto tier) must match the
+    Thomas oracle; the budget is shrunk so the peel schedule engages at an
+    interpret-affordable shape (two peels: 512 -> 256 -> 128 lanes), and a
+    singular input through the PEELED levels must flag unconverged."""
+    from gato_tpu import direct
+    from gato_tpu.testing import random_blocks
+
+    spec = ProblemSpec(3, 2, 400)
+    old = longk._DIRECT_XL_BUDGET_BYTES
+    longk._DIRECT_XL_BUDGET_BYTES = 128 * 4 * 8 * (10 * 3 + 6)
+    try:
+        assert longk._hybrid_widths(512, 3, 8) == [512, 256, 128]
+        Q, R, A, B, q, r, cc = _arrs(spec, seed=5)
+        sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
+        lam_ref = direct.btd_solve(sys.S, sys.gamma)
+
+        res, dzx, dzu = longk.solve_direct_longk(
+            Q, R, A, B, q, r, cc, rho=RHO, chunk_lanes=128,
+            force_tier="hybrid")
+        assert int(res.iters) == 0 and bool(res.converged)
+        scale = float(jnp.max(jnp.abs(lam_ref)))
+        assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / scale < 5e-4
+
+        # Singular live block at rho=0, eliminated INSIDE a peeled level:
+        # the peel's clamp flag must poison lam -> residual unconverged.
+        Qn = np.asarray(Q).copy()
+        Qn[7, :, 0] = 0.0
+        Qn[7, 0, :] = 0.0
+        res_s, _, _ = longk.solve_direct_longk(
+            jnp.asarray(Qn), R, A, B, q, r, cc, rho=0.0,
+            chunk_lanes=128, force_tier="hybrid")
+        assert not bool(res_s.converged)
+    finally:
+        longk._DIRECT_XL_BUDGET_BYTES = old
+
+
 def test_direct_xla_tier_parity_vs_oracle():
-    """The unlimited-K direct tier (lane-packed XLA cyclic reduction,
-    _cr_solve_xla) must match the Thomas oracle like the kernel tier does;
-    forced here at a small shape (the auto boundary sits at Kp~1400 IIWA,
-    longk.direct_tier picks 'xla' beyond fits_direct_xl)."""
+    """The unlimited-K FORCEABLE direct tier (lane-packed XLA cyclic
+    reduction, _cr_solve_xla) must match the Thomas oracle like the kernel
+    tier does; forced here at a small shape (the auto ladder now picks
+    'hybrid' beyond fits_direct_xl — 'xla' stays as an explicit tier)."""
     from gato_tpu import direct
 
-    assert longk.direct_tier(4096, 14, 7) == "xla"
+    assert longk.direct_tier(4096, 14, 7) == "hybrid"
     assert longk.direct_tier(200, 3, 2) == "xl"
 
     with pytest.raises(ValueError, match="force_tier"):
@@ -233,9 +271,10 @@ def test_direct_xla_tier_parity_vs_oracle():
 
 
 def test_direct_tier_boundaries():
-    """Tier ownership at IIWA width: should_dispatch_direct is True exactly
-    between the fused cyclic-reduction kernel's packing budget and direct-XL
-    residency."""
+    """Tier ownership at IIWA width: should_dispatch_direct is True for
+    every K past the fused cyclic-reduction kernel's packing budget — the
+    one-kernel 'xl' tier within direct-XL residency, the compacting-peel
+    'hybrid' tier beyond (round 5: unlimited K)."""
     from gato_tpu.kernels import direct_fused
 
     s, c = 14, 7
@@ -244,8 +283,14 @@ def test_direct_tier_boundaries():
     assert not direct_fused.fits_vmem(1024, s, c)
     assert longk.fits_direct_xl(1024, s, c)
     assert longk.should_dispatch_direct(1024, s, c)
+    assert longk.direct_tier(1024, s, c) == "xl"
     assert not longk.fits_direct_xl(4096, s, c)
-    assert not longk.should_dispatch_direct(4096, s, c)
+    assert longk.should_dispatch_direct(4096, s, c)
+    assert longk.direct_tier(4096, s, c) == "hybrid"
+    # The hybrid peel schedule at IIWA width: one peel for K=2048, two for
+    # K=4096 (13 MiB scoped-vmem budget -> Kp <= 1408).
+    assert longk._hybrid_widths(2048, s, 16) == [2048, 1024]
+    assert longk._hybrid_widths(4096, s, 16) == [4096, 2048, 1024]
 
 
 def test_direct_tier_converged_is_residual_derived():

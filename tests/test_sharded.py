@@ -227,10 +227,15 @@ def test_solve_batched_dp_longk_tiers(monkeypatch):
                                    np.asarray(ref_d.dz_x),
                                    rtol=1e-4, atol=1e-4)
 
-    # Shapes no kernel tier owns raise loudly.
-    monkeypatch.setattr(longk, "_DIRECT_XL_BUDGET_BYTES", 10_000)
-    with pytest.raises(ValueError, match="no kernel tier"):
-        solve_batched_dp(mesh, *batch, rho=1e-2, method="direct")
+    # Round 5: no direct shape is unowned any more — shrinking direct-XL
+    # residency just engages the hybrid tier's compacting peel schedule
+    # (here down to the 128-lane floor); answers unchanged.
+    monkeypatch.setattr(longk, "_DIRECT_XL_BUDGET_BYTES",
+                        64 * 4 * 8 * (10 * 3 + 6))
+    assert longk.direct_tier(48, 3, 2) == "hybrid"
+    res_h, _, _ = solve_batched_dp(mesh, *batch, rho=1e-2, method="direct")
+    np.testing.assert_allclose(np.asarray(res_h.lam), np.asarray(res_d.lam),
+                               rtol=1e-4, atol=1e-4)
 
 
 # slow tier: the dp farm runs in every round's driver dryrun

@@ -115,6 +115,14 @@ def _bindings(detail: dict):
          ms("iiwa_horizon_4096_pcg") / ms("iiwa_horizon_4096_kernel_stream"), ".1f")
     bind(r, r"K=1024 whole-CR kernel ([\d.]+) ms vs", ms("iiwa_horizon_1024_direct_xl"), ".3f")
     bind(r, r"whole-CR kernel [\d.]+ ms vs ([\d.]+) XLA", ms("iiwa_horizon_1024_direct"), ".3f")
+    if "iiwa_horizon_2048_direct_hybrid" in c:
+        bind(r, r"K=2048 exact: ([\d.]+) ms hybrid",
+             ms("iiwa_horizon_2048_direct_hybrid"), ".3f")
+        bind(r, r"ms hybrid vs ([\d.]+) jax-Thomas",
+             ms("iiwa_horizon_2048_direct"), ".3f")
+        bind(r, r"jax-Thomas \(([\d.]+)x",
+             ms("iiwa_horizon_2048_direct")
+             / ms("iiwa_horizon_2048_direct_hybrid"), ".1f")
     # Batch.
     bind(r, r"Batched 256× IIWA: \*\*([\d.]+) µs/solve", c["iiwa_batch_256_fused"]["us_per_solve"], ".1f")
     bind(r, r"\(~(\d+k) solves/s\)\*\* PCG", c["iiwa_batch_256_fused"]["solves_per_sec"], "k")
