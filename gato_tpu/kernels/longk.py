@@ -721,7 +721,7 @@ def should_dispatch_direct(K: int, s: int, c: int) -> bool:
     used by solver dispatch).  Round 5: no upper bound — past direct-XL
     residency the HYBRID tier (compacting XLA peels + the one-kernel CR)
     serves ANY K, measured faster than the jax Thomas scan at narrow batch
-    (0.74 vs 0.98 ms at K=2048/B=1, 1.72 vs 2.10 at K=4096, v5e)."""
+    (0.44 vs 0.98 ms at K=2048/B=1, 1.51 vs 2.10 at K=4096, v5e)."""
     from .direct_fused import fits_vmem as _fused_direct_fits
 
     return not _fused_direct_fits(K, s, c)
@@ -1017,23 +1017,22 @@ def _cr_peel(Sp, bv, W_out: int, *, s: int, sp: int):
       b'_j = b[2j] - A_j b[2j-1] - B_j b[2j+1]
     — the same per-level algebra as _cr_solve_scratch/_cr_solve_xla, on
     sliced half-width stacks instead of masked full-width ones."""
-    dt = bv.dtype
     W = bv.shape[-1]
     Wh = W // 2
 
-    def ev(x):
-        return x[..., 0::2]
-
-    def od(x):
-        return x[..., 1::2]
-
-    L_e = [ev(Sp[0, i]) for i in range(s)]
-    D_e = [ev(Sp[1, i]) for i in range(s)]
-    U_e = [ev(Sp[2, i]) for i in range(s)]
-    L_o = [od(Sp[0, i]) for i in range(s)]
-    D_o = [od(Sp[1, i]) for i in range(s)]
-    U_o = [od(Sp[2, i]) for i in range(s)]
-    b_e, b_o = ev(bv), od(bv)
+    # ONE strided slice per stacked array, not one per column: the per-
+    # column form issued ~84 separate lane-stride-2 relayouts and measured
+    # 0.83 ms at (14, 16, 2048) — more than the entire rest of the hybrid
+    # solve combined (chain-differenced, v5e).  Leading-axis indexing of
+    # the sliced stacks below is free (no lane relayout).
+    Sp_e, Sp_o = Sp[..., 0::2], Sp[..., 1::2]
+    L_e = [Sp_e[0, i] for i in range(s)]
+    D_e = [Sp_e[1, i] for i in range(s)]
+    U_e = [Sp_e[2, i] for i in range(s)]
+    L_o = [Sp_o[0, i] for i in range(s)]
+    D_o = [Sp_o[1, i] for i in range(s)]
+    U_o = [Sp_o[2, i] for i in range(s)]
+    b_e, b_o = bv[..., 0::2], bv[..., 1::2]
 
     OInv, bad_o = _gj_inv_flag(D_o, s, sp)
 
@@ -1056,7 +1055,7 @@ def _cr_peel(Sp, bv, W_out: int, *, s: int, sp: int):
 
     Sp_half = jnp.stack([jnp.stack([pad(x) for x in cols])
                          for cols in (L_n, D_n, U_n)])
-    saved = (jnp.stack(OInv), jnp.stack(L_o), jnp.stack(U_o), b_o)
+    saved = (jnp.stack(OInv), Sp_o[0], Sp_o[2], b_o)
     return Sp_half, pad(b_n), saved, jnp.sum(bad_o)
 
 
