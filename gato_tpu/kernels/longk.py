@@ -1075,6 +1075,152 @@ def _cr_unpeel(x_half, saved, W: int, *, s: int, sp: int):
     return jnp.stack([xh, x_odd], axis=-1).reshape(x_half.shape[:-1] + (W,))
 
 
+#: Use the Mosaic peel kernel for the hybrid tier's elimination levels
+#: (vs the reference XLA peel, which pays ~190 us of _mat_mat intermediate
+#: HBM traffic per level at W=2048).  OFF pending real-hardware compile
+#: validation: the 2026-08-20 session that built the kernel hit an axon
+#: transport/compile-service outage before it could be compiled on the
+#: chip (interpret-mode parity vs the XLA peel IS pinned by
+#: tests/test_longk.py) — flip to True only after a TPU run confirms the
+#: kernel compiles and the hybrid rows improve.
+_PEEL_USE_KERNEL = False
+
+
+def _peel_kernel(
+    Le_ref, De_ref, Ue_ref, Lo_ref, Do_ref, Uo_ref, be_ref, bo_ref,
+    Ln_out, Dn_out, Un_out, bn_out, oinv_out, bad_out,
+    carry,                                               # VMEM (sp, 3s+1)
+    *, s: int, sp: int,
+):
+    """One lane chunk of a compacting CR peel (the algebra of :func:`_cr_peel`
+    with the operands VMEM-resident).  The XLA peel's ~190 us of _mat_mat
+    intermediate traffic at W=2048 (every (sp, Wh) product written/read
+    through HBM) collapses to two streaming passes here.  Chunks grid
+    sequentially with the one-lane left-neighbor dependency (odd index j-1
+    for the chunk's first even lane) carried through scratch, exactly like
+    :func:`_condense_chunk`: carry columns [0:s] OInv, [s:2s] U_o,
+    [2s:3s] L_o, [3s] b_o — each the previous chunk's LAST odd lane.
+    Chunk 0 substitutes zeros (the trajectory start has no left neighbor),
+    which also resets the carry between problems of the batch grid axis."""
+    dt = be_ref.dtype
+    L = be_ref.shape[-1]
+    Le = [Le_ref[0, i] for i in range(s)]
+    De = [De_ref[0, i] for i in range(s)]
+    Ue = [Ue_ref[0, i] for i in range(s)]
+    Lo = [Lo_ref[0, i] for i in range(s)]
+    Do = [Do_ref[0, i] for i in range(s)]
+    Uo = [Uo_ref[0, i] for i in range(s)]
+    be = be_ref[0]
+    bo = bo_ref[0]
+
+    OInv, bad = _gj_inv_flag(Do, s, sp)
+
+    lane0 = jax.lax.broadcasted_iota(jnp.int32, (sp, L), 1) == 0
+    first = pl.program_id(1) == 0
+
+    def roll_in(x, idx):
+        prev = jnp.where(first, jnp.zeros((sp, 1), dt),
+                         carry[:, idx : idx + 1])
+        return jnp.where(lane0, prev, _roll_p1(x))
+
+    OInv_p = [roll_in(OInv[i], i) for i in range(s)]
+    Uo_p = [roll_in(Uo[i], s + i) for i in range(s)]
+    Lo_p = [roll_in(Lo[i], 2 * s + i) for i in range(s)]
+    bo_p = roll_in(bo, 3 * s)
+
+    A = _mat_mat(Le, OInv_p, s)        # L[2j] Dinv[2j-1]
+    Bm = _mat_mat(Ue, OInv, s)         # U[2j] Dinv[2j+1]
+    AU = _mat_mat(A, Uo_p, s)
+    BL = _mat_mat(Bm, Lo, s)
+    L_n = _mat_mat(A, Lo_p, s)
+    U_n = _mat_mat(Bm, Uo, s)
+    for i in range(s):
+        Dn_out[0, i] = De[i] - AU[i] - BL[i]
+        Ln_out[0, i] = -L_n[i]
+        Un_out[0, i] = -U_n[i]
+        oinv_out[0, i] = OInv[i]
+    bn_out[0] = be - _mat_vec(A, bo_p, s) - _mat_vec(Bm, bo, s)
+    bad_out[0] = jnp.broadcast_to(bad, (sp, L))
+
+    # Carry write LAST, after every read of the incoming carry.
+    for i in range(s):
+        carry[:, i : i + 1] = OInv[i][:, L - 1 : L]
+        carry[:, s + i : s + i + 1] = Uo[i][:, L - 1 : L]
+        carry[:, 2 * s + i : 2 * s + i + 1] = Lo[i][:, L - 1 : L]
+    carry[:, 3 * s : 3 * s + 1] = bo[:, L - 1 : L]
+
+
+def _peel_call(Sp_e, Sp_o, b_e, b_o, *, s: int, sp: int, interpret: bool):
+    """Batched kernel peel: (B, 3, s, sp, Wh) even/odd stacks (the XLA-side
+    stride-2 slices of the full operator) -> reduced (B, 3, s, sp, Wh)
+    stack, b_n, OInv (for back-substitution) and the per-lane clamp-flag
+    rows."""
+    Bn, _, _, _, Wh = Sp_e.shape
+    dt = b_e.dtype
+    Lc = Wh if Wh <= 512 else 512
+    n_chunks = Wh // Lc
+
+    mat = pl.BlockSpec((1, s, sp, Lc), lambda b, ch: (b, 0, 0, ch),
+                       memory_space=pltpu.VMEM)
+    vec = pl.BlockSpec((1, sp, Lc), lambda b, ch: (b, 0, ch),
+                       memory_space=pltpu.VMEM)
+
+    cost = pl.CostEstimate(
+        flops=int(Bn * Wh * sp * s * s * 14),
+        bytes_accessed=int((Sp_e.size + Sp_o.size) * 4 * 2),
+        transcendentals=0,
+    )
+    Ln, Dn, Un, bn, OInv, bad = pl.pallas_call(
+        functools.partial(_peel_kernel, s=s, sp=sp),
+        grid=(Bn, n_chunks),
+        out_shape=(
+            jax.ShapeDtypeStruct((Bn, s, sp, Wh), dt),   # L'
+            jax.ShapeDtypeStruct((Bn, s, sp, Wh), dt),   # D'
+            jax.ShapeDtypeStruct((Bn, s, sp, Wh), dt),   # U'
+            jax.ShapeDtypeStruct((Bn, sp, Wh), dt),      # b'
+            jax.ShapeDtypeStruct((Bn, s, sp, Wh), dt),   # Dinv_odd
+            jax.ShapeDtypeStruct((Bn, sp, Wh), dt),      # bad rows
+        ),
+        in_specs=[mat, mat, mat, mat, mat, mat, vec, vec],
+        out_specs=(mat, mat, mat, vec, mat, vec),
+        scratch_shapes=[pltpu.VMEM((sp, 3 * s + 1), dt)],
+        cost_estimate=cost,
+        interpret=interpret,
+    )(Sp_e[:, 0], Sp_e[:, 1], Sp_e[:, 2],
+      Sp_o[:, 0], Sp_o[:, 1], Sp_o[:, 2], b_e, b_o)
+    return Ln, Dn, Un, bn, OInv, bad
+
+
+def _cr_peel_to_fit_batched(Sb, bv, widths, *, s: int, sp: int,
+                            interpret: bool):
+    """Batched kernel-peel schedule (the hybrid tier's hot path): XLA does
+    the stride-2 slices (4 per level, on the STACKED arrays — per-column
+    slicing measured 0.83 ms alone, CLAUDE.md) and the zero-padding; the
+    Mosaic kernel does the flops.  Same algebra and save layout as the
+    per-problem XLA :func:`_cr_peel` (kept as the reference implementation
+    — tests pin the two paths against each other)."""
+    saves = []
+    bad = jnp.zeros((bv.shape[0],), bv.dtype)
+    for W_out in widths[1:]:
+        W = bv.shape[-1]
+        Wh = W // 2
+        Sp_e, Sp_o = Sb[..., 0::2], Sb[..., 1::2]
+        b_e, b_o = bv[..., 0::2], bv[..., 1::2]
+        Ln, Dn, Un, bn, OInv, bad_rows = _peel_call(
+            Sp_e, Sp_o, b_e, b_o, s=s, sp=sp, interpret=interpret)
+        saves.append((OInv, Sp_o[:, 0], Sp_o[:, 2], b_o))
+        bad = bad + jnp.sum(bad_rows[:, 0, :], axis=-1)
+
+        def pad(x):
+            if W_out == Wh:
+                return x
+            return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, W_out - Wh)])
+
+        Sb = pad(jnp.stack([Ln, Dn, Un], axis=1))
+        bv = pad(bn)
+    return Sb, bv, tuple(saves), bad
+
+
 def _cr_peel_to_fit(Sp, bv, widths, *, s: int, sp: int):
     """Peel along the static ``widths`` schedule; returns the reduced
     system + the per-level saved states (outermost level first)."""
@@ -1164,12 +1310,16 @@ def _solve_direct_longk_packed(
         lamb = _direct_xl_call(Sb, gamb, s=s, sp=sp, Kp=Kp,
                                interpret=interpret)
     elif tier == "hybrid":
-        # Compacting XLA peels down to one-kernel-CR reach, kernel CR on
+        # Compacting peel levels down to one-kernel-CR reach, kernel CR on
         # the reduced system, XLA back-substitution (see the peel section).
         widths = tuple(_hybrid_widths(Kp, s, sp))
-        S_red, b_red, saves, bad_pe = jax.vmap(
-            functools.partial(_cr_peel_to_fit, widths=widths, s=s, sp=sp)
-        )(Sb, gamb)
+        if _PEEL_USE_KERNEL:
+            S_red, b_red, saves, bad_pe = _cr_peel_to_fit_batched(
+                Sb, gamb, widths, s=s, sp=sp, interpret=interpret)
+        else:
+            S_red, b_red, saves, bad_pe = jax.vmap(
+                functools.partial(_cr_peel_to_fit, widths=widths, s=s,
+                                  sp=sp))(Sb, gamb)
         lam_red = _direct_xl_call(S_red, b_red, s=s, sp=sp, Kp=widths[-1],
                                   interpret=interpret)
         lamb = jax.vmap(

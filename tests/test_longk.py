@@ -239,6 +239,63 @@ def test_direct_hybrid_tier_parity_vs_oracle():
         longk._DIRECT_XL_BUDGET_BYTES = old
 
 
+def test_peel_kernel_matches_xla_reference(monkeypatch):
+    """The Mosaic peel kernel (interpret here) must reproduce the XLA
+    reference peel — reduced system, back-substitution saves, and flags —
+    to f32 round-off; and the hybrid tier must produce the same solution
+    through either peel path (_PEEL_USE_KERNEL is OFF by default pending
+    real-hardware compile validation; this pins the gated path so the flip
+    is a one-line change)."""
+    import functools
+
+    from gato_tpu import direct
+
+    spec = ProblemSpec(3, 2, 400)
+    Q, R, A, B, q, r, cc = _arrs(spec, seed=5)
+    sp, Kp, Lc, n_chunks, _, _ = longk._plan_dispatch(400, 3, 2, "xl", 128)
+    pm = functools.partial(longk._pack_mat, K_sub=Kp, g=1, L=Kp,
+                           n_groups=1, sp=sp)
+    pv = functools.partial(longk._pack_vec, K_sub=Kp, g=1, L=Kp,
+                           n_groups=1, sp=sp)
+    Sb, _Pb, gamb, _Qi, _Ri = longk._condense_call(
+        jnp.float32(RHO), pm(Q[None]), pm(R[None]), pm(A[None]), pm(B[None]),
+        pv(q[None]), pv(r[None]), pv(cc[None]),
+        s=3, c=2, sp=sp, Kp=Kp, Lc=Lc, n_chunks=n_chunks,
+        precond="jacobi", interpret=True)
+
+    widths = (512, 256, 128)
+    Sk, bk, sav_k, bad_k = longk._cr_peel_to_fit_batched(
+        Sb, gamb, widths, s=3, sp=sp, interpret=True)
+    Sx, bx, sav_x, bad_x = jax.vmap(functools.partial(
+        longk._cr_peel_to_fit, widths=widths, s=3, sp=sp))(Sb, gamb)
+    scale = float(jnp.max(jnp.abs(Sx)))
+    assert float(jnp.max(jnp.abs(Sk - Sx))) / scale < 1e-5
+    assert float(jnp.max(jnp.abs(bk - bx))) / (float(jnp.max(jnp.abs(bx)))
+                                               or 1.0) < 1e-5
+    for a, b_ in zip(jax.tree_util.tree_leaves(sav_k),
+                     jax.tree_util.tree_leaves(sav_x)):
+        sc = float(jnp.max(jnp.abs(b_))) or 1.0
+        assert float(jnp.max(jnp.abs(a - b_))) / sc < 1e-5
+    np.testing.assert_array_equal(np.asarray(bad_k > 0),
+                                  np.asarray(bad_x > 0))
+
+    # End-to-end through the gated kernel path.
+    old = longk._DIRECT_XL_BUDGET_BYTES
+    monkeypatch.setattr(longk, "_PEEL_USE_KERNEL", True)
+    longk._DIRECT_XL_BUDGET_BYTES = 128 * 4 * 8 * (10 * 3 + 6)
+    try:
+        sys = assemble.condense(Q, R, A, B, q, r, cc, RHO)
+        lam_ref = direct.btd_solve(sys.S, sys.gamma)
+        res, _, _ = longk.solve_direct_longk(
+            Q, R, A, B, q, r, cc, rho=RHO, chunk_lanes=128,
+            force_tier="hybrid")
+        assert bool(res.converged)
+        sc = float(jnp.max(jnp.abs(lam_ref)))
+        assert float(jnp.max(jnp.abs(res.lam - lam_ref))) / sc < 5e-4
+    finally:
+        longk._DIRECT_XL_BUDGET_BYTES = old
+
+
 def test_direct_xla_tier_parity_vs_oracle():
     """The unlimited-K FORCEABLE direct tier (lane-packed XLA cyclic
     reduction, _cr_solve_xla) must match the Thomas oracle like the kernel
