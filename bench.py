@@ -2033,15 +2033,20 @@ def _phase2(run, C, iiwa, pend, opts, direct_opts, have_pallas):
 def _transport_preflight(timeout_s: int = 180):
     """Fail fast, with a parseable record, when the device transport is down.
 
-    Backend init on a dead axon tunnel BLOCKS forever rather than erroring
-    (observed during the 2026-08-17 transport outage), which would hang the
-    whole bench run at the first jax.devices().  Probe init in a killable
-    subprocess; on failure emit the driver's one-line JSON with an ``error``
-    field and exit nonzero."""
+    Two observed outage modes, both of which would hang the run BEFORE the
+    headline prints: backend init on a dead axon tunnel BLOCKS forever
+    rather than erroring (2026-08-17 outage), and a wedged compile service
+    leaves jax.devices() working while EVERY compile hangs (2026-08-20
+    outage — even a trivial jitted matmul).  Probe init AND one tiny
+    compile+execute in a killable subprocess; on failure emit the driver's
+    one-line JSON with an ``error`` field and exit nonzero."""
     import subprocess
     import sys
 
-    probe = "import jax; print(jax.devices()[0].platform, flush=True)"
+    probe = ("import jax, jax.numpy as jnp; "
+             "print(jax.devices()[0].platform, flush=True); "
+             "f = jax.jit(lambda a: (a @ a).sum()); "
+             "print(float(f(jnp.ones((64, 64)))), flush=True)")
     try:
         out = subprocess.run([sys.executable, "-c", probe],
                              capture_output=True, text=True,
