@@ -721,7 +721,7 @@ def should_dispatch_direct(K: int, s: int, c: int) -> bool:
     used by solver dispatch).  Round 5: no upper bound — past direct-XL
     residency the HYBRID tier (compacting XLA peels + the one-kernel CR)
     serves ANY K, measured faster than the jax Thomas scan at narrow batch
-    (0.44 vs 0.98 ms at K=2048/B=1, 1.51 vs 2.10 at K=4096, v5e)."""
+    (0.34 vs ~1.0 ms at K=2048/B=1, 0.79 vs 2.10 at K=4096, v5e)."""
     from .direct_fused import fits_vmem as _fused_direct_fits
 
     return not _fused_direct_fits(K, s, c)
@@ -1077,13 +1077,12 @@ def _cr_unpeel(x_half, saved, W: int, *, s: int, sp: int):
 
 #: Use the Mosaic peel kernel for the hybrid tier's elimination levels
 #: (vs the reference XLA peel, which pays ~190 us of _mat_mat intermediate
-#: HBM traffic per level at W=2048).  OFF pending real-hardware compile
-#: validation: the 2026-08-20 session that built the kernel hit an axon
-#: transport/compile-service outage before it could be compiled on the
-#: chip (interpret-mode parity vs the XLA peel IS pinned by
-#: tests/test_longk.py) — flip to True only after a TPU run confirms the
-#: kernel compiles and the hybrid rows improve.
-_PEEL_USE_KERNEL = False
+#: HBM traffic per level at W=2048).  Validated on v5e 2026-08-21 after a
+#: session-long red herring: attaching a pl.CostEstimate to this call made
+#: Mosaic's compile hang (>9 min vs 2.6 s without, byte-identical body) —
+#: see _peel_call.  Interpret-mode parity vs the XLA reference peel is
+#: pinned by tests/test_longk.py.
+_PEEL_USE_KERNEL = True
 
 
 def _peel_kernel(
@@ -1165,11 +1164,10 @@ def _peel_call(Sp_e, Sp_o, b_e, b_o, *, s: int, sp: int, interpret: bool):
     vec = pl.BlockSpec((1, sp, Lc), lambda b, ch: (b, 0, ch),
                        memory_space=pltpu.VMEM)
 
-    cost = pl.CostEstimate(
-        flops=int(Bn * Wh * sp * s * s * 14),
-        bytes_accessed=int((Sp_e.size + Sp_o.size) * 4 * 2),
-        transcendentals=0,
-    )
+    # NO pl.CostEstimate here: attaching one made Mosaic's compile HANG
+    # (>9 min vs 2.6 s without, measured 2026-08-21 — the body is
+    # byte-identical; the estimate was the only difference in the bisect).
+    # The other longk kernels' estimates predate this and are left alone.
     Ln, Dn, Un, bn, OInv, bad = pl.pallas_call(
         functools.partial(_peel_kernel, s=s, sp=sp),
         grid=(Bn, n_chunks),
@@ -1184,7 +1182,6 @@ def _peel_call(Sp_e, Sp_o, b_e, b_o, *, s: int, sp: int, interpret: bool):
         in_specs=[mat, mat, mat, mat, mat, mat, vec, vec],
         out_specs=(mat, mat, mat, vec, mat, vec),
         scratch_shapes=[pltpu.VMEM((sp, 3 * s + 1), dt)],
-        cost_estimate=cost,
         interpret=interpret,
     )(Sp_e[:, 0], Sp_e[:, 1], Sp_e[:, 2],
       Sp_o[:, 0], Sp_o[:, 1], Sp_o[:, 2], b_e, b_o)

@@ -291,7 +291,7 @@ def default_pcg_backend(
             # operator within fits_direct_xl, and the HYBRID tier beyond
             # (compacting XLA peels + the kernel CR on the reduced system
             # — measured FASTER than the jax Thomas scan at narrow batch:
-            # 0.44 vs 0.98 ms at K=2048/B=1, 1.51 vs 2.10 at K=4096, v5e
+            # 0.34 vs ~1.0 ms at K=2048/B=1, 0.79 vs 2.10 at K=4096, v5e
             # round 5), so auto stays 'pallas' at ANY K here.
             return "pallas"
         return "fused"
